@@ -1,0 +1,123 @@
+"""Text-analysis expression helpers for large-scale training-data pipelines.
+
+These are beyond-reference operators (driver north star): language-ID
+heuristics, quality scoring, token counting, shingling, and document
+fingerprinting — all as JVM-side column expressions so they stream through
+whole-stage codegen at 100 TB scale (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the operator shape (score -> argmax) is what
+# matters; swap in real lists for production.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ["a", "an", "it", "as", "at", "by", "be"]
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens removed."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Contiguous n-token shingles joined with a single space.
+
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+def char_ngrams_expr(text: Column, n: int = 3) -> Column:
+    """Character n-grams of a string (for n-gram Jaccard similarity)."""
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - F.lit(n - 1), F.lit(0))
+    )
+    return F.transform(idx, lambda i: F.substring(text, i, n))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Share of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio_expr(tokens: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def mean_token_length_expr(tokens: Column) -> Column:
+    total = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(tokens), F.lit(1))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards reasonable
+    length, low punctuation density, and stopword presence (a fluency proxy).
+    Pure column math — runs in codegen."""
+    toks = tokens_expr(text)
+    n_tok = F.size(toks)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio_expr(text) * 4, F.lit(1.0))
+    sw_score = F.least(stopword_ratio_expr(toks) * 5, F.lit(1.0))
+    return (len_score + punct_pen + sw_score) / F.lit(3.0)
+
+
+def lang_scores_expr(tokens: Column) -> Column:
+    """Map of language -> stopword-hit count (the language-ID heuristic)."""
+    pairs = []
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(tokens, lambda t: F.array_contains(sw, F.lower(t))))
+        pairs.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*pairs)
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Predicted language = argmax of stopword hits; 'und' when no hits.
+
+    Tie-break: lexicographic language code (deterministic).
+    """
+    toks = tokens_expr(text)
+    scores = lang_scores_expr(toks)
+    best = F.array_max(
+        F.transform(
+            scores,
+            # encode (hits, reversed-lang) so array_max picks max hits, then
+            # lexicographically-smallest lang on ties
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                F.lit(0).alias("z"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized token stream.
+
+    Normalization: lowercase, collapse whitespace. Identical content with
+    different spacing/casing maps to one fingerprint — the exact-dedup key.
+    """
+    normalized = F.array_join(tokens_expr(F.lower(text)), " ")
+    return F.xxhash64(normalized)

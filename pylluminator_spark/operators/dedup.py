@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (driver north star). All hot paths are JVM-side
+column expressions (xxhash64, higher-order array functions) — no Python in
+the per-row path — so each scales as an ordinary shuffle pipeline:
+
+- exact dedup: hash-groupBy on a normalized fingerprint
+- MinHash + LSH: shingle → K minhashes → B bands → bucket join on
+  (band, band_hash) → candidate pairs → exact Jaccard verify
+- SimHash: 64-bit sign-of-sum fingerprint, near-dup = small Hamming distance
+- n-gram Jaccard: exact pairwise similarity for candidate verification
+- embedding cosine near-dup: delegates to operators.similarity
+
+Scale notes: the LSH band join shuffles on (band_id, band_hash) — uniformly
+distributed by construction. Candidate verification joins back to the
+shingle sets; at 100 TB keep ``num_hashes``/``bands`` modest (64/16) and let
+AQE coalesce the (typically tiny) candidate partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pylluminator_spark.functions.text import (
+    char_ngrams_expr,
+    tokens_expr,
+    word_shingles_expr,
+)
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per content fingerprint.
+
+    Normalization lowercases and collapses whitespace so trivially-reformatted
+    duplicates collapse. One hash-shuffle; no sort.
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = F.array_join(tokens_expr(F.lower(content)), " ")
+    with_fp = df.withColumn("_fp", F.xxhash64(content))
+    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, [ "_fp", id_col], "left_semi").drop("_fp")
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """K-permutation MinHash over word shingles, entirely in codegen:
+    ``sig[i] = min over shingles of xxhash64(shingle, i)``.
+
+    Empty documents (< shingle_size tokens) get a NULL signature.
+    """
+    shingles = word_shingles_expr(tokens_expr(F.lower(F.col(text_col))), shingle_size)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return (
+        df.withColumn("_shingles", shingles)
+        .withColumn(
+            out_col,
+            F.when(F.size("_shingles") > 0, sig).otherwise(F.lit(None)),
+        )
+        .drop("_shingles")
+    )
+
+
+def lsh_candidate_pairs(
+    df_with_sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, bucket by
+    (band_id, hash(band)), emit candidate id pairs sharing any bucket.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    sig = df_with_sig.filter(F.col(sig_col).isNotNull())
+    k = F.size(F.col(sig_col))
+    rows_per_band = (k / bands).cast("int")
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+    ).join(sig.select(id_col, sig_col), id_col)
+    banded = banded.withColumn(
+        "_band_hash",
+        F.xxhash64(
+            F.col("_band"),
+            F.slice(
+                F.col(sig_col), F.col("_band") * rows_per_band + 1, rows_per_band
+            ).cast("string"),
+        ),
+    )
+    a = banded.select(
+        F.col("_band"), F.col("_band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = banded.select(
+        F.col("_band"), F.col("_band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["_band", "_band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    char_ngrams: bool = False,
+) -> DataFrame:
+    """Exact Jaccard similarity on candidate pairs; keeps pairs >= threshold.
+
+    ``char_ngrams=True`` switches to character n-gram sets (n-gram Jaccard
+    dedup); default is word-shingle sets (MinHash verification).
+    """
+    base = F.lower(F.col(text_col))
+    grams = (
+        char_ngrams_expr(base, shingle_size)
+        if char_ngrams
+        else word_shingles_expr(tokens_expr(base), shingle_size)
+    )
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(grams).alias("_grams")
+    )
+    out = (
+        pairs.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_ga", "_gb"))
+        )
+        .withColumn("_union", F.size(F.array_union("_ga", "_gb")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: returns ``docs`` minus near-duplicates.
+
+    Duplicate groups keep their lowest id (connected via verified pairs; a
+    single link pass — transitive closure is approximated by linking every
+    member to the group's minimum id, which suffices when duplicates share
+    buckets, the common case for near-identical documents).
+    """
+    with_sig = minhash_signature(docs, text_col, num_hashes, shingle_size)
+    pairs = lsh_candidate_pairs(with_sig, id_col=id_col, bands=bands)
+    dup_pairs = jaccard_verify(
+        pairs, docs, id_col, text_col, shingle_size, threshold
+    )
+    # every id that appears as the larger member of a verified pair is a dup
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def simhash_expr(text_col: str = "text", bits: int = 64):
+    """SimHash fingerprint as a single column expression.
+
+    Per token: a 64-bit xxhash64; for each bit position, vote +1/-1; the
+    fingerprint sets bits with positive vote sums. All higher-order array
+    math — runs in codegen.
+    """
+    toks = F.array_distinct(tokens_expr(F.lower(F.col(text_col))))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # vote for bit k = sum over tokens of (bit set ? 1 : -1)
+    votes = F.transform(
+        bit_idx,
+        lambda k: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(bit_idx, votes, lambda k, v: F.struct(k.alias("k"), v.alias("v"))),
+        F.lit(0).cast("long"),
+        lambda acc, kv: acc
+        + F.when(
+            kv["v"] > 0, F.shiftleft(F.lit(1).cast("long"), kv["k"])
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.when(F.size(toks) > 0, fp).otherwise(F.lit(None))
+
+
+def hamming_distance_expr(a, b):
+    """Population count of XOR — Hamming distance between two 64-bit prints."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def dedup_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dedup: bucket by 16-bit bands (a fingerprint pair within
+    Hamming distance 3 of 64 bits shares at least one of 4 bands), verify
+    Hamming distance, drop the larger id of each pair."""
+    fp = docs.select(
+        F.col(id_col), simhash_expr(text_col).alias("_fp")
+    ).filter(F.col("_fp").isNotNull())
+    n_bands = 64 // band_bits
+    banded = fp.select(
+        id_col,
+        "_fp",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("_band"),
+    ).withColumn(
+        "_band_key",
+        F.shiftrightunsigned(F.col("_fp"), F.col("_band") * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        ),
+    )
+    a = banded.select(
+        "_band", "_band_key", F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa")
+    )
+    b = banded.select(
+        "_band", "_band_key", F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb")
+    )
+    pairs = (
+        a.join(b, ["_band", "_band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+        .withColumn("_ham", hamming_distance_expr(F.col("_fa"), F.col("_fb")))
+        .filter(F.col("_ham") <= max_hamming)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
