@@ -56,8 +56,14 @@ def meth_unmeth_exprs(include_out_of_band: bool = False) -> tuple[Column, Column
 
 
 def beta_expr(meth: Column, unmeth: Column) -> Column:
-    """``clip(M,1) / clip(M+U,2)`` — reference samples.py:1104."""
-    return F.greatest(meth, F.lit(1.0)) / F.greatest(meth + unmeth, F.lit(2.0))
+    """``clip(M,1) / clip(M+U,2)`` — reference samples.py:1104.
+
+    NULL-propagating: pandas ``clip`` keeps NaN, but Spark ``greatest``
+    *ignores* nulls, so guard explicitly — a masked intensity must give a
+    NULL beta, not 0.5.
+    """
+    raw = F.greatest(meth, F.lit(1.0)) / F.greatest(meth + unmeth, F.lit(2.0))
+    return F.when(meth.isNull() | unmeth.isNull(), F.lit(None)).otherwise(raw)
 
 
 def beta_to_m_expr(beta: Column, epsilon: float = 1e-8) -> Column:

@@ -1,0 +1,228 @@
+"""M0 vertical slice: IDAT binary scan -> signal assembly -> betas, checked
+against independently-computed pandas expectations (mirroring the reference's
+golden-value test strategy, SURVEY §5.2, at synthetic scale)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators import masks as mask_ops
+from pylluminator_spark.operators import selectors as sel
+from pylluminator_spark.plans.session import MethylSession, assemble_signal
+from pylluminator_spark.sources.idat import (
+    parse_idat_bytes,
+    read_idat_files,
+    write_idat,
+)
+
+N_PROBES_I = 40  # type I probes -> 2 addresses each
+N_PROBES_II = 120  # type II probes -> 1 address each
+N_ADDR = N_PROBES_I * 2 + N_PROBES_II
+SAMPLES = ["s01", "s02", "s03"]
+
+
+@pytest.fixture(scope="module")
+def manifest_pdf() -> pd.DataFrame:
+    rng = np.random.RandomState(7)
+    rows = []
+    addr = 1000
+    for i in range(N_PROBES_I):
+        rows.append(
+            dict(
+                probe_id=f"cg{i:06d}",
+                type="I",
+                channel="G" if i % 2 == 0 else "R",
+                probe_type="cg" if i % 10 else "snp",
+                address_a=addr,
+                address_b=addr + 1,
+                mask_info="M_nonuniq" if i % 7 == 0 else "",
+                chromosome=str(1 + i % 3),
+                start=1000 * i,
+                end=1000 * i + 100,
+            )
+        )
+        addr += 2
+    for i in range(N_PROBES_II):
+        rows.append(
+            dict(
+                probe_id=f"cg9{i:05d}",
+                type="II",
+                channel=None,
+                probe_type="cg" if i % 15 else "ch",
+                address_a=addr,
+                address_b=None,
+                mask_info="",
+                chromosome=str(1 + i % 3) if i % 11 else "X",
+                start=500 * i,
+                end=500 * i + 100,
+            )
+        )
+        addr += 1
+    _ = rng
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def idat_dir(tmp_path_factory, manifest_pdf) -> str:
+    """Write sample × channel IDAT files with deterministic intensities."""
+    d = tmp_path_factory.mktemp("idats")
+    ids = np.arange(1000, 1000 + N_ADDR, dtype="int32")
+    for si, sample in enumerate(SAMPLES):
+        for channel, suffix in (("G", "Grn"), ("R", "Red")):
+            base = 100 * (si + 1) + (1000 if channel == "G" else 2000)
+            means = (base + ids % 500).astype("uint16")
+            stds = np.full(N_ADDR, 10, dtype="uint16")
+            beads = np.where(ids % 37 == 0, 0, 8).astype("uint8")  # some low-bead
+            write_idat(
+                str(d / f"{sample}_{suffix}.idat"),
+                ids,
+                means,
+                stds,
+                beads,
+                compress=(channel == "R"),  # exercise gzip path
+            )
+    return str(d)
+
+
+def test_idat_roundtrip_bytes(idat_dir):
+    with open(f"{idat_dir}/s01_Grn.idat", "rb") as fh:
+        parsed = parse_idat_bytes(fh.read())
+    assert parsed["n_snps"] == N_ADDR
+    assert parsed["illumina_id"][0] == 1000
+    assert parsed["barcode"] == "0000001"
+    assert parsed["chip_type"] == "TestChip"
+
+
+def test_read_idat_files_distributed(spark, idat_dir):
+    df = read_idat_files(spark, f"{idat_dir}/*.idat*")
+    assert df.count() == len(SAMPLES) * 2 * N_ADDR
+    got = {r["channel"] for r in df.select("channel").distinct().collect()}
+    assert got == {"G", "R"}
+    # gzip (Red) files parsed identically
+    red = df.filter((F.col("sample") == "s01") & (F.col("channel") == "R"))
+    assert red.count() == N_ADDR
+
+
+@pytest.fixture(scope="module")
+def session(spark, idat_dir, manifest_pdf) -> MethylSession:
+    idata = read_idat_files(spark, f"{idat_dir}/*.idat*")
+    manifest = spark.createDataFrame(manifest_pdf)
+    return MethylSession.from_idata(spark, idata, manifest, min_beads=2)
+
+
+def test_signal_assembly_counts(session):
+    signal = session.signal
+    # one row per (sample, probe)
+    assert signal.count() == len(SAMPLES) * (N_PROBES_I + N_PROBES_II)
+    by_type = {
+        r["type"]: r["n"]
+        for r in signal.groupBy("type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "I": len(SAMPLES) * N_PROBES_I,
+        "II": len(SAMPLES) * N_PROBES_II,
+    }
+    # type II rows have only mg/ur populated
+    t2 = signal.filter(F.col("type") == "II")
+    assert t2.filter(F.col("mr").isNotNull() | F.col("ug").isNotNull()).count() == 0
+
+
+def test_signal_values_match_pandas(session, manifest_pdf):
+    """Spot-check the join: every intensity equals base + address % 500,
+    nulled where n_beads < min_beads (address % 37 == 0)."""
+    rows = (
+        session.signal.filter(F.col("sample") == "s02")
+        .select("probe_id", "type", "mg", "ur")
+        .collect()
+    )
+    mf = manifest_pdf.set_index("probe_id")
+    for r in rows[:50]:
+        info = mf.loc[r["probe_id"]]
+        addr_m = info.address_b if info.type == "I" else info.address_a
+        addr_u = info.address_a
+        exp_mg = 200 + 1000 + addr_m % 500 if addr_m % 37 else None
+        exp_ur = 200 + 2000 + addr_u % 500 if addr_u % 37 else None
+        assert (r["mg"] is None) == (exp_mg is None), r["probe_id"]
+        if exp_mg is not None:
+            assert r["mg"] == pytest.approx(exp_mg)
+        if exp_ur is not None:
+            assert r["ur"] == pytest.approx(exp_ur)
+
+
+def test_betas_match_reference_formula(session):
+    """beta = clip(M,1)/clip(M+U,2) with in-band-only channel selection
+    (reference samples.py:1074-1108), computed independently in pandas."""
+    betas = session.betas(apply_mask=False).toPandas()
+    signal = session.signal.toPandas()
+
+    m = np.where(
+        signal["type"] == "II",
+        signal["mg"],
+        np.where(signal["channel"] == "G", signal["mg"], signal["mr"]),
+    )
+    u = np.where(
+        signal["type"] == "II",
+        signal["ur"],
+        np.where(signal["channel"] == "G", signal["ug"], signal["ur"]),
+    )
+    expected = np.maximum(m, 1.0) / np.maximum(m + u, 2.0)
+    key = ["sample", "probe_id"]
+    merged = signal[key].assign(expected=expected).merge(
+        betas[key + ["beta"]], on=key
+    )
+    both_nan = merged["expected"].isna() & merged["beta"].isna()
+    close = np.isclose(merged["expected"], merged["beta"], rtol=1e-6, equal_nan=False)
+    assert (both_nan | close).all()
+
+
+def test_oob_betas(session):
+    """include_out_of_band sums both channels for type I (sesame sumTypeI)."""
+    betas_ib = session.betas(apply_mask=False).toPandas().set_index(["sample", "probe_id"])
+    betas_oob = (
+        session.betas(include_out_of_band=True, apply_mask=False)
+        .toPandas()
+        .set_index(["sample", "probe_id"])
+    )
+    t1 = betas_ib[betas_ib["type"] == "I"].dropna(subset=["beta"])
+    # for type I probes the OOB variant must differ (extra channel added)
+    joined = t1.join(betas_oob[["beta"]], rsuffix="_oob").dropna()
+    assert (joined["beta"] != joined["beta_oob"]).any()
+    # type II probes unchanged
+    t2 = betas_ib[betas_ib["type"] == "II"].join(
+        betas_oob[["beta"]], rsuffix="_oob"
+    ).dropna()
+    assert np.allclose(t2["beta"], t2["beta_oob"])
+
+
+def test_min_beads_mask_and_apply(session):
+    masks = session.masks
+    n_masked = masks.count()
+    assert n_masked > 0
+    nulled = mask_ops.apply_mask_nullout(session.signal, masks)
+    # masked (sample, probe) rows must have all-null intensities
+    hit = nulled.join(
+        masks.select("sample", "probe_id").distinct(), ["sample", "probe_id"]
+    )
+    assert hit.filter(F.col("mg").isNotNull() | F.col("ur").isNotNull()).count() == 0
+    # row count unchanged (null-out, not drop)
+    assert nulled.count() == session.signal.count()
+
+
+def test_selectors(session):
+    signal = session.signal
+    assert sel.type1(signal).count() == len(SAMPLES) * N_PROBES_I
+    assert sel.type2(signal).count() == len(SAMPLES) * N_PROBES_II
+    long = sel.to_long(signal, drop_null=False)
+    assert long.count() == signal.count() * 4
+    # oob rows: type I only, opposite channel
+    oob = sel.oob(long)
+    assert oob.filter(F.col("type") == "II").count() == 0
+    assert oob.filter(F.col("signal_channel") == F.col("channel")).count() == 0
+    # in-band + out-of-band partition the type I cells
+    ib_t1 = sel.ib(long).filter(F.col("type") == "I")
+    assert ib_t1.count() + oob.count() == long.filter(F.col("type") == "I").count()
+    ctl_free = sel.cg(signal)
+    assert ctl_free.count() == signal.filter(F.col("probe_type") == "cg").count()
