@@ -1,0 +1,526 @@
+"""Differential methylation (SURVEY §2 M3): per-probe linear models (DMPs),
+BH adjustment, change-point segmentation, and DMR aggregates.
+
+Reference: /root/reference/pylluminator/dm.py. Spark-first decomposition:
+
+- **DMP fit (K9)**: the design matrix X (n_samples x k) is shared across all
+  probes, so (X'X)^-1 X' is precomputed once on the driver and broadcast;
+  per-probe coefficients/SE/t/p are vectorized numpy over Arrow batches in a
+  grouped-map pandas UDF partitioned by probe. The reference fans out with
+  joblib above 10k probes (dm.py:449-456) — here it is ordinary shuffle
+  parallelism. t/F p-values use a scipy-free regularized incomplete beta.
+- **BH (K11/A14)** — window math (functions.stats.bh_adjust).
+- **Segmentation (W1)**: per-sample windows ordered by genome position give
+  lead-differences (crossing chromosome boundaries, matching the reference's
+  un-partitioned ``diff(-1)`` dm.py:569-575); global segment ids come from
+  per-chromosome cumulative change counts + chromosome offsets — no
+  single-partition window (every chromosome ends in a change point, so
+  segments never span chromosomes).
+- **DMR aggregates (A13)**: groupBy(segment) with Stouffer combine as pure
+  column math (functions.stats.stouffer_combine).
+
+MixedLM (group_column random effects, reference dm.py:61-67) requires an
+iterative REML fit; statsmodels is unavailable in this environment so it is
+stubbed with NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pylluminator_spark.functions.genomic import chromosome_order_expr
+from pylluminator_spark.functions.stats import bh_adjust, stouffer_combine
+
+
+# ---------------------------------------------------------------------------
+# Design matrix (patsy-compatible naming, reference dm.py:433-443)
+# ---------------------------------------------------------------------------
+
+def build_design_matrix(
+    sheet: pd.DataFrame,
+    formula: str,
+    reference_value: dict | None = None,
+) -> pd.DataFrame:
+    """Minimal R-style formula -> design matrix with treatment coding.
+
+    Supports ``~ a + b + ...`` (the reference's usage). Categorical columns
+    expand to indicator columns named ``col[T.level]`` (patsy naming); the
+    reference level is the first sorted level, overridable via
+    ``reference_value`` (reference dm.py:421-432).
+    """
+    rhs = formula.split("~", 1)[1] if "~" in formula else formula
+    terms = [t.strip() for t in rhs.split("+") if t.strip() and t.strip() != "1"]
+    out = pd.DataFrame(index=sheet.index)
+    out["Intercept"] = 1.0
+    for term in terms:
+        if term not in sheet.columns:
+            raise KeyError(f"factor {term!r} not found in sample sheet")
+        col = sheet[term]
+        if pd.api.types.is_numeric_dtype(col):
+            out[term] = col.astype("float64")
+        else:
+            levels = sorted(col.dropna().unique().tolist())
+            if reference_value and term in reference_value:
+                ref = reference_value[term]
+                levels = [ref] + [lv for lv in levels if lv != ref]
+            for level in levels[1:]:
+                out[f"{term}[T.{level}]"] = (col == level).astype("float64")
+    # drop all-zero columns (absent categories, reference dm.py:437-438)
+    out = out[[c for c in out.columns if not (out[c].to_numpy() == 0).all()]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Regularized incomplete beta (for t / F survival functions, scipy-free)
+# ---------------------------------------------------------------------------
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200, eps: float = 3e-12) -> float:
+    """Continued fraction for the incomplete beta (Lentz's algorithm)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc_scalar(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    from math import exp, lgamma, log
+
+    ln_front = (
+        lgamma(a + b) - lgamma(a) - lgamma(b) + a * log(x) + b * log(1.0 - x)
+    )
+    front = exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+_betainc = np.vectorize(_betainc_scalar, otypes=[np.float64])
+
+
+def t_sf_two_sided(t: np.ndarray, df: float) -> np.ndarray:
+    """Two-sided p-value of a t statistic: I_{df/(df+t^2)}(df/2, 1/2)."""
+    t = np.asarray(t, dtype="float64")
+    x = df / (df + t * t)
+    out = _betainc(df / 2.0, 0.5, x)
+    return np.where(np.isnan(t), np.nan, out)
+
+
+def f_sf(f_stat: np.ndarray, d1: float, d2: float) -> np.ndarray:
+    """Survival function of an F(d1, d2) statistic: I_{d2/(d2+d1 F)}(d2/2, d1/2)."""
+    f_arr = np.asarray(f_stat, dtype="float64")
+    x = d2 / (d2 + d1 * f_arr)
+    out = _betainc(d2 / 2.0, d1 / 2.0, x)
+    return np.where(np.isnan(f_arr) | (f_arr < 0), np.nan, out)
+
+
+# ---------------------------------------------------------------------------
+# DMP computation
+# ---------------------------------------------------------------------------
+
+def compute_dmp(
+    betas: DataFrame,
+    sheet: pd.DataFrame,
+    formula: str,
+    sample_col: str = "sample",
+    reference_value: dict | None = None,
+    group_column: str | None = None,
+    drop_na: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """Per-probe OLS over the long betas table (reference dm.py:330-487).
+
+    ``betas``: long DataFrame (sample, probe_id, beta). ``sheet``: pandas
+    sample sheet indexed or keyed by ``sample_col``. Returns (dmps, contrasts)
+    where dmps has one row per probe: f_pvalue, effect_size, and per factor
+    p/t/estimate/std_err + BH-adjusted p, plus per-level avg_beta (+delta)
+    for categorical factors.
+    """
+    if group_column is not None:
+        raise NotImplementedError(
+            "MixedLM random effects need statsmodels (unavailable); "
+            "reference dm.py:61-67"
+        )
+    sheet = sheet.copy()
+    if sample_col in sheet.columns:
+        sheet = sheet.set_index(sample_col)
+    # drop samples with NA factors (reference dm.py:385-391)
+    rhs_terms = [
+        t.strip()
+        for t in formula.split("~", 1)[-1].split("+")
+        if t.strip() and t.strip() != "1"
+    ]
+    for term in rhs_terms:
+        sheet = sheet[~sheet[term].isna()]
+
+    sample_order = sorted(sheet.index.tolist())
+    design = build_design_matrix(sheet.loc[sample_order], formula, reference_value)
+    if len(design.columns) < 2:
+        raise ValueError("design matrix is empty — check the formula")
+    factor_names = list(design.columns)
+    contrasts = factor_names[1:]
+    x_mat = design.to_numpy(dtype="float64")
+    n, k = x_mat.shape
+    xtx_inv = np.linalg.pinv(x_mat.T @ x_mat)
+    pinv = xtx_inv @ x_mat.T  # k x n
+    diag_c = np.diag(xtx_inv).copy()
+
+    # categorical avg-beta groupings (reference dm.py:460-472)
+    cat_groups: list[tuple[str, str, list[str]]] = []  # (colname, level, samples)
+    for term in rhs_terms:
+        if not pd.api.types.is_numeric_dtype(sheet[term]):
+            levels = sorted(sheet[term].dropna().unique().tolist())
+            if reference_value and term in reference_value:
+                ref = reference_value[term]
+                levels = [ref] + [lv for lv in levels if lv != ref]
+            for level in levels:
+                members = [
+                    s for s in sample_order if sheet.loc[s, term] == level
+                ]
+                cat_groups.append((term, str(level), members))
+
+    result_cols = ["probe_id", "f_pvalue", "effect_size"]
+    for fname in factor_names:
+        result_cols += [
+            f"{fname}_p_value",
+            f"{fname}_t_value",
+            f"{fname}_estimate",
+            f"{fname}_std_err",
+        ]
+    avg_beta_cols: list[str] = []
+    for term, level, _members in cat_groups:
+        avg_beta_cols.append(f"{term}[T.{level}]_avg_beta")
+    for term, level, _members in cat_groups[1:]:
+        # delta vs the reference (first) level of the same term
+        avg_beta_cols.append(f"{term}[T.{level}]_avg_beta_delta")
+    schema = ", ".join(
+        ["probe_id string"]
+        + [f"`{c}` double" for c in result_cols[1:] + avg_beta_cols]
+    )
+
+    sample_idx = {s: i for i, s in enumerate(sample_order)}
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        wide = pdf.pivot_table(
+            index="probe_id", columns="sample", values="beta", aggfunc="first",
+            dropna=False,
+        )
+        # align to design order; missing samples -> NaN columns
+        y_df = wide.reindex(columns=sample_order)
+        y_mat = y_df.to_numpy(dtype="float64")  # p x n
+        probe_ids = y_df.index.to_numpy()
+        p_rows = y_mat.shape[0]
+        out = {c: np.full(p_rows, np.nan) for c in result_cols[1:] + avg_beta_cols}
+
+        has_nan = np.isnan(y_mat).any(axis=1)
+        all_nan = np.isnan(y_mat).all(axis=1)
+
+        def _fit_block(y_block: np.ndarray, x_b, pinv_b, diag_b, idx: np.ndarray):
+            nb, kb = x_b.shape
+            if nb <= kb or len(idx) == 0:
+                return
+            coef = y_block @ pinv_b.T  # p x k
+            resid = y_block - coef @ x_b.T
+            rss = (resid**2).sum(axis=1)
+            dof = nb - kb
+            sigma2 = rss / dof
+            se = np.sqrt(np.outer(sigma2, diag_b))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_vals = coef / se
+            # effect size: max - min over non-intercept estimates + 0
+            est_no_int = np.concatenate(
+                [coef[:, 1:], np.zeros((coef.shape[0], 1))], axis=1
+            )
+            out["effect_size"][idx] = est_no_int.max(axis=1) - est_no_int.min(axis=1)
+            # F statistic for overall regression (against intercept-only)
+            y_mean = y_block.mean(axis=1, keepdims=True)
+            tss = ((y_block - y_mean) ** 2).sum(axis=1)
+            d1 = kb - 1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f_stat = ((tss - rss) / d1) / (rss / dof)
+            out["f_pvalue"][idx] = f_sf(f_stat, d1, dof)
+            for j, fname in enumerate(factor_names):
+                out[f"{fname}_estimate"][idx] = coef[:, j]
+                out[f"{fname}_std_err"][idx] = se[:, j]
+                out[f"{fname}_t_value"][idx] = t_vals[:, j]
+                out[f"{fname}_p_value"][idx] = t_sf_two_sided(t_vals[:, j], dof)
+
+        # fast path: probes with complete data share X
+        complete_idx = np.where(~has_nan)[0]
+        if len(complete_idx) > 0:
+            _fit_block(y_mat[complete_idx], x_mat, pinv, diag_c, complete_idx)
+        # NA path: per distinct missingness pattern (reference OLS missing='drop')
+        partial_idx = np.where(has_nan & ~all_nan)[0]
+        if len(partial_idx) > 0:
+            patterns: dict[bytes, list[int]] = {}
+            for i in partial_idx:
+                key = np.isnan(y_mat[i]).tobytes()
+                patterns.setdefault(key, []).append(i)
+            for key, idx_list in patterns.items():
+                mask = ~np.frombuffer(key, dtype=bool)
+                x_b = x_mat[mask]
+                if x_b.shape[0] <= x_b.shape[1]:
+                    continue
+                xtx_b = np.linalg.pinv(x_b.T @ x_b)
+                pinv_b = xtx_b @ x_b.T
+                _fit_block(
+                    y_mat[np.ix_(idx_list, mask)],
+                    x_b,
+                    pinv_b,
+                    np.diag(xtx_b).copy(),
+                    np.asarray(idx_list),
+                )
+
+        for term, level, members in cat_groups:
+            cols = [sample_idx[s] for s in members]
+            with np.errstate(invalid="ignore"):
+                out[f"{term}[T.{level}]_avg_beta"] = np.nanmean(
+                    y_mat[:, cols], axis=1
+                )
+        for term, level, _members in cat_groups[1:]:
+            ref_term, ref_level, _ = cat_groups[0]
+            if ref_term == term:
+                out[f"{term}[T.{level}]_avg_beta_delta"] = (
+                    out[f"{ref_term}[T.{ref_level}]_avg_beta"]
+                    - out[f"{term}[T.{level}]_avg_beta"]
+                )
+        res = pd.DataFrame({"probe_id": probe_ids})
+        for c in result_cols[1:] + avg_beta_cols:
+            res[c] = out[c]
+        return res
+
+    work = betas.select("sample", "probe_id", "beta")
+    if drop_na:
+        non_na = work.filter(F.col("beta").isNotNull())
+        full = non_na.groupBy("probe_id").agg(F.count("*").alias("_n")).filter(
+            F.col("_n") == len(sample_order)
+        )
+        work = work.join(full.select("probe_id"), "probe_id", "left_semi")
+    else:
+        any_val = work.filter(F.col("beta").isNotNull()).select("probe_id").distinct()
+        work = work.join(any_val, "probe_id", "left_semi")
+
+    # Bucket probes so each Arrow group carries MANY whole probes: one
+    # grouped-map call per bucket, vectorized numpy over the whole block.
+    # Bucket count scales with parallelism; each bucket holds
+    # ~n_probes/buckets * n_samples rows (bounded, spill-free).
+    n_buckets = max(work.sparkSession.sparkContext.defaultParallelism, 8)
+    dmps = (
+        work.withColumn(
+            "_bucket", F.pmod(F.xxhash64("probe_id"), F.lit(n_buckets))
+        )
+        .groupBy("_bucket")
+        .applyInPandas(lambda _key, pdf: _fit(pdf), schema)
+    )
+
+    # BH adjust per factor (reference dm.py:474-477)
+    for fname in factor_names:
+        dmps = bh_adjust(
+            dmps.withColumn(
+                "_p_tmp", F.col(f"`{fname}_p_value`")
+            ),
+            "_p_tmp",
+            out_col=f"{fname}_p_value_adjusted",
+        ).drop("_p_tmp")
+    return dmps, contrasts
+
+
+# ---------------------------------------------------------------------------
+# DMR segmentation (W1) + aggregates (A13)
+# ---------------------------------------------------------------------------
+
+def compute_dmr(
+    betas: DataFrame,
+    dmps: DataFrame,
+    genomic_ranges: DataFrame,
+    contrasts: list[str],
+    dist_cutoff: float | None = None,
+    seg_per_locus: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Change-point DMR detection (reference dm.py:489-643).
+
+    Returns (segments, dmr): ``segments`` maps probe_id -> segment_id;
+    ``dmr`` has per-segment start/end/chromosome, Stouffer-combined +
+    BH-adjusted p-values per contrast, and means of estimate columns.
+    """
+    coords = genomic_ranges.select(
+        "probe_id", "chromosome", "start", "end"
+    ).withColumn("_chrom_order", chromosome_order_expr(F.col("chromosome")))
+    nonzero = coords.filter(F.col("end") > F.col("start"))
+
+    probe_has_value = (
+        betas.filter(F.col("beta").isNotNull()).select("probe_id").distinct()
+    )
+    placed = nonzero.join(probe_has_value, "probe_id", "left_semi")
+
+    # per-sample lead differences in global genome order (crossing chromosome
+    # boundaries, like the reference's unpartitioned diff(-1) dm.py:569-575)
+    b = betas.join(
+        F.broadcast(placed.select("probe_id", "chromosome", "_chrom_order", "start", "end")),
+        "probe_id",
+    )
+    w_sample = Window.partitionBy("sample").orderBy(
+        "_chrom_order", "start", "end", "probe_id"
+    )
+    diffs = b.withColumn("_next_beta", F.lead("beta").over(w_sample)).withColumn(
+        "_d2", F.pow(F.col("beta") - F.col("_next_beta"), 2)
+    )
+    per_probe = diffs.groupBy(
+        "probe_id", "chromosome", "_chrom_order", "start", "end"
+    ).agg(F.sum("_d2").alias("dist"))
+
+    w_probe = Window.orderBy("_chrom_order", "start", "end", "probe_id")
+    flagged = per_probe.withColumn(
+        "_next_chrom", F.lead("chromosome").over(w_probe)
+    ).withColumn(
+        "_last_in_chrom",
+        F.col("_next_chrom").isNull() | (F.col("_next_chrom") != F.col("chromosome")),
+    ).withColumn(
+        "dist",
+        F.when(F.lead("probe_id").over(w_probe).isNull(), F.lit(None)).otherwise(
+            F.coalesce(F.col("dist"), F.lit(0.0))
+        ),
+    )
+    flagged = flagged.persist()
+
+    if dist_cutoff is None or dist_cutoff <= 0:
+        if not 0 < seg_per_locus < 1:
+            seg_per_locus = 0.5
+        row = flagged.filter(F.col("dist").isNotNull()).agg(
+            F.expr(f"percentile(dist, {1 - seg_per_locus})").alias("q")
+        ).collect()[0]
+        dist_cutoff = float(row["q"])
+
+    marked = flagged.withColumn(
+        "_change",
+        (F.col("_last_in_chrom") | (F.col("dist") > F.lit(dist_cutoff))).cast("int"),
+    )
+    # segment id = 1 + count of change points strictly before this row.
+    # Segments never span chromosomes (last probe of each chromosome is a
+    # change point), so: per-chromosome running count + chromosome offset.
+    w_in_chrom = (
+        Window.partitionBy("chromosome")
+        .orderBy("_chrom_order", "start", "end", "probe_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = marked.withColumn(
+        "_local_changes", F.coalesce(F.sum("_change").over(w_in_chrom), F.lit(0))
+    )
+    chrom_counts = (
+        marked.groupBy("chromosome", "_chrom_order")
+        .agg(F.sum("_change").alias("_n_changes"))
+    )
+    w_chrom = Window.orderBy("_chrom_order", "chromosome").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = chrom_counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n_changes").over(w_chrom), F.lit(0))
+    ).select("chromosome", "_offset")
+    segmented = with_local.join(F.broadcast(offsets), "chromosome").withColumn(
+        "segment_id", (F.lit(1) + F.col("_offset") + F.col("_local_changes")).cast("long")
+    )
+
+    last_seg_row = segmented.agg(F.max("segment_id").alias("m")).collect()[0]
+    last_segment_id = last_seg_row["m"] or 0
+
+    # NA segments: probes with coordinates but no beta values / 0-width ranges
+    # get fresh ids (reference dm.py:605-610)
+    all_probes = coords.join(
+        betas.select("probe_id").distinct(), "probe_id", "left_semi"
+    )
+    na_probes = all_probes.join(
+        segmented.select("probe_id"), "probe_id", "left_anti"
+    )
+    w_na = Window.orderBy("probe_id")
+    na_segments = na_probes.withColumn(
+        "segment_id", (F.row_number().over(w_na) + F.lit(last_segment_id)).cast("long")
+    )
+    segments = segmented.select(
+        "probe_id", "chromosome", "start", "end", "segment_id"
+    ).unionByName(
+        na_segments.select("probe_id", "chromosome", "start", "end", "segment_id")
+    )
+
+    # DMR aggregates
+    seg_probes = segments.join(dmps, "probe_id", "left")
+    agg_exprs = [
+        F.min("start").alias("start"),
+        F.max("end").alias("end"),
+        F.first("chromosome").alias("chromosome"),
+    ]
+    est_cols = [
+        c for c in dmps.columns if c.endswith("estimate") or "avg_beta" in c
+    ]
+    for c in est_cols:
+        agg_exprs.append(F.avg(F.col(f"`{c}`")).alias(c))
+    dmr = seg_probes.groupBy("segment_id").agg(*agg_exprs)
+
+    for contrast in contrasts:
+        pcol = f"{contrast}_p_value"
+        combined = stouffer_combine(
+            seg_probes.select("segment_id", F.col(f"`{pcol}`").alias("_p")),
+            ["segment_id"],
+            "_p",
+            out_col=pcol,
+        ).select("segment_id", F.col(f"`{pcol}`").alias(f"__comb_{contrast}"))
+        dmr = dmr.join(combined, "segment_id", "left").withColumn(
+            pcol, F.col(f"`__comb_{contrast}`")
+        ).drop(f"__comb_{contrast}")
+        dmr = bh_adjust(
+            dmr.withColumn("_p_tmp", F.col(f"`{pcol}`")),
+            "_p_tmp",
+            out_col=f"{pcol}_adjusted",
+        ).drop("_p_tmp")
+
+    flagged.unpersist()
+    return segments, dmr
+
+
+def select_dmps(
+    dmps: DataFrame,
+    effect_size_th: float | None = None,
+    p_value_th: float | None = None,
+    p_value_col: str = "f_pvalue",
+) -> DataFrame:
+    """P15 — threshold filter over DMP stats (reference dm.py:645-719)."""
+    out = dmps
+    if effect_size_th is not None:
+        out = out.filter(F.abs(F.col("effect_size")) >= effect_size_th)
+    if p_value_th is not None:
+        out = out.filter(F.col(f"`{p_value_col}`") < p_value_th)
+    return out

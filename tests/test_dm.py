@@ -1,0 +1,217 @@
+"""DM layer tests: closed-form OLS vs independent numpy math, special-function
+accuracy vs published constants, BH vs hand-rolled numpy, DMR segmentation
+boundary behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark import dm
+from pylluminator_spark.functions.stats import bh_adjust
+
+SAMPLES = [f"s{i}" for i in range(6)]
+SHEET = pd.DataFrame(
+    {
+        "sample": SAMPLES,
+        "sample_type": ["LNCAP"] * 3 + ["PREC"] * 3,
+        "sample_number": [1, 2, 3, 1, 2, 3],
+    }
+)
+
+
+def test_t_sf_known_values():
+    # classic table values
+    assert dm.t_sf_two_sided(np.array([2.0]), 4)[0] == pytest.approx(0.116116, abs=1e-5)
+    assert dm.t_sf_two_sided(np.array([1.0]), 10)[0] == pytest.approx(0.340893, abs=1e-5)
+    assert dm.t_sf_two_sided(np.array([0.0]), 7)[0] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_f_sf_known_values():
+    # F(1,10) upper 5% critical value is 4.9646
+    assert dm.f_sf(np.array([4.9646]), 1, 10)[0] == pytest.approx(0.05, abs=1e-4)
+    assert dm.f_sf(np.array([0.0]), 2, 8)[0] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_design_matrix_treatment_coding():
+    d = dm.build_design_matrix(SHEET.set_index("sample"), "~ sample_type + sample_number")
+    assert list(d.columns) == ["Intercept", "sample_type[T.PREC]", "sample_number"]
+    assert d["sample_type[T.PREC]"].tolist() == [0, 0, 0, 1, 1, 1]
+    d2 = dm.build_design_matrix(
+        SHEET.set_index("sample"), "~ sample_type", reference_value={"sample_type": "PREC"}
+    )
+    assert "sample_type[T.LNCAP]" in d2.columns
+
+
+@pytest.fixture(scope="module")
+def betas_df(spark):
+    rng = np.random.RandomState(5)
+    rows = []
+    for p in range(80):
+        base = rng.uniform(0.2, 0.8)
+        delta = 0.3 if p < 20 else 0.0  # first 20 probes differ by group
+        for i, s in enumerate(SAMPLES):
+            group_shift = delta if i >= 3 else 0.0
+            beta = np.clip(base + group_shift + rng.normal(0, 0.02), 0, 1)
+            # inject NA for one probe/sample
+            if p == 5 and s == "s2":
+                beta = None
+            rows.append((s, f"cg{p:05d}", float(beta) if beta is not None else None))
+    return spark.createDataFrame(rows, "sample string, probe_id string, beta double")
+
+
+def test_compute_dmp_matches_numpy_ols(betas_df):
+    dmps, contrasts = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
+    assert contrasts == ["sample_type[T.PREC]"]
+    got = dmps.toPandas().set_index("probe_id")
+    pdf = betas_df.toPandas().pivot(index="probe_id", columns="sample", values="beta")
+    x = np.column_stack([np.ones(6), np.array([0, 0, 0, 1, 1, 1], dtype=float)])
+    for pid in ["cg00000", "cg00030", "cg00050"]:
+        y = pdf.loc[pid, SAMPLES].to_numpy(dtype=float)
+        coef, res_, _, _ = np.linalg.lstsq(x, y, rcond=None)
+        resid = y - x @ coef
+        rss = (resid**2).sum()
+        sigma2 = rss / (6 - 2)
+        xtx_inv = np.linalg.inv(x.T @ x)
+        se = np.sqrt(sigma2 * np.diag(xtx_inv))
+        t = coef / se
+        assert got.loc[pid, "sample_type[T.PREC]_estimate"] == pytest.approx(
+            coef[1], rel=1e-9
+        )
+        assert got.loc[pid, "sample_type[T.PREC]_std_err"] == pytest.approx(
+            se[1], rel=1e-9
+        )
+        assert got.loc[pid, "sample_type[T.PREC]_t_value"] == pytest.approx(
+            t[1], rel=1e-9
+        )
+        expected_p = dm.t_sf_two_sided(np.array([t[1]]), 4)[0]
+        assert got.loc[pid, "sample_type[T.PREC]_p_value"] == pytest.approx(
+            expected_p, rel=1e-9
+        )
+        # avg beta per level + delta
+        assert got.loc[pid, "sample_type[T.LNCAP]_avg_beta"] == pytest.approx(
+            np.nanmean(y[:3]), rel=1e-9
+        )
+        assert got.loc[pid, "sample_type[T.PREC]_avg_beta_delta"] == pytest.approx(
+            np.nanmean(y[:3]) - np.nanmean(y[3:]), rel=1e-9
+        )
+    # signal probes detected
+    sig = got[got["sample_type[T.PREC]_p_value_adjusted"] < 0.01]
+    assert set(sig.index) >= {f"cg{p:05d}" for p in range(20)} - {"cg00005"}
+
+
+def test_compute_dmp_na_handling(betas_df):
+    """cg00005 has an NA for s2: the fit must drop that sample (df=3)."""
+    dmps, _ = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
+    got = dmps.toPandas().set_index("probe_id")
+    pdf = betas_df.toPandas().pivot(index="probe_id", columns="sample", values="beta")
+    y_full = pdf.loc["cg00005", SAMPLES].to_numpy(dtype=float)
+    mask = ~np.isnan(y_full)
+    x = np.column_stack([np.ones(6), np.array([0, 0, 0, 1, 1, 1], dtype=float)])[mask]
+    y = y_full[mask]
+    coef, _, _, _ = np.linalg.lstsq(x, y, rcond=None)
+    assert got.loc["cg00005", "sample_type[T.PREC]_estimate"] == pytest.approx(
+        coef[1], rel=1e-9
+    )
+
+
+def test_bh_adjust_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    pvals = rng.uniform(0, 1, 200)
+    df = spark.createDataFrame(
+        [(int(i), float(p)) for i, p in enumerate(pvals)], "id long, p double"
+    )
+    got = bh_adjust(df, "p").toPandas().set_index("id").sort_index()
+
+    def numpy_bh(p):
+        n = len(p)
+        order = np.argsort(p)
+        ranked = p[order] * n / (np.arange(n) + 1)
+        cummin = np.minimum.accumulate(ranked[::-1])[::-1]
+        out = np.empty(n)
+        out[order] = np.minimum(cummin, 1)
+        return out
+
+    expected = numpy_bh(pvals)
+    assert np.allclose(got["p_adj"].to_numpy(), expected, rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def dmr_inputs(spark):
+    """Two chromosomes; on chr1 two clearly-separated beta clusters."""
+    rows, coords = [], []
+    for p in range(40):
+        chrom = "1" if p < 30 else "2"
+        start = 1000 * (p if p < 30 else p - 30)
+        coords.append((f"cg{p:05d}", chrom, start, start + 2))
+        for i, s in enumerate(SAMPLES):
+            # chr1: probes 0-14 near 0.2, probes 15-29 near 0.8 => one big jump
+            if p < 15:
+                val = 0.2 + 0.001 * p + 0.001 * i
+            elif p < 30:
+                val = 0.8 + 0.001 * p + 0.001 * i
+            else:
+                val = 0.5 + 0.001 * i
+            rows.append((s, f"cg{p:05d}", float(val)))
+    betas = spark.createDataFrame(rows, "sample string, probe_id string, beta double")
+    granges = spark.createDataFrame(
+        coords, "probe_id string, chromosome string, start long, end long"
+    )
+    return betas, granges
+
+
+def test_compute_dmr_segments(spark, dmr_inputs, betas_df):
+    betas, granges = dmr_inputs
+    dmps, contrasts = dm.compute_dmp(betas, SHEET, "~ sample_type")
+    segments, dmr_df = dm.compute_dmr(
+        betas, dmps, granges, contrasts, dist_cutoff=0.1
+    )
+    seg_pdf = segments.toPandas().set_index("probe_id").sort_index()
+    # probes 0-14 share a segment; 15-29 share another; chr2 separate
+    seg_a = set(seg_pdf.loc[[f"cg{p:05d}" for p in range(15)], "segment_id"])
+    seg_b = set(seg_pdf.loc[[f"cg{p:05d}" for p in range(15, 30)], "segment_id"])
+    seg_c = set(seg_pdf.loc[[f"cg{p:05d}" for p in range(30, 40)], "segment_id"])
+    assert len(seg_a) == 1 and len(seg_b) == 1 and len(seg_c) == 1
+    assert seg_a != seg_b and seg_b != seg_c and seg_a != seg_c
+
+    dmr_pdf = dmr_df.toPandas().set_index("segment_id")
+    sa = seg_a.pop()
+    assert dmr_pdf.loc[sa, "start"] == 0
+    assert dmr_pdf.loc[sa, "end"] == 14 * 1000 + 2
+    assert dmr_pdf.loc[sa, "chromosome"] == "1"
+    # combined p-values in [0,1], adjusted >= raw is NOT guaranteed by BH,
+    # but both must be valid probabilities
+    pcol = "sample_type[T.PREC]_p_value"
+    assert ((dmr_pdf[pcol].dropna() >= 0) & (dmr_pdf[pcol].dropna() <= 1)).all()
+    assert (
+        (dmr_pdf[f"{pcol}_adjusted"].dropna() >= 0)
+        & (dmr_pdf[f"{pcol}_adjusted"].dropna() <= 1)
+    ).all()
+
+
+def test_stouffer_single_probe_segment_keeps_p(spark):
+    """A one-probe segment keeps its p-value (reference dm.py:33-34)."""
+    from pylluminator_spark.functions.stats import stouffer_combine
+
+    df = spark.createDataFrame(
+        [(1, 0.03), (2, 0.2), (2, 0.4)], "seg long, p double"
+    )
+    got = {
+        r["seg"]: r["p_combined"]
+        for r in stouffer_combine(df, ["seg"], "p").collect()
+    }
+    assert got[1] == pytest.approx(0.03, abs=1e-12)
+    # two-p combine: z = (isf(0.2)+isf(0.4))/sqrt(2); p = sf(z)
+    z = (0.8416212335729143 + 0.2533471031357997) / np.sqrt(2)
+    from math import erfc, sqrt
+
+    expected = 0.5 * erfc(z / sqrt(2))
+    assert got[2] == pytest.approx(expected, rel=1e-6)
+
+
+def test_select_dmps(betas_df):
+    dmps, _ = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
+    sel = dm.select_dmps(dmps, effect_size_th=0.2, p_value_th=0.05)
+    assert 0 < sel.count() <= dmps.count()
