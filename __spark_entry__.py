@@ -713,6 +713,726 @@ SELECT query_id, vec_id, similarity, rank FROM (
 """
 
 
+# ===========================================================================
+# Batch 2 — interval joins, ECDF, Stouffer, quantile normalization, CNV
+# regression, set ops, dedup signatures, text analytics
+# ===========================================================================
+
+
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/J9 — bucketed interval-overlap count (CNV binning shape,
+    reference cnv.py:281-320) via operators.range_join."""
+    from pylluminator_spark.operators.range_join import range_join as rj
+
+    li = _t(spark, sf_dir, "lineitem")
+    probes = li.select(
+        (F.col("l_suppkey") % 4).cast("string").alias("chromosome"),
+        ((F.col("l_partkey") * 37) % 1000000).alias("start"),
+    ).withColumn("end", F.col("start") + 99)
+    bins = (
+        probes.select(
+            "chromosome",
+            (F.floor(F.col("start") / 50000) * 50000).alias("bin_start"),
+        )
+        .distinct()
+        .withColumn("bin_end", F.col("bin_start") + 49999)
+    )
+    joined = rj(
+        bins.select(
+            "chromosome",
+            F.col("bin_start").alias("start"),
+            F.col("bin_end").alias("end"),
+        ),
+        probes,
+        bucket=50000,
+    )
+    return (
+        joined.groupBy("chromosome", F.col("start").alias("bin_start"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+ORACLE_RANGE_JOIN_COUNT = """
+WITH probes AS (
+  SELECT CAST(l_suppkey % 4 AS VARCHAR) AS chromosome,
+         (l_partkey * 37) % 1000000 AS start,
+         (l_partkey * 37) % 1000000 + 99 AS "end"
+  FROM lineitem
+), bins AS (
+  SELECT DISTINCT chromosome, (start // 50000) * 50000 AS bin_start,
+         (start // 50000) * 50000 + 49999 AS bin_end
+  FROM probes
+)
+SELECT b.chromosome, b.bin_start, COUNT(*) AS n_overlaps
+FROM bins b JOIN probes p
+  ON p.chromosome = b.chromosome
+ AND b.bin_start <= p."end" AND b.bin_end >= p.start
+GROUP BY b.chromosome, b.bin_start
+"""
+
+
+def q_ecdf_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/K8 — pOOBAH-style detection p-value: 1 - ECDF(background) at each
+    foreground value, via the distributed union + running-count window
+    (the same algorithm as preprocessing.poobah)."""
+    ev = _t(spark, sf_dir, "events")
+    bg = ev.filter(F.col("event_type") == "error").select(
+        F.col("value"), F.lit(1).alias("_is_bg"), F.lit(None).cast("long").alias("event_id")
+    )
+    fg = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("value"), F.lit(0).alias("_is_bg"), F.col("event_id")
+    )
+    n_bg = bg.count()
+    union = bg.unionByName(fg)
+    w = (
+        Window.orderBy(F.col("value").asc(), F.col("_is_bg").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        union.withColumn("_cum_bg", F.sum("_is_bg").over(w))
+        .filter(F.col("_is_bg") == 0)
+        .select(
+            "event_id",
+            F.round(F.lit(1.0) - F.col("_cum_bg") / F.lit(float(n_bg)), 8).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+ORACLE_ECDF_PVALUE = """
+WITH bg AS (
+  SELECT value, 1 AS is_bg, CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'error'
+), fg AS (
+  SELECT value, 0 AS is_bg, event_id FROM events WHERE event_type = 'purchase'
+), unioned AS (
+  SELECT * FROM bg UNION ALL SELECT * FROM fg
+), counted AS (
+  SELECT event_id, is_bg,
+         SUM(is_bg) OVER (ORDER BY value ASC, is_bg DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_bg
+  FROM unioned
+)
+SELECT event_id,
+       ROUND(1.0 - cum_bg / CAST((SELECT COUNT(*) FROM bg) AS DOUBLE), 8)
+         AS p_value
+FROM counted WHERE is_bg = 0
+"""
+
+
+def q_stouffer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/K10 — Stouffer p-value combination per group, exact cross-engine:
+    p-values kept in the Acklam central region (bit-exact rational math),
+    z-scores summed as scaled integers (reference dm.py:27-37, 616-641)."""
+    from pylluminator_spark.functions.stats import ndtri_expr, norm_sf_expr
+
+    orders = _t(spark, sf_dir, "orders")
+    pvals = orders.select(
+        (F.col("o_custkey") % 200).alias("grp"),
+        (
+            F.lit(0.03)
+            + F.lit(0.94) * (((F.col("o_orderkey") * 2654435761) % 100000) / 100000.0)
+        ).alias("p"),
+    )
+    z_scaled = F.round(ndtri_expr(F.col("p")) * 1e9).cast("long")
+    agg = pvals.groupBy("grp").agg(
+        F.sum(z_scaled).alias("_zsum"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").alias("_p_min"),
+    )
+    z_comb = (F.col("_zsum").cast("double") / 1e9) / F.sqrt(F.col("n"))
+    return agg.select(
+        "grp",
+        "n",
+        F.round(
+            F.when(F.col("n") == 1, F.col("_p_min")).otherwise(
+                norm_sf_expr(z_comb)
+            ),
+            6,
+        ).alias("p_combined"),
+    )
+
+
+def _oracle_stouffer() -> str:
+    from pylluminator_spark.functions.sqlgen import ndtri_sql, norm_sf_sql
+
+    z = ndtri_sql("p")
+    zc = "(CAST(zsum AS DOUBLE) / 1e9) / sqrt(n)"
+    return f"""
+WITH pvals AS (
+  SELECT o_custkey % 200 AS grp,
+         0.03 + 0.94 * (((o_orderkey * 2654435761) % 100000) / 100000.0) AS p
+  FROM orders
+), agg AS (
+  SELECT grp,
+         SUM(CAST(ROUND({z} * 1e9) AS BIGINT)) AS zsum,
+         COUNT(*) AS n,
+         MIN(p) AS p_min
+  FROM pvals GROUP BY grp
+)
+SELECT grp, n,
+       ROUND(CASE WHEN n = 1 THEN p_min ELSE {norm_sf_sql(zc)} END, 6)
+         AS p_combined
+FROM agg
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/K4 — rank-map a source distribution onto a target distribution
+    (reference stats.py:145-167): source = l_quantity, target =
+    l_extendedprice; np.interp semantics with stable tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    n = li.count()
+    w_src = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    w_tgt = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    src = li.withColumn("_rank", F.row_number().over(w_src) - 1)
+    tgt = li.select(
+        (F.row_number().over(w_tgt) - 1).alias("_idx"),
+        F.col("l_extendedprice").alias("_tval"),
+    )
+    pos = F.col("_rank").cast("long") * (n - 1) / F.lit(float(n - 1))  # n_s == n_t
+    src = (
+        src.withColumn("_pos", pos)
+        .withColumn("_lo", F.floor(F.col("_pos")).cast("long"))
+        .withColumn("_hi", F.least(F.col("_lo") + 1, F.lit(n - 1)))
+        .withColumn("_frac", F.col("_pos") - F.col("_lo"))
+    )
+    t_lo = tgt.select(F.col("_idx").alias("_lo"), F.col("_tval").alias("_vlo"))
+    t_hi = tgt.select(F.col("_idx").alias("_hi"), F.col("_tval").alias("_vhi"))
+    return (
+        src.join(t_lo, "_lo")
+        .join(t_hi, "_hi")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo")), 6
+            ).alias("qnorm"),
+        )
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+), n_row AS (SELECT COUNT(*) AS n FROM li),
+src AS (
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) - 1
+           AS rnk
+  FROM li
+), tgt AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1
+           AS idx,
+         l_extendedprice AS tval
+  FROM li
+), pos AS (
+  SELECT s.l_orderkey, s.l_linenumber,
+         s.rnk * (n.n - 1) / CAST(n.n - 1 AS DOUBLE) AS p,
+         CAST(FLOOR(s.rnk * (n.n - 1) / CAST(n.n - 1 AS DOUBLE)) AS BIGINT) AS lo,
+         LEAST(CAST(FLOOR(s.rnk * (n.n - 1) / CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1,
+               n.n - 1) AS hi
+  FROM src s CROSS JOIN n_row n
+)
+SELECT p.l_orderkey, p.l_linenumber,
+       ROUND(tl.tval + (p.p - p.lo) * (th.tval - tl.tval), 6) AS qnorm
+FROM pos p
+JOIN tgt tl ON tl.idx = p.lo
+JOIN tgt th ON th.idx = p.hi
+"""
+
+
+def q_cnv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 — CNV log2 ratio vs a closed-form single-feature regression
+    (reference cnv.py:115-135): y ~ intercept + slope*x from exact integer
+    sums, cnv = log2(y / max(pred, 1))."""
+    li = _t(spark, sf_dir, "lineitem")
+    xy = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    n, sx, sy, sxx, sxy = (
+        float(s["n"]), float(s["sx"]), float(s["sy"]), float(s["sxx"]), float(s["sxy"])
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    pred = F.lit(intercept) + F.lit(slope) * F.col("x")
+    return xy.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log2(F.col("y") / F.greatest(pred, F.lit(1.0))), 6).alias("cnv"),
+    )
+
+
+ORACLE_CNV_REGRESSION = """
+WITH xy AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+         CAST(SUM(x*y) AS DOUBLE) AS sxy
+  FROM xy
+), fit AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+  FROM s
+)
+SELECT xy.l_orderkey, xy.l_linenumber,
+       ROUND(log2(xy.y / GREATEST(fit.intercept + fit.slope * xy.x, 1.0)), 6)
+         AS cnv
+FROM xy CROSS JOIN fit
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — pivot to wide at the display edge (the reference's signal pivot
+    samples.py:554, done as conditional aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_cents(F.col("l_quantity"))))
+        .select(
+            "l_returnflag",
+            (F.coalesce(F.col("O"), F.lit(0)).cast("double") / 100).alias("qty_o"),
+            (F.coalesce(F.col("F"), F.lit(0)).cast("double") / 100).alias("qty_f"),
+        )
+    )
+
+
+ORACLE_PIVOT_WIDE = """
+SELECT l_returnflag,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                              THEN CAST(ROUND(l_quantity*100) AS BIGINT) END), 0)
+            AS DOUBLE)/100 AS qty_o,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                              THEN CAST(ROUND(l_quantity*100) AS BIGINT) END), 0)
+            AS DOUBLE)/100 AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (§2.6): customers ordering in 1995 EXCEPT those in 1996,
+    counted by market segment (the reference's ~isin anti idiom)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    in95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey").distinct()
+    in96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey").distinct()
+    only95 = in95.join(in96, "o_custkey", "left_anti")
+    return (
+        cust.join(only95, cust.c_custkey == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_UNION_EXCEPT = """
+WITH only95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM only95)
+GROUP BY c_mktsegment
+"""
+
+
+_VOCAB_CTE = r"""
+tokens AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')))
+           AS token
+  FROM documents
+), vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM tokens) t
+), doc_tokens AS (
+  SELECT tk.doc_id, v.tid FROM tokens tk JOIN vocab v ON tk.token = v.token
+)
+"""
+
+_MINHASH_PARAMS = [(7, 3), (11, 17), (13, 29), (17, 43), (19, 59), (23, 71), (29, 89), (31, 101)]
+_MINHASH_P = 1000003
+
+
+def _doc_tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tid) pairs with a deterministic relational vocabulary
+    (token -> dense integer id via global ordering)."""
+    from pylluminator_spark.functions.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr(F.lower(F.col("text"))))).alias("token"),
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("token")))
+    )
+    return toks.join(vocab, "token").select("doc_id", "tid")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup signatures (relational formulation): 8 permutation
+    hashes h_i = (a_i * tid + b_i) mod p over the token-id vocabulary.
+    The engine-grade variant (operators.dedup.minhash_signature) uses
+    xxhash64; this arithmetic variant is exactly replicable in ANSI SQL."""
+    dt = _doc_tokens_df(spark, sf_dir)
+    aggs = [
+        F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    return dt.groupBy("doc_id").agg(*aggs)
+
+
+def _oracle_minhash() -> str:
+    hashes = ", ".join(
+        f"MIN(({a} * tid + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    return f"WITH {_VOCAB_CTE} SELECT doc_id, {hashes} FROM doc_tokens GROUP BY doc_id"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprints (relational 16-bit formulation):
+    per-token hash h = (tid * 2654435761) mod 2^31; bit votes summed; the
+    fingerprint sets bits with positive votes. Engine-grade variant:
+    operators.dedup.simhash_expr (64-bit, xxhash64)."""
+    dt = _doc_tokens_df(spark, sf_dir)
+    h = (F.col("tid") * F.lit(2654435761)) % F.lit(2147483647)
+    votes = [
+        F.sum(
+            F.when(F.floor(h / F.lit(2**k)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_v{k}")
+        for k in range(16)
+    ]
+    agg = dt.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for k in range(16):
+        fp = fp + F.when(F.col(f"_v{k}") > 0, F.lit(2**k)).otherwise(0)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def _oracle_simhash() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN FLOOR(((tid * 2654435761) % 2147483647) / {2**k}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(16)
+    )
+    return (
+        f"WITH {_VOCAB_CTE}, votes AS "
+        f"(SELECT doc_id, {votes} FROM doc_tokens GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/token Jaccard similarity on candidate pairs (dedup
+    verification shape, operators.dedup.jaccard_verify semantics)."""
+    dt = _doc_tokens_df(spark, sf_dir).filter(F.col("doc_id") < 30)
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = dt.select(F.col("doc_id").alias("id_a"), "tid")
+    b = dt.select(F.col("doc_id").alias("id_b"), "tid")
+    inter = (
+        a.join(b, "tid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH {_VOCAB_CTE},
+small AS (SELECT * FROM doc_tokens WHERE doc_id < 30),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM small GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM small a JOIN small b ON a.tid = b.tid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.05
+"""
+
+
+def q_infer_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — type I channel inference summary: per probe argmax channel
+    across samples, tie -> R (reference samples.py:940-1011)."""
+    signal = _signal_df(spark, sf_dir).filter(F.col("type") == "I")
+    per_probe = signal.groupBy("probe_id").agg(
+        F.max(F.greatest("mg", "ug")).alias("gmax"),
+        F.max(F.greatest("mr", "ur")).alias("rmax"),
+        F.min("channel").alias("channel"),
+    )
+    inferred = F.when(F.col("rmax") >= F.col("gmax"), "R").otherwise("G")
+    return (
+        per_probe.withColumn("inferred_channel", inferred)
+        .groupBy("channel", "inferred_channel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_INFER_CHANNEL = f"""
+WITH {_SIGNAL_CTE},
+per_probe AS (
+  SELECT probe_id,
+         MAX(GREATEST(mg, ug)) AS gmax,
+         MAX(GREATEST(mr, ur)) AS rmax,
+         MIN(channel) AS channel
+  FROM signal WHERE type = 'I' GROUP BY probe_id
+)
+SELECT channel,
+       CASE WHEN rmax >= gmax THEN 'R' ELSE 'G' END AS inferred_channel,
+       COUNT(*) AS n
+FROM per_probe GROUP BY 1, 2
+"""
+
+
+def q_total_ib_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-probe in-band total intensity, zero -> NULL, aggregated per
+    sample (reference samples.py:1044-1072)."""
+    signal = _signal_df(spark, sf_dir)
+    m = F.when(F.col("type") == "II", F.col("mg")).when(
+        F.col("channel") == "G", F.col("mg")
+    ).otherwise(F.col("mr"))
+    u = F.when(F.col("type") == "II", F.col("ur")).when(
+        F.col("channel") == "G", F.col("ug")
+    ).otherwise(F.col("ur"))
+    tot = F.nullif(m + u, F.lit(0.0))
+    return (
+        signal.withColumn("_tot", tot)
+        .groupBy("sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.count("_tot").alias("n_nonzero"),
+            (F.sum(_cents(F.col("_tot"))).cast("double") / 100).alias("sum_total"),
+        )
+    )
+
+
+ORACLE_TOTAL_IB = f"""
+WITH {_SIGNAL_CTE},
+tots AS (
+  SELECT sample,
+         NULLIF(CASE WHEN type = 'II' THEN mg
+                     WHEN channel = 'G' THEN mg ELSE mr END
+                + CASE WHEN type = 'II' THEN ur
+                       WHEN channel = 'G' THEN ug ELSE ur END, 0.0) AS tot
+  FROM signal
+)
+SELECT sample, COUNT(*) AS n_probes, COUNT(tot) AS n_nonzero,
+       CAST(SUM(CAST(ROUND(tot*100) AS BIGINT)) AS DOUBLE)/100 AS sum_total
+FROM tots GROUP BY sample
+"""
+
+
+def q_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — DMR-style change-point segmentation: per user, ordered by time,
+    a new segment starts when the squared jump to the next value exceeds a
+    cutoff (the reference's euclidean-distance change points dm.py:565-596)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d2 = F.pow(F.col("value") - F.lead("value").over(w), 2)
+    flagged = ev.withColumn("_d2", d2).withColumn(
+        "_change",
+        F.when(F.col("_d2").isNull() | (F.col("_d2") > 5000.0), 1).otherwise(0),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    seg = flagged.withColumn(
+        "segment_id", F.lit(1) + F.coalesce(F.sum("_change").over(w_cum), F.lit(0))
+    )
+    return seg.groupBy("user_id", "segment_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(_cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+    )
+
+
+ORACLE_VALUE_SEGMENTS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN POWER(value - LEAD(value) OVER w, 2) IS NULL
+               OR POWER(value - LEAD(value) OVER w, 2) > 5000.0
+              THEN 1 ELSE 0 END AS change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  SELECT user_id, value,
+         1 + COALESCE(SUM(change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS segment_id
+  FROM flagged
+)
+SELECT user_id, segment_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM seg GROUP BY user_id, segment_id
+"""
+
+
+def q_corr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — Pearson correlation per group from exact integer sums
+    (reference visualizations.py:2198 metadata correlation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    xy = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    agg = xy.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return agg.select("p_brand", "n", F.round(num / den, 6).alias("corr_qty_price"))
+
+
+ORACLE_CORR_BY_BRAND = """
+WITH xy AS (
+  SELECT p_brand,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), agg AS (
+  SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM xy GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM agg
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — split + explode multi-valued attribute then aggregate
+    (reference explode of ';'-separated genes/cgi dm.py:264)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_type"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_EXPLODE_TOKENS = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(p_type, ' ')) AS token FROM part)
+GROUP BY token
+"""
+
+
+def q_mask_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — mask builders as predicate -> probe-set inserts (reference
+    samples.py:739-831): three masks built by regex/threshold predicates,
+    unioned into a masks table with cardinality counts."""
+    part = _t(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 10).select(
+        F.lit("small").alias("mask_name"), F.col("p_partkey")
+    )
+    brand45 = part.filter(F.col("p_brand").rlike("Brand#[45]")).select(
+        F.lit("brand45").alias("mask_name"), F.col("p_partkey")
+    )
+    promo = part.filter(F.col("p_type").startswith("PROMO")).select(
+        F.lit("promo").alias("mask_name"), F.col("p_partkey")
+    )
+    masks = small.unionByName(brand45).unionByName(promo)
+    return masks.groupBy("mask_name").agg(F.count(F.lit(1)).alias("n_probes"))
+
+
+ORACLE_MASK_BUILDERS = """
+WITH masks AS (
+  SELECT 'small' AS mask_name, p_partkey FROM part WHERE p_size < 10
+  UNION ALL
+  SELECT 'brand45', p_partkey FROM part WHERE regexp_matches(p_brand, 'Brand#[45]')
+  UNION ALL
+  SELECT 'promo', p_partkey FROM part WHERE p_type LIKE 'PROMO%'
+)
+SELECT mask_name, COUNT(*) AS n_probes FROM masks GROUP BY mask_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -735,6 +1455,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_profile": q_lang_profile,
         "cosine_topk": q_cosine_topk,
+        "range_join_count": q_range_join_count,
+        "ecdf_pvalue": q_ecdf_pvalue,
+        "stouffer_groups": q_stouffer_groups,
+        "quantile_normalize": q_quantile_normalize,
+        "cnv_regression": q_cnv_regression,
+        "pivot_wide": q_pivot_wide,
+        "cube_agg": q_cube_agg,
+        "union_except": q_union_except,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "infer_channel": q_infer_channel,
+        "total_ib_intensity": q_total_ib_intensity,
+        "value_segments": q_value_segments,
+        "corr_by_brand": q_corr_by_brand,
+        "explode_tokens": q_explode_tokens,
+        "mask_builders": q_mask_builders,
     }
 
 
@@ -760,4 +1497,21 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": ORACLE_TOKEN_STATS,
         "lang_profile": ORACLE_LANG_PROFILE,
         "cosine_topk": ORACLE_COSINE_TOPK,
+        "range_join_count": ORACLE_RANGE_JOIN_COUNT,
+        "ecdf_pvalue": ORACLE_ECDF_PVALUE,
+        "stouffer_groups": _oracle_stouffer(),
+        "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+        "cnv_regression": ORACLE_CNV_REGRESSION,
+        "pivot_wide": ORACLE_PIVOT_WIDE,
+        "cube_agg": ORACLE_CUBE_AGG,
+        "union_except": ORACLE_UNION_EXCEPT,
+        "minhash_signatures": _oracle_minhash(),
+        "simhash": _oracle_simhash(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "infer_channel": ORACLE_INFER_CHANNEL,
+        "total_ib_intensity": ORACLE_TOTAL_IB,
+        "value_segments": ORACLE_VALUE_SEGMENTS,
+        "corr_by_brand": ORACLE_CORR_BY_BRAND,
+        "explode_tokens": ORACLE_EXPLODE_TOKENS,
+        "mask_builders": ORACLE_MASK_BUILDERS,
     }

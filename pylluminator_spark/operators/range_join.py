@@ -61,28 +61,40 @@ def range_join(
     r = right.select([F.col(c).alias(renames[c]) for c in right.columns])
     r_start, r_end = renames[right_start], renames[right_end]
 
-    lb = _bucket_explode(left, left_start, left_end, bucket, "_lb")
+    lw = left.withColumn("_lid", F.monotonically_increasing_id())
+    lb = _bucket_explode(lw, left_start, left_end, bucket, "_lb")
     rb = _bucket_explode(r, r_start, r_end, bucket, "_rb")
     if broadcast_right:
         rb = F.broadcast(rb)
 
+    # Two overlapping intervals share the bucket containing
+    # max(l.start, r.start) (the overlap region's left edge), so restricting
+    # the match to exactly that bucket yields each pair once with NO
+    # deduplication shuffle — and preserves genuinely duplicate input rows,
+    # matching SQL join multiplicity.
+    pair_bucket = (
+        F.greatest(lb[left_start], rb[r_start]) / bucket
+    ).cast("long")
     cond = (
         (lb[on_chrom] == rb[on_chrom])
         & (F.col("_lb") == F.col("_rb"))
         & (lb[left_start] <= rb[r_end])
         & (lb[left_end] >= rb[r_start])
+        & (F.col("_lb") == pair_bucket)
     )
-    if how in ("left_semi", "left_anti"):
-        joined = lb.join(rb, cond, how).drop("_lb")
-        # bucket explosion can duplicate left rows (semi keeps one per bucket)
-        return joined.dropDuplicates(left.columns) if how == "left_semi" else (
-            # anti: a left row survives only if NO bucket overlapped; the
-            # explode duplicates mean we must re-aggregate.
-            joined.groupBy(left.columns).count().drop("count")
+    if how == "left_semi":
+        # A left row can still match right rows in several of its buckets;
+        # collapse on the synthetic row id so duplicate left rows survive.
+        return (
+            lb.join(rb, cond, "left_semi")
+            .dropDuplicates(["_lid"])
+            .drop("_lb", "_lid")
         )
-    joined = lb.join(rb, cond, how).drop("_lb", "_rb", rb[on_chrom])
-    # An overlapping pair is found once per shared bucket — dedupe exactly.
-    return joined.dropDuplicates(left.columns + [renames[c] for c in right.columns if renames[c] in joined.columns])
+    if how == "left_anti":
+        # A row survives only if NO bucket produced a match.
+        matched = lb.join(rb, cond, "left_semi").select("_lid").distinct()
+        return lw.join(matched, "_lid", "left_anti").drop("_lid")
+    return lb.join(rb, cond, how).drop("_lb", "_rb", "_lid", rb[on_chrom])
 
 
 def count_overlaps(
