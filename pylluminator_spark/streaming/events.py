@@ -1,0 +1,340 @@
+"""Structured Streaming operators over the `events` surface.
+
+The reference engine has no streaming layer (SURVEY §2.9); these operators
+extend its windowed/ordered batch semantics (reference dm.py:565-596
+change-point segmentation, the batch `sessionize` query) to unbounded input
+with correct late-data handling.
+
+Scale design notes (100 TB / 1000-executor target):
+- All window aggregations are keyed (`groupBy(window(...), key)`) so state is
+  hash-partitioned across executors; no global ordering is ever required.
+- Watermarks bound state: every stateful operator here takes an explicit
+  watermark delay, so state store size is O(active windows x keys), not
+  O(stream history).
+- The custom stateful operator uses `applyInPandasWithState` (Arrow-batched,
+  grouped by key) — state per key is O(1) scalars, the hot loop is numpy.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Streaming file sources require an explicit schema (no inference at plan
+# time). `ts` is read as epoch-nanos long when the session sets
+# spark.sql.legacy.parquet.nanosAsLong (see session.get_spark) and converted
+# below, mirroring datasets.load_table.
+EVENTS_SCHEMA_NANOS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    ts_as_nanos: bool = True,
+) -> DataFrame:
+    """File-source stream over event parquet files.
+
+    `path` may be a directory of parquet files or a glob; each new file is a
+    micro-batch input (with `max_files_per_trigger` controlling batch size —
+    used in tests to force multi-batch runs so watermarks actually advance).
+    """
+    reader = spark.readStream.schema(
+        EVENTS_SCHEMA_NANOS if ts_as_nanos else EVENTS_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if ts_as_nanos:
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per (tumbling window, event_type) count + value sum.
+
+    Keyed state, watermark-bounded: late rows beyond `watermark` are dropped,
+    closed windows are evicted from the state store.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window per-type counts; each row lands in window/slide panes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-user session windows (gap-merged), the streaming analogue of the
+    batch gaps-and-islands sessionization (reference-side W1 machinery)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: Iterable[str] = ("user_id", "event_type"),
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with bounded state.
+
+    `dropDuplicatesWithinWatermark` keeps each key's fingerprint only until
+    the watermark passes it — O(keys-in-window) state, unlike global
+    `dropDuplicates` whose state grows without bound on a stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# --- Custom stateful operator: streaming change-point sessionization --------
+
+_SEG_STATE_SCHEMA = StructType(
+    [
+        StructField("seg_id", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_value", DoubleType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+_SEG_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("segment_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_us: int, jump_cutoff: float):
+    """Build the per-key stateful function.
+
+    A new segment starts when the inter-event time gap exceeds `gap_us` OR
+    the squared value jump exceeds `jump_cutoff` — the streaming form of the
+    reference's DMR change-point rule (squared distance > cutoff OR
+    chromosome boundary, dm.py:569-596). Closed segments are emitted; the
+    open segment lives in O(1) state until the event-time timeout fires.
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            seg_id, n, sum_value, _lv, _lt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "segment_id": [seg_id],
+                    "n_events": [n],
+                    "sum_value": [sum_value],
+                }
+            )
+            return
+
+        if state.exists:
+            seg_id, n, sum_value, last_value, last_ts = state.get
+        else:
+            seg_id, n, sum_value, last_value, last_ts = 0, 0, 0.0, None, None
+
+        out_ids, out_ns, out_sums = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            for value, t in zip(pdf["value"].to_numpy(), ts_us.to_numpy()):
+                is_break = last_ts is not None and (
+                    (t - last_ts) > gap_us
+                    or (value - last_value) ** 2 > jump_cutoff
+                )
+                if is_break:
+                    out_ids.append(seg_id)
+                    out_ns.append(n)
+                    out_sums.append(sum_value)
+                    seg_id, n, sum_value = seg_id + 1, 0, 0.0
+                n += 1
+                sum_value += float(value)
+                last_value, last_ts = float(value), int(t)
+
+        state.update((seg_id, n, sum_value, last_value, last_ts))
+        # Event-time timeout: flush the open segment once the watermark
+        # passes last_ts + gap (no more in-order data can extend it).
+        state.setTimeoutTimestamp(last_ts // 1000 + gap_us // 1000)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "segment_id": out_ids,
+                    "n_events": out_ns,
+                    "sum_value": out_sums,
+                }
+            )
+
+    return fn
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    jump_cutoff: float = 5000.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-user change-point segmentation over an
+    unbounded stream via `applyInPandasWithState`.
+
+    Unlike `session_window_agg` (time-gap only), a segment also closes on a
+    large value jump — semantics Spark's built-in session windows can't
+    express, hence the custom state machine.
+    """
+    n, unit = gap.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
+    gap_us = int(n) * mult * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_us, jump_cutoff),
+            outputStructType=_SEG_OUT_SCHEMA,
+            stateStructType=_SEG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --- Sinks / test drivers ---------------------------------------------------
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "append",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    (Trigger.AvailableNow), collect via a memory sink, and return the result
+    as a batch DataFrame. Used by tests and by batch/stream parity checks."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Fault-tolerant parquet sink (exactly-once via checkpointed offsets)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q

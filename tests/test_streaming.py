@@ -1,0 +1,194 @@
+"""Streaming surface tests: batch/stream parity + stateful operator.
+
+Strategy: split the driver-generated events table into time-ordered parquet
+chunks in a tmp dir, stream them with maxFilesPerTrigger=1 so the run has
+multiple micro-batches and the watermark genuinely advances, then compare
+against the equivalent batch computation on the full table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pylluminator_spark.datasets import load_table
+from pylluminator_spark.streaming import (
+    read_event_stream,
+    run_available_now,
+    session_window_agg,
+    stateful_sessionize,
+    streaming_dedup,
+    tumbling_window_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_chunks(spark, tmp_path_factory):
+    """Events split into 4 time-ordered parquet files."""
+    out = str(tmp_path_factory.mktemp("event_stream"))
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts")
+    n = ev.count()
+    rows = ev.withColumn("_chunk", F.ntile(4).over(Window.orderBy("ts")))
+    for c in range(1, 5):
+        (
+            rows.filter(F.col("_chunk") == c)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/chunk={c}")
+        )
+    return out, n
+
+
+def _stream(spark, event_chunks):
+    path, _ = event_chunks
+    return read_event_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, ts_as_nanos=False
+    )
+
+
+def test_tumbling_window_parity(spark, event_chunks):
+    # complete mode ignores the watermark -> exact parity with batch
+    res = run_available_now(
+        tumbling_window_counts(_stream(spark, event_chunks), window_duration="6 hours"),
+        output_mode="complete",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in res.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_append_mode_emits_closed_windows(spark, event_chunks):
+    """With watermarking + append mode, all windows closed by the final
+    watermark are emitted exactly once."""
+    res = run_available_now(
+        tumbling_window_counts(
+            _stream(spark, event_chunks),
+            window_duration="6 hours",
+            watermark="1 minute",
+        ),
+        output_mode="append",
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+    # emitted (window, type) pairs are unique — exactly-once emission
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
+    # every emitted window agrees with the batch computation
+    batch = {
+        (r[0], r[1]): r[2]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "6 hours").start.alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert batch[(r.window_start, r.event_type)] == r.n_events
+
+
+def test_session_window_parity(spark, event_chunks):
+    res = run_available_now(
+        session_window_agg(_stream(spark, event_chunks), gap="5 minutes"),
+        output_mode="complete",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert res.count() == batch.count()
+    assert res.agg(F.sum("n_events")).collect()[0][0] == load_table(
+        spark, SF_DIR, "events"
+    ).count()
+
+
+def test_streaming_dedup(spark, event_chunks):
+    res = run_available_now(
+        streaming_dedup(
+            _stream(spark, event_chunks),
+            keys=["user_id", "event_type"],
+            watermark="30 days",  # all data within watermark -> global dedup
+        )
+    )
+    batch_n = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert res.count() == batch_n
+
+
+def test_stateful_sessionize(spark, event_chunks):
+    res = run_available_now(
+        stateful_sessionize(
+            _stream(spark, event_chunks),
+            gap="2 hours",
+            jump_cutoff=5000.0,
+            watermark="1 minute",
+        )
+    ).collect()
+    assert len(res) > 0
+    # segment ids per user are dense from 0 with no duplicates
+    per_user: dict[int, list[int]] = {}
+    for r in res:
+        per_user.setdefault(r.user_id, []).append(r.segment_id)
+    for _uid, segs in per_user.items():
+        assert len(segs) == len(set(segs))
+    # closed segments carry events; totals bounded by the input size
+    total_events = sum(r.n_events for r in res)
+    assert 0 < total_events <= event_chunks[1]
+
+    # cross-check against the batch change-point rule for one user with
+    # multiple closed segments: same rule, same boundaries
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 2 * 3600 * 1_000_000
+    batch_seg = (
+        ev.withColumn("_prev_v", F.lag("value").over(w))
+        .withColumn("_prev_t", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "_break",
+            F.when(
+                F.col("_prev_t").isNotNull()
+                & (
+                    (F.unix_micros("ts") - F.col("_prev_t") > gap_us)
+                    | (F.pow(F.col("value") - F.col("_prev_v"), 2) > 5000.0)
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("segment_id", F.sum("_break").over(w))
+        .groupBy("user_id", "segment_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    batch_map = {
+        (r.user_id, r.segment_id): (r.n_events, round(r.sum_value, 6))
+        for r in batch_seg.collect()
+    }
+    for r in res:
+        assert batch_map[(r.user_id, r.segment_id)] == (
+            r.n_events,
+            round(r.sum_value, 6),
+        ), f"user {r.user_id} seg {r.segment_id}"
