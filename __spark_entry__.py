@@ -1433,6 +1433,451 @@ SELECT mask_name, COUNT(*) AS n_probes FROM masks GROUP BY mask_name
 """
 
 
+# ===========================================================================
+# Batch 3 — suffix merge, typed aggregation, interval anti-join/clustering,
+# beta distribution, text quality/fingerprint, embedding near-dup, IVF ANN,
+# rollup
+# ===========================================================================
+
+
+def q_probe_suffix_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — strip replicate suffix then average duplicates (reference
+    remove_probes_suffix samples.py:666-697)."""
+    li = _t(spark, sf_dir, "lineitem")
+    probes = li.select(
+        F.concat(
+            F.lit("cg"),
+            F.col("l_orderkey"),
+            F.lit("_TC"),
+            (F.col("l_linenumber") % 3).cast("string"),
+        ).alias("probe_id"),
+        F.col("l_quantity"),
+    )
+    merged = probes.withColumn(
+        "base_id", F.regexp_replace(F.col("probe_id"), "_TC[0-9]+$", "")
+    )
+    return merged.groupBy("base_id").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        (
+            F.sum(_cents(F.col("l_quantity"))).cast("double")
+            / (100 * F.count(F.lit(1)))
+        ).alias("avg_qty"),
+    )
+
+
+ORACLE_PROBE_SUFFIX_MERGE = """
+WITH probes AS (
+  SELECT 'cg' || l_orderkey || '_TC' || CAST(l_linenumber % 3 AS VARCHAR) AS probe_id,
+         l_quantity
+  FROM lineitem
+)
+SELECT regexp_replace(probe_id, '_TC[0-9]+$', '') AS base_id,
+       COUNT(*) AS n_merged,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)
+         / (100 * COUNT(*)) AS avg_qty
+FROM probes GROUP BY 1
+"""
+
+
+def q_typed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J5 — type-dispatched aggregation (reference merge_series_values
+    utils.py:516-564): numeric -> mean, string -> sorted ';'-join of
+    distincts, bool -> any."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        (
+            F.sum(_cents(F.col("p_retailprice"))).cast("double")
+            / (100 * F.count(F.lit(1)))
+        ).alias("avg_price"),
+        F.array_join(F.array_sort(F.collect_set("p_type")), ";").alias(
+            "types"
+        ),
+        F.max(F.when(F.col("p_size") > 40, 1).otherwise(0)).alias("any_large"),
+    )
+
+
+ORACLE_TYPED_MERGE = """
+SELECT p_brand,
+       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS DOUBLE)
+         / (100 * COUNT(*)) AS avg_price,
+       string_agg(DISTINCT p_type, ';' ORDER BY p_type) AS types,
+       MAX(CASE WHEN p_size > 40 THEN 1 ELSE 0 END) AS any_large
+FROM part GROUP BY p_brand
+"""
+
+
+_INTERVALS_CTE = """
+probes AS (
+  SELECT CAST(l_suppkey % 4 AS VARCHAR) AS chromosome,
+         (l_partkey * 37) % 1000000 AS start,
+         (l_partkey * 37) % 1000000 + 99 AS "end",
+         l_partkey
+  FROM lineitem
+)
+"""
+
+
+def _probes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_suppkey") % 4).cast("string").alias("chromosome"),
+        ((F.col("l_partkey") * 37) % 1000000).alias("start"),
+        (((F.col("l_partkey") * 37) % 1000000) + 99).alias("end"),
+        F.col("l_partkey"),
+    )
+
+
+def q_interval_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — interval anti-join (reference tiles-minus-gaps cnv.py:169):
+    5 kb bins with NO overlap from the sparse probe subset, counted per
+    chromosome, via the bucketed range_join left_anti path."""
+    from pylluminator_spark.operators.range_join import range_join as rj
+
+    probes = _probes_df(spark, sf_dir)
+    sparse = probes.filter(F.col("l_partkey") % 17 == 0).select(
+        "chromosome", "start", "end"
+    )
+    bins = (
+        probes.select(
+            "chromosome",
+            (F.floor(F.col("start") / 5000) * 5000).alias("start"),
+        )
+        .distinct()
+        .withColumn("end", F.col("start") + 4999)
+    )
+    empty = rj(bins, sparse, bucket=5000, how="left_anti")
+    return empty.groupBy("chromosome").agg(F.count(F.lit(1)).alias("n_empty_bins"))
+
+
+ORACLE_INTERVAL_ANTI_JOIN = f"""
+WITH {_INTERVALS_CTE},
+sparse AS (SELECT chromosome, start, "end" FROM probes WHERE l_partkey % 17 = 0),
+bins AS (
+  SELECT DISTINCT chromosome, (start // 5000) * 5000 AS start,
+         (start // 5000) * 5000 + 4999 AS "end"
+  FROM probes
+)
+SELECT b.chromosome, COUNT(*) AS n_empty_bins
+FROM bins b
+WHERE NOT EXISTS (
+  SELECT 1 FROM sparse s
+  WHERE s.chromosome = b.chromosome AND b.start <= s."end" AND b."end" >= s.start
+)
+GROUP BY b.chromosome
+"""
+
+
+def q_interval_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — interval clustering (reference cluster_overlaps cnv.py:302):
+    gaps-and-islands with a running max of interval ends; slack=1."""
+    iv = _probes_df(spark, sf_dir).select("chromosome", "start", "end").distinct()
+    w_prev = (
+        Window.partitionBy("chromosome")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("chromosome").orderBy("start", "end").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = iv.withColumn("_prev_max_end", F.max("end").over(w_prev)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev_max_end").isNull()
+            | (F.col("start") > F.col("_prev_max_end") + 1),
+            1,
+        ).otherwise(0),
+    )
+    clustered = flagged.withColumn("cluster_id", F.sum("_new").over(w_run))
+    return clustered.groupBy("chromosome", "cluster_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.min("start").alias("cluster_start"),
+        F.max("end").alias("cluster_end"),
+    )
+
+
+ORACLE_INTERVAL_CLUSTER = f"""
+WITH {_INTERVALS_CTE},
+iv AS (SELECT DISTINCT chromosome, start, "end" FROM probes),
+flagged AS (
+  SELECT chromosome, start, "end",
+         CASE WHEN MAX("end") OVER (PARTITION BY chromosome ORDER BY start, "end"
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+               OR start > MAX("end") OVER (PARTITION BY chromosome ORDER BY start, "end"
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_flag
+  FROM iv
+), clustered AS (
+  SELECT chromosome, start, "end",
+         SUM(new_flag) OVER (PARTITION BY chromosome ORDER BY start, "end"
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cluster_id
+  FROM flagged
+)
+SELECT chromosome, cluster_id, COUNT(*) AS n_intervals,
+       MIN(start) AS cluster_start, MAX("end") AS cluster_end
+FROM clustered GROUP BY chromosome, cluster_id
+"""
+
+
+def q_beta_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — beta-value distribution fractions per sample (reference
+    visualizations.py:1906-1922): % hypo (<0.3), % hyper (>0.7), % mid."""
+    signal = _signal_df(spark, sf_dir)
+    m = F.when(F.col("type") == "II", F.col("mg")).when(
+        F.col("channel") == "G", F.col("mg")
+    ).otherwise(F.col("mr"))
+    u = F.when(F.col("type") == "II", F.col("ur")).when(
+        F.col("channel") == "G", F.col("ug")
+    ).otherwise(F.col("ur"))
+    beta = F.greatest(m, F.lit(1.0)) / F.greatest(m + u, F.lit(2.0))
+    return (
+        signal.withColumn("_b", beta)
+        .groupBy("sample")
+        .agg(
+            F.round(F.avg(F.when(F.col("_b") < 0.3, 1.0).otherwise(0.0)) * 100, 6
+                    ).alias("pct_hypo"),
+            F.round(F.avg(F.when(F.col("_b") > 0.7, 1.0).otherwise(0.0)) * 100, 6
+                    ).alias("pct_hyper"),
+            F.round(
+                F.avg(
+                    F.when((F.col("_b") >= 0.3) & (F.col("_b") <= 0.7), 1.0
+                           ).otherwise(0.0)
+                ) * 100,
+                6,
+            ).alias("pct_mid"),
+        )
+    )
+
+
+ORACLE_BETA_DISTRIBUTION = f"""
+WITH {_SIGNAL_CTE},
+betas AS (
+  SELECT sample,
+         GREATEST(CASE WHEN type = 'II' THEN mg
+                       WHEN channel = 'G' THEN mg ELSE mr END, 1.0)
+         / GREATEST(CASE WHEN type = 'II' THEN mg
+                         WHEN channel = 'G' THEN mg ELSE mr END
+                    + CASE WHEN type = 'II' THEN ur
+                           WHEN channel = 'G' THEN ug ELSE ur END, 2.0) AS b
+  FROM signal
+)
+SELECT sample,
+       ROUND(AVG(CASE WHEN b < 0.3 THEN 1.0 ELSE 0.0 END) * 100, 6) AS pct_hypo,
+       ROUND(AVG(CASE WHEN b > 0.7 THEN 1.0 ELSE 0.0 END) * 100, 6) AS pct_hyper,
+       ROUND(AVG(CASE WHEN b >= 0.3 AND b <= 0.7 THEN 1.0 ELSE 0.0 END) * 100, 6)
+         AS pct_mid
+FROM betas GROUP BY sample
+"""
+
+
+_SW_EN = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on",
+          "a", "an", "it", "as", "at", "by", "be"]
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (beyond-reference): composite of length,
+    punctuation density, and stopword fluency — functions.text
+    quality_score_expr, replicated operation-for-operation in the oracle."""
+    from pylluminator_spark.functions.text import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("quality")
+    )
+
+
+_SW_LIST_SQL = ", ".join(f"'{w}'" for w in _SW_EN)
+
+ORACLE_QUALITY_SCORES = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+           AS n_tok,
+         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           * 1.0 / GREATEST(len(text), 1) AS punct_ratio,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x != '' AND list_contains([{_SW_LIST_SQL}], lower(x))))
+           AS sw_hits
+  FROM documents
+)
+SELECT doc_id,
+       ROUND((LEAST(n_tok / 50.0, 1.0)
+              + (1.0 - LEAST(punct_ratio * 4, 1.0))
+              + LEAST((sw_hits * 1.0 / GREATEST(n_tok, 1)) * 5, 1.0)) / 3.0, 6)
+         AS quality
+FROM scored
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (beyond-reference): position-weighted rolling
+    hash over the character stream — pure integer arithmetic, replicable
+    across engines (the engine-grade variant is functions.text
+    fingerprint_expr via xxhash64)."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.col("text"),
+    )
+    code = F.ascii(F.substring(F.col("text"), F.col("i"), F.lit(1)).substr(1, 1))
+    term = (code.cast("long") * ((F.col("i") * 2654435761) % 1000003)) % 1000003
+    return chars.groupBy("doc_id").agg(
+        (F.sum(term) % 1000003).alias("fingerprint")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH chars AS (
+  SELECT doc_id, unnest(generate_series(1, len(text))) AS i, text
+  FROM documents
+)
+SELECT doc_id,
+       SUM((CAST(ascii(substr(text, i, 1)) AS BIGINT)
+            * ((i * 2654435761) % 1000003)) % 1000003) % 1000003 AS fingerprint
+FROM chars GROUP BY doc_id
+"""
+
+
+_COSINE_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (beyond-reference dedup): all
+    pairs with cosine >= 0.35, computed with the block-matrix cosine join
+    (numpy matmul per block pair — see operators.similarity
+    block_cosine_pairs; the sub-quadratic scale path is
+    embedding_near_dups' LSH bucketing)."""
+    from pylluminator_spark.operators.similarity import block_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return block_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_size=1024
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COSINE_SQL.format(a="a.embedding", b="b.embedding")}, 6)
+         AS similarity
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_COSINE_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.35
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (beyond-reference similarity search): vectors are
+    assigned to the nearest of 8 fixed centroids (coarse quantizer); queries
+    search ONLY their own cell — the inverted-file scale path where each
+    probe touches 1/n_cells of the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_cv")
+    )
+    sim_c = F.round(
+        cosine_expr(
+            F.col("embedding").cast("array<double>"),
+            F.col("_cv").cast("array<double>"),
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("_csim"), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_csim", sim_c)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    queries = assigned.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("centroid_id").alias("_qc"),
+    )
+    cands = assigned.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("_tv"),
+        F.col("centroid_id").alias("_tc"),
+    )
+    sim_q = F.round(
+        cosine_expr(
+            F.col("_qv").cast("array<double>"), F.col("_tv").cast("array<double>")
+        ),
+        6,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("vec_id")
+    )
+    return (
+        F.broadcast(queries)
+        .join(cands, F.col("_qc") == F.col("_tc"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("similarity", sim_q)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "similarity", "rank")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_COSINE_SQL.format(a="e.embedding", b="c.cv")}, 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id AS qc
+  FROM assigned WHERE vec_id >= 8 AND vec_id < 13
+), scored AS (
+  SELECT q.query_id, a.vec_id,
+         ROUND({_COSINE_SQL.format(a="q.qv", b="a.embedding")}, 6) AS similarity
+  FROM q JOIN assigned a ON q.qc = a.centroid_id
+  WHERE q.query_id != a.vec_id
+)
+SELECT query_id, vec_id, similarity, rank FROM (
+  SELECT query_id, vec_id, similarity,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY similarity DESC, vec_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100).alias(
+            "sum_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100
+         AS sum_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1472,6 +1917,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_by_brand": q_corr_by_brand,
         "explode_tokens": q_explode_tokens,
         "mask_builders": q_mask_builders,
+        "probe_suffix_merge": q_probe_suffix_merge,
+        "typed_merge": q_typed_merge,
+        "interval_anti_join": q_interval_anti_join,
+        "interval_cluster": q_interval_cluster,
+        "beta_distribution": q_beta_distribution,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "rollup_agg": q_rollup_agg,
     }
 
 
@@ -1514,4 +1969,14 @@ def oracle_sql() -> dict[str, str]:
         "corr_by_brand": ORACLE_CORR_BY_BRAND,
         "explode_tokens": ORACLE_EXPLODE_TOKENS,
         "mask_builders": ORACLE_MASK_BUILDERS,
+        "probe_suffix_merge": ORACLE_PROBE_SUFFIX_MERGE,
+        "typed_merge": ORACLE_TYPED_MERGE,
+        "interval_anti_join": ORACLE_INTERVAL_ANTI_JOIN,
+        "interval_cluster": ORACLE_INTERVAL_CLUSTER,
+        "beta_distribution": ORACLE_BETA_DISTRIBUTION,
+        "quality_scores": ORACLE_QUALITY_SCORES,
+        "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+        "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+        "ann_ivf": ORACLE_ANN_IVF,
+        "rollup_agg": ORACLE_ROLLUP_AGG,
     }
