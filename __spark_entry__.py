@@ -488,7 +488,11 @@ def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("test_id"),
         (((F.col("o_orderkey") * 7919) % 9973) / 9973.0).alias("p_value"),
     )
-    adjusted = bh_adjust(pvals, "p_value", out_col="p_adj")
+    from pylluminator_spark.operators.ordered import bh_adjust_global
+
+    # scale path: range-partitioned two-pass BH, no single-partition window
+    # (operators.ordered; functions.stats.bh_adjust is the small-data form)
+    adjusted = bh_adjust_global(pvals, "p_value", "p_adj", tie_cols=["test_id"])
     return adjusted.select(
         "test_id",
         F.round("p_value", 8).alias("p_value"),
@@ -782,15 +786,21 @@ def q_ecdf_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fg = ev.filter(F.col("event_type") == "purchase").select(
         F.col("value"), F.lit(0).alias("_is_bg"), F.col("event_id")
     )
+    from pylluminator_spark.operators.ordered import with_running_sum
+
     n_bg = bg.count()
-    union = bg.unionByName(fg)
-    w = (
-        Window.orderBy(F.col("value").asc(), F.col("_is_bg").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # distributed ECDF: range-partitioned running count of background rows
+    # in (value asc, bg-before-fg) order once past the small-input threshold
+    union = bg.unionByName(fg).withColumn("_o2", 1 - F.col("_is_bg"))
+    cum = with_running_sum(
+        union,
+        ["value", "_o2"],
+        F.col("_is_bg").cast("double"),
+        "_cum_bg",
+        n_rows=union.count(),
     )
     return (
-        union.withColumn("_cum_bg", F.sum("_is_bg").over(w))
-        .filter(F.col("_is_bg") == 0)
+        cum.filter(F.col("_is_bg") == 0)
         .select(
             "event_id",
             F.round(F.lit(1.0) - F.col("_cum_bg") / F.lit(float(n_bg)), 8).alias(
@@ -886,12 +896,18 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+    from pylluminator_spark.operators.ordered import with_global_rank
+
     n = li.count()
-    w_src = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    w_tgt = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    src = li.withColumn("_rank", F.row_number().over(w_src) - 1)
-    tgt = li.select(
-        (F.row_number().over(w_tgt) - 1).alias("_idx"),
+    # global ranks: range-partitioned two-phase past the small-input
+    # threshold, plain window below it (operators.ordered)
+    src = with_global_rank(
+        li, ["l_quantity", "l_orderkey", "l_linenumber"], "_rank", n_rows=n
+    ).withColumn("_rank", F.col("_rank") - 1)
+    tgt = with_global_rank(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "_idx", n_rows=n
+    ).select(
+        (F.col("_idx") - 1).alias("_idx"),
         F.col("l_extendedprice").alias("_tval"),
     )
     pos = F.col("_rank").cast("long") * (n - 1) / F.lit(float(n - 1))  # n_s == n_t

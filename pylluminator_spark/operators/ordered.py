@@ -1,0 +1,236 @@
+"""Distributed global ordered computations (rank / running aggregates).
+
+A bare ``Window.orderBy(...)`` with no partitioning moves EVERY row to one
+task — the classic Spark scale cliff (WindowExec warns about it). These
+helpers compute globally-ordered quantities with bounded per-task state:
+
+1. ``repartitionByRange`` on the sort key — each partition holds a
+   contiguous key range, partitions are balanced by sampling;
+2. a per-partition window (hash on the partition id — every group is
+   one bounded partition);
+3. per-partition summaries (count / sum / min) collected to the driver —
+   O(num_partitions) scalars — and turned into prefix offsets that are
+   joined back.
+
+rank = prefix_count + local_rank, running_sum = prefix_sum + local_running,
+running_min = min(prefix_min, local_running_min). Works at any input size
+the range partitioner can balance; the only driver data is one row per
+partition.
+
+Requirement: no NULLs in the ordering columns (callers filter or impute
+first), and the ordering columns must totally order rows that need
+deterministic ranks (append unique tie-breakers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "_ord_pid"
+
+# Size-based execution switch (the broadcast-threshold analogue; the
+# reference's own serial-vs-joblib switch is dm.py:449-456): below this the
+# whole vector fits one task comfortably and a plain global window wins —
+# the two-phase machinery pays 2 extra shuffles + a driver collect, which
+# only amortizes on large inputs. Callers that already know their row count
+# pass it via `n_rows` so no extra count job runs.
+SMALL_INPUT_ROWS = 5_000_000
+
+
+def _range_partitioned(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    # persist: partition boundaries come from sampling; the offsets we
+    # collect must describe the SAME partitioning the final query reads.
+    return d.withColumn(_PID, F.spark_partition_id()).persist()
+
+
+def _pid_order(stats, order_cols: list[str]):
+    """Partition ids sorted by their minimum key (no assumption that pid
+    order survives AQE coalescing)."""
+    def key(r):
+        lo = r["_lo"]
+        return tuple(lo[c] for c in order_cols)
+
+    return [r[_PID] for r in sorted((s for s in stats if s["_n"] > 0), key=key)]
+
+
+def _offsets_df(df: DataFrame, mapping: dict[int, float], col_name: str):
+    spark = df.sparkSession
+    rows = [(int(pid), v) for pid, v in mapping.items()]
+    return F.broadcast(
+        spark.createDataFrame(rows, [_PID, col_name])
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` (ascending), O(rows /
+    num_partitions) per-task state. With ``n_rows`` below the small-input
+    threshold, falls back to a plain window (cheaper at that size)."""
+    if n_rows is not None and n_rows < SMALL_INPUT_ROWS:
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    d = _range_partitioned(df, order_cols, num_partitions)
+    stats = (
+        d.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(*order_cols)).alias("_lo"),
+        )
+        .collect()
+    )
+    counts = {r[_PID]: r["_n"] for r in stats}
+    offsets, acc = {}, 0
+    for pid in _pid_order(stats, order_cols):
+        offsets[pid] = acc
+        acc += counts[pid]
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order_cols])
+    out = (
+        d.withColumn("_local", F.row_number().over(w))
+        .join(_offsets_df(d, offsets, "_off"), _PID)
+        .withColumn(rank_col, (F.col("_local") + F.col("_off")).cast("long"))
+        .drop(_PID, "_local", "_off")
+    )
+    return out
+
+
+def with_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: Column | str,
+    out_col: str = "running_sum",
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in ``order_cols`` order
+    (ties: all rows of an equal key in earlier sort positions are included
+    before any strictly-greater key)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    if n_rows is not None and n_rows < SMALL_INPUT_ROWS:
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out_col, F.sum(v).over(w))
+    d = _range_partitioned(df.withColumn("_v", v), order_cols, num_partitions)
+    stats = (
+        d.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.min(F.struct(*order_cols)).alias("_lo"),
+        )
+        .collect()
+    )
+    sums = {r[_PID]: float(r["_s"] or 0.0) for r in stats}
+    offsets, acc = {}, 0.0
+    for pid in _pid_order(stats, order_cols):
+        offsets[pid] = acc
+        acc += sums[pid]
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("_local", F.sum("_v").over(w))
+        .join(_offsets_df(d, offsets, "_off"), _PID)
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop(_PID, "_local", "_off", "_v")
+    )
+
+
+def with_running_min(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: Column | str,
+    out_col: str = "running_min",
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Global running minimum of ``value_col`` in ``order_cols`` order."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    if n_rows is not None and n_rows < SMALL_INPUT_ROWS:
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out_col, F.min(v).over(w))
+    d = _range_partitioned(df.withColumn("_v", v), order_cols, num_partitions)
+    stats = (
+        d.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_v").alias("_m"),
+            F.min(F.struct(*order_cols)).alias("_lo"),
+        )
+        .collect()
+    )
+    mins = {r[_PID]: r["_m"] for r in stats}
+    offsets, acc = {}, None
+    for pid in _pid_order(stats, order_cols):
+        offsets[pid] = acc
+        m = mins[pid]
+        if m is not None:
+            acc = m if acc is None else min(acc, m)
+    # None offset (first partition / all-null prefix) -> +infinity sentinel
+    inf = float("inf")
+    off_map = {p: (inf if o is None else float(o)) for p, o in offsets.items()}
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("_local", F.min("_v").over(w))
+        .join(_offsets_df(d, off_map, "_off"), _PID)
+        .withColumn(out_col, F.least(F.col("_local"), F.col("_off")))
+        .drop(_PID, "_local", "_off", "_v")
+    )
+
+
+def bh_adjust_global(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "p_adj",
+    tie_cols: list[str] | None = None,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg adjustment with NO single-partition window
+    (scale path for functions.stats.bh_adjust; reference dm.py:475-477).
+
+    p_adj_i = min_{j>=i}(p_(j) * n / j), clipped to 1. The reverse running
+    minimum over descending p is computed as a running min over ascending
+    (-p), using the same range-partitioned machinery.
+    """
+    ties = tie_cols or []
+    n = df.filter(F.col(p_col).isNotNull()).count()
+    ranked = with_global_rank(
+        df.filter(F.col(p_col).isNotNull()),
+        [p_col, *ties],
+        "_bh_rank",
+        num_partitions=num_partitions,
+        n_rows=n,
+    ).withColumn("_bh_raw", F.col(p_col) * F.lit(float(n)) / F.col("_bh_rank"))
+    # descending order via negated rank (already a total order)
+    rev = ranked.withColumn("_neg_rank", -F.col("_bh_rank"))
+    out = with_running_min(
+        rev, ["_neg_rank"], "_bh_raw", "_bh_min",
+        num_partitions=num_partitions, n_rows=n,
+    )
+    return (
+        out.withColumn(out_col, F.least(F.lit(1.0), F.col("_bh_min")))
+        .drop("_bh_rank", "_bh_raw", "_neg_rank", "_bh_min")
+    )

@@ -1,0 +1,85 @@
+"""Distributed ordered computations vs single-window / pandas references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pylluminator_spark.operators.ordered import (
+    bh_adjust_global,
+    with_global_rank,
+    with_running_min,
+    with_running_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    df = (
+        spark.range(0, 5000, 1, 16)
+        .withColumn("v", ((F.col("id") * 2654435761) % 100000) / 7.0)
+        .withColumn("w", (F.col("id") % 97).cast("double"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+def test_global_rank_matches_window(values):
+    got = with_global_rank(values, ["v", "id"], "rk", num_partitions=8)
+    ref = values.withColumn("rk", F.row_number().over(Window.orderBy("v", "id")))
+    g = {r.id: r.rk for r in got.collect()}
+    w = {r.id: r.rk for r in ref.collect()}
+    assert g == w
+    # no single-partition exchange in the distributed plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_running_sum_matches_window(values):
+    got = with_running_sum(values, ["v", "id"], "w", "cs", num_partitions=8)
+    ref = values.withColumn(
+        "cs",
+        F.sum("w").over(
+            Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    g = {r.id: r.cs for r in got.collect()}
+    w = {r.id: r.cs for r in ref.collect()}
+    assert all(g[k] == pytest.approx(w[k], rel=1e-12) for k in w)
+
+
+def test_running_min_matches_window(values):
+    vals = values.withColumn("neg", -F.col("w") - F.col("v") / 1e9)
+    got = with_running_min(vals, ["v", "id"], "neg", "cm", num_partitions=8)
+    ref = vals.withColumn(
+        "cm",
+        F.min("neg").over(
+            Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    g = {r.id: r.cm for r in got.collect()}
+    w = {r.id: r.cm for r in ref.collect()}
+    assert all(g[k] == pytest.approx(w[k], rel=1e-12) for k in w)
+
+
+def test_bh_adjust_global_matches_reference(spark):
+    rng = np.random.RandomState(3)
+    p = rng.uniform(0, 1, 1000)
+    pdf = pd.DataFrame({"probe": [f"p{i}" for i in range(1000)], "p": p})
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = bh_adjust_global(df, "p", "p_adj", tie_cols=["probe"]).toPandas()
+
+    # pandas reference BH
+    order = np.argsort(p, kind="stable")
+    ranked = p[order] * len(p) / (np.arange(len(p)) + 1)
+    adj = np.minimum.accumulate(ranked[::-1])[::-1]
+    adj = np.clip(adj, 0, 1)
+    ref = pd.Series(adj, index=pdf["probe"].to_numpy()[order])
+
+    got = got.set_index("probe")["p_adj"]
+    for k in ref.index:
+        assert got[k] == pytest.approx(ref[k], rel=1e-12)
