@@ -188,3 +188,36 @@ class MethylSession:
         """Mark the signal as a reuse point (replaces the reference's manual
         ``sigdf=`` threading, samples.py:129-136)."""
         return replace(self, signal=self.signal.persist())
+
+    # -- persistence (reference pickle save/load utils.py:144-183,
+    #    samples.py:445-462 — here: parquet per table + a JSON manifest) ---
+    _TABLES = ("signal", "sample_sheet", "manifest", "masks")
+
+    def save(self, path: str) -> None:
+        """Persist every table as parquet under ``path`` plus a small JSON
+        state manifest — the distributed replacement for whole-object
+        pickling (survives engine upgrades, readable by any parquet tool)."""
+        import json
+        import os
+
+        state = {"min_beads": self.min_beads, "tables": []}
+        for name in self._TABLES:
+            df = getattr(self, name)
+            if df is not None:
+                df.write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+                state["tables"].append(name)
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/session.json", "w") as fh:
+            json.dump(state, fh)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MethylSession":
+        import json
+
+        with open(f"{path}/session.json") as fh:
+            state = json.load(fh)
+        kwargs = {
+            name: spark.read.parquet(f"{path}/{name}.parquet")
+            for name in state["tables"]
+        }
+        return cls(spark=spark, min_beads=state["min_beads"], **kwargs)
