@@ -506,14 +506,16 @@ WITH pvals AS (
          ((o_orderkey * 7919) % 9973) / 9973.0 AS p_value
   FROM orders
 ), ranked AS (
+  -- tie-break by test_id: the ROWS-frame running min below needs a TOTAL
+  -- order, else peers within a tied p_value are framed nondeterministically
   SELECT test_id, p_value,
-         ROW_NUMBER() OVER (ORDER BY p_value ASC) AS rnk,
+         ROW_NUMBER() OVER (ORDER BY p_value ASC, test_id ASC) AS rnk,
          COUNT(*) OVER () AS n
   FROM pvals
 )
 SELECT test_id, ROUND(p_value, 8) AS p_value,
        ROUND(LEAST(1.0, MIN(p_value * n / rnk)
-                         OVER (ORDER BY p_value DESC
+                         OVER (ORDER BY rnk DESC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
              8) AS p_adj
 FROM ranked
@@ -1122,11 +1124,14 @@ def _doc_tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(tokens_expr(F.lower(F.col("text"))))).alias("token"),
     )
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("token")))
-    )
+    from pylluminator_spark.operators.ordered import with_global_rank
+
+    # dense token ids via a *distributed* global rank (vocabulary grows with
+    # the corpus; a bare row_number window would funnel it to one task)
+    distinct_toks = toks.select("token").distinct().persist()
+    vocab = with_global_rank(
+        distinct_toks, ["token"], "tid", n_rows=distinct_toks.count()
+    ).withColumn("tid", F.col("tid").cast("int"))
     return toks.join(vocab, "token").select("doc_id", "tid")
 
 

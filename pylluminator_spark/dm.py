@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.functions.genomic import chromosome_order_expr
 from pylluminator_spark.functions.stats import bh_adjust, stouffer_combine
+from pylluminator_spark.operators.ordered import with_global_rank, with_lead
 
 
 # ---------------------------------------------------------------------------
@@ -402,20 +403,27 @@ def compute_dmr(
     )
     per_probe = diffs.groupBy(
         "probe_id", "chromosome", "_chrom_order", "start", "end"
-    ).agg(F.sum("_d2").alias("dist"))
+    ).agg(F.sum("_d2").alias("dist")).persist()
+    # one row per placed probe — bounded by the manifest (~1M for EPICv2),
+    # NOT by the fact table; the count picks the cheap single-window path at
+    # that size while with_lead's range-partitioned path covers anything
+    # larger (no single-partition window either way at scale).
+    n_probe_rows = per_probe.count()
 
-    w_probe = Window.orderBy("_chrom_order", "start", "end", "probe_id")
-    flagged = per_probe.withColumn(
-        "_next_chrom", F.lead("chromosome").over(w_probe)
+    flagged = with_lead(
+        per_probe,
+        ["_chrom_order", "start", "end", "probe_id"],
+        {"_next_chrom": "chromosome", "_next_probe": "probe_id"},
+        n_rows=n_probe_rows,
     ).withColumn(
         "_last_in_chrom",
         F.col("_next_chrom").isNull() | (F.col("_next_chrom") != F.col("chromosome")),
     ).withColumn(
         "dist",
-        F.when(F.lead("probe_id").over(w_probe).isNull(), F.lit(None)).otherwise(
+        F.when(F.col("_next_probe").isNull(), F.lit(None)).otherwise(
             F.coalesce(F.col("dist"), F.lit(0.0))
         ),
-    )
+    ).drop("_next_probe")
     flagged = flagged.persist()
 
     if dist_cutoff is None or dist_cutoff <= 0:
@@ -441,22 +449,31 @@ def compute_dmr(
     with_local = marked.withColumn(
         "_local_changes", F.coalesce(F.sum("_change").over(w_in_chrom), F.lit(0))
     )
-    chrom_counts = (
+    # chromosome prefix offsets: one row per chromosome — accumulate on the
+    # driver (O(#chromosomes) scalars) instead of a single-partition window.
+    chrom_rows = (
         marked.groupBy("chromosome", "_chrom_order")
         .agg(F.sum("_change").alias("_n_changes"))
+        .collect()
     )
-    w_chrom = Window.orderBy("_chrom_order", "chromosome").rowsBetween(
-        Window.unboundedPreceding, -1
+    chrom_rows.sort(key=lambda r: (r["_chrom_order"], r["chromosome"]))
+    off_rows, acc = [], 0
+    for r in chrom_rows:
+        off_rows.append((r["chromosome"], acc))
+        acc += int(r["_n_changes"] or 0)
+    spark = marked.sparkSession
+    offsets = F.broadcast(
+        spark.createDataFrame(off_rows, ["chromosome", "_offset"])
+        if off_rows
+        else spark.createDataFrame([], "chromosome string, _offset long")
     )
-    offsets = chrom_counts.withColumn(
-        "_offset", F.coalesce(F.sum("_n_changes").over(w_chrom), F.lit(0))
-    ).select("chromosome", "_offset")
-    segmented = with_local.join(F.broadcast(offsets), "chromosome").withColumn(
+    segmented = with_local.join(offsets, "chromosome").withColumn(
         "segment_id", (F.lit(1) + F.col("_offset") + F.col("_local_changes")).cast("long")
     )
 
-    last_seg_row = segmented.agg(F.max("segment_id").alias("m")).collect()[0]
-    last_segment_id = last_seg_row["m"] or 0
+    # every chromosome's last probe is a change point, so the max segment id
+    # is exactly the total change count (1 + offset_last + (n_last - 1)).
+    last_segment_id = acc
 
     # NA segments: probes with coordinates but no beta values / 0-width ranges
     # get fresh ids (reference dm.py:605-610)
@@ -466,10 +483,12 @@ def compute_dmr(
     na_probes = all_probes.join(
         segmented.select("probe_id"), "probe_id", "left_anti"
     )
-    w_na = Window.orderBy("probe_id")
-    na_segments = na_probes.withColumn(
-        "segment_id", (F.row_number().over(w_na) + F.lit(last_segment_id)).cast("long")
-    )
+    na_probes = na_probes.persist()
+    na_segments = with_global_rank(
+        na_probes, ["probe_id"], "_na_rank", n_rows=na_probes.count()
+    ).withColumn(
+        "segment_id", (F.col("_na_rank") + F.lit(last_segment_id)).cast("long")
+    ).drop("_na_rank")
     segments = segmented.select(
         "probe_id", "chromosome", "start", "end", "segment_id"
     ).unionByName(

@@ -200,6 +200,78 @@ def with_running_min(
     )
 
 
+def with_lead(
+    df: DataFrame,
+    order_cols: list[str],
+    lead_cols: dict[str, str],
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Global ``lead(1)`` of each source column in ``order_cols`` order with
+    NO single-partition window (the last row overall gets NULL leads).
+
+    ``lead_cols`` maps output column name -> source column name. Scale path:
+    range-partition on the sort key, per-partition ``lead``, then patch each
+    partition's last row with the *next* partition's first-row values —
+    collected per-partition firsts are O(num_partitions) driver rows. The
+    ordering columns must be non-null and totally order the rows (append a
+    unique tie-breaker), as everywhere in this module.
+    """
+    if n_rows is not None and n_rows < SMALL_INPUT_ROWS:
+        w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        out = df
+        for out_col, src in lead_cols.items():
+            out = out.withColumn(out_col, F.lead(src).over(w))
+        return out
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    srcs = sorted(set(lead_cols.values()))
+    d = _range_partitioned(df, order_cols, num_partitions)
+    # first row (in sort order) of each partition: min of a struct whose
+    # leading fields are the full (total) ordering key, trailing fields the
+    # source values — lexicographic struct min selects that row's values.
+    firsts = (
+        d.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(*order_cols, *srcs)).alias("_lo"),
+        )
+        .collect()
+    )
+    ordered_pids = _pid_order(firsts, order_cols)
+    lo_by_pid = {r[_PID]: r["_lo"] for r in firsts}
+    nxt_rows = []
+    for i, pid in enumerate(ordered_pids):
+        if i + 1 < len(ordered_pids):
+            lo = lo_by_pid[ordered_pids[i + 1]]
+            nxt_rows.append((int(pid), *[lo[c] for c in srcs]))
+        else:
+            nxt_rows.append((int(pid), *[None for _ in srcs]))
+    schema = StructType(
+        [StructField(_PID, IntegerType(), False)]
+        + [StructField(f"_nx_{c}", df.schema[c].dataType, True) for c in srcs]
+    )
+    nxt_df = F.broadcast(df.sparkSession.createDataFrame(nxt_rows, schema))
+
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order_cols])
+    # order cols are non-null, so a null local lead of one of them marks the
+    # partition's last row (a legitimately-null source value does not).
+    out = d.withColumn("_at_end", F.lead(order_cols[0]).over(w).isNull())
+    for out_col, src in lead_cols.items():
+        out = out.withColumn(f"_lead_{out_col}", F.lead(src).over(w))
+    out = out.join(nxt_df, _PID)
+    for out_col, src in lead_cols.items():
+        out = out.withColumn(
+            out_col,
+            F.when(F.col("_at_end"), F.col(f"_nx_{src}")).otherwise(
+                F.col(f"_lead_{out_col}")
+            ),
+        ).drop(f"_lead_{out_col}")
+    return out.drop(_PID, "_at_end", *[f"_nx_{c}" for c in srcs])
+
+
 def bh_adjust_global(
     df: DataFrame,
     p_col: str,
