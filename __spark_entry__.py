@@ -903,64 +903,42 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = li.count()
     # global ranks: range-partitioned two-phase past the small-input
     # threshold, plain window below it (operators.ordered)
+    # equal-length source/target makes np.interp degenerate to exact rank
+    # alignment (pos = rank, frac = 0): the r-th smallest quantity maps to
+    # the r-th smallest extendedprice. One rank-equijoin, no interpolation —
+    # the general unequal-length interp path is
+    # preprocessing.dye_bias_correction_nl (K5).
     src = with_global_rank(
         li, ["l_quantity", "l_orderkey", "l_linenumber"], "_rank", n_rows=n
-    ).withColumn("_rank", F.col("_rank") - 1)
+    )
     tgt = with_global_rank(
-        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "_idx", n_rows=n
-    ).select(
-        (F.col("_idx") - 1).alias("_idx"),
-        F.col("l_extendedprice").alias("_tval"),
-    )
-    pos = F.col("_rank").cast("long") * (n - 1) / F.lit(float(n - 1))  # n_s == n_t
-    src = (
-        src.withColumn("_pos", pos)
-        .withColumn("_lo", F.floor(F.col("_pos")).cast("long"))
-        .withColumn("_hi", F.least(F.col("_lo") + 1, F.lit(n - 1)))
-        .withColumn("_frac", F.col("_pos") - F.col("_lo"))
-    )
-    t_lo = tgt.select(F.col("_idx").alias("_lo"), F.col("_tval").alias("_vlo"))
-    t_hi = tgt.select(F.col("_idx").alias("_hi"), F.col("_tval").alias("_vhi"))
-    return (
-        src.join(t_lo, "_lo")
-        .join(t_hi, "_hi")
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.round(
-                F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo")), 6
-            ).alias("qnorm"),
-        )
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "_rank",
+        n_rows=n,
+    ).select("_rank", F.col("l_extendedprice").alias("_tval"))
+    return src.join(tgt, "_rank").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("_tval"), 6).alias("qnorm"),
     )
 
 
 ORACLE_QUANTILE_NORMALIZE = """
 WITH li AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
-), n_row AS (SELECT COUNT(*) AS n FROM li),
-src AS (
+), src AS (
   SELECT l_orderkey, l_linenumber,
-         ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) - 1
-           AS rnk
+         ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS rnk
   FROM li
 ), tgt AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1
+  SELECT ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
            AS idx,
          l_extendedprice AS tval
   FROM li
-), pos AS (
-  SELECT s.l_orderkey, s.l_linenumber,
-         s.rnk * (n.n - 1) / CAST(n.n - 1 AS DOUBLE) AS p,
-         CAST(FLOOR(s.rnk * (n.n - 1) / CAST(n.n - 1 AS DOUBLE)) AS BIGINT) AS lo,
-         LEAST(CAST(FLOOR(s.rnk * (n.n - 1) / CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1,
-               n.n - 1) AS hi
-  FROM src s CROSS JOIN n_row n
 )
-SELECT p.l_orderkey, p.l_linenumber,
-       ROUND(tl.tval + (p.p - p.lo) * (th.tval - tl.tval), 6) AS qnorm
-FROM pos p
-JOIN tgt tl ON tl.idx = p.lo
-JOIN tgt th ON th.idx = p.hi
+SELECT s.l_orderkey, s.l_linenumber, ROUND(t.tval, 6) AS qnorm
+FROM src s JOIN tgt t ON t.idx = s.rnk
 """
 
 

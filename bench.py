@@ -24,9 +24,17 @@ def main() -> None:
     spark = get_spark("pylluminator_spark_bench")
 
     qs = entry_mod.queries()
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM, parquet footers (all tables), and the Python UDF worker
+    # pool + Arrow path once, so per-query numbers measure the query, not
+    # session startup.
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        entry_mod._t(spark, sf_dir, t).count()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
