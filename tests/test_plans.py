@@ -1,0 +1,133 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(broadcast dims, pushed filters, pruned scans, partial aggregation, no
+accidental single-partition exchanges, no row-at-a-time Python) are asserted
+on the ACTUAL plans, so a refactor that silently de-optimizes a query fails
+CI rather than a future 100x scale-up.
+
+Size-based dispatch caveat: the globally-ordered helpers (operators.ordered)
+intentionally use a plain global window below SMALL_INPUT_ROWS — queries on
+that path are asserted separately with the single-partition exchange ALLOWED
+(their scale path is exercised in test_ordered.py with num_partitions set).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans must carry NO scale red flag at any size
+CLEAN = [
+    "anti_join", "beta_distribution", "beta_values", "cnv_regression",
+    "corr_by_brand", "cube_agg", "dedup_exact", "distinct_agg",
+    "doc_fingerprint", "event_windows", "explode_tokens", "infer_channel",
+    "interval_anti_join", "interval_cluster", "lang_profile", "m_values",
+    "mask_builders", "mask_nullout", "median_by_brand", "merge_by_group",
+    "pivot_wide", "pricing_summary", "probe_suffix_merge", "quality_scores",
+    "range_join_count", "revenue_by_nation", "rollup_agg", "running_total",
+    "semi_join", "sessionize", "stouffer_groups", "token_stats",
+    "top_customers", "topk_per_group", "total_ib_intensity", "typed_merge",
+    "union_except", "value_segments",
+]
+
+# size-dispatched global-order helpers: single partition ALLOWED below the
+# small-input threshold (the distributed path is tested in test_ordered.py)
+DISPATCHED = [
+    "bh_adjust", "ecdf_pvalue", "minhash_signatures", "ngram_jaccard",
+    "quantile_normalize", "simhash",
+]
+
+# deliberate broadcast nested-loop shapes: tiny broadcast side by design
+# (8 centroids / block-pair triangle / broadcast query set)
+BNLJ_OK = ["ann_ivf", "cosine_topk", "embedding_near_dup"]
+
+
+def _plan(spark, name: str) -> str:
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_inventory_is_fully_classified():
+    assert sorted(CLEAN + DISPATCHED + BNLJ_OK) == sorted(em.queries())
+
+
+@pytest.mark.parametrize("name", CLEAN)
+def test_no_scale_red_flags(spark, name):
+    plan = _plan(spark, name)
+    assert "SinglePartition" not in plan, f"{name}: single-partition exchange"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+
+
+@pytest.mark.parametrize("name", DISPATCHED + BNLJ_OK)
+def test_no_row_python_anywhere(spark, name):
+    # even the dispatched / BNLJ-by-design queries must never fall back to
+    # row-at-a-time Python evaluation
+    assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_pricing_summary_pushdown_prune_partial_agg(spark):
+    plan = _formatted(spark, "pricing_summary")
+    # the shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed, pushed
+    # column pruning: untouched columns never leave the scan
+    sch = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_partkey", "l_suppkey", "l_tax"):
+        assert col not in sch, sch
+    # partial (map-side) + final aggregation
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen spans: visible in the AQE FINAL plan ("*(n)" spans)
+    df = em.queries()["pricing_summary"](spark, SF)
+    df.collect()
+    assert "*(" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_by_nation_broadcasts_all_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 3
+    fmt = _formatted(spark, "revenue_by_nation")
+    sch = [
+        l for l in fmt.splitlines() if "ReadSchema" in l and "lineitem" not in l
+    ]
+    # lineitem scan reads only the join key + measures
+    li_sch = [l for l in fmt.splitlines() if "l_orderkey" in l and "ReadSchema" in l]
+    assert li_sch and "l_shipdate" not in li_sch[0], li_sch
+    _ = sch
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join")
+    assert "LeftAnti" in _plan(spark, "anti_join")
+
+
+def test_range_join_is_equi_bucketed(spark):
+    # the bucketed range join must plan as an equi join (hash/sort-merge),
+    # never a nested-loop over the raw inequality predicate
+    plan = _plan(spark, "range_join_count")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_windows_are_partitioned(spark):
+    # sessionization / per-group running totals keep their windows keyed
+    for name in ("sessionize", "running_total", "topk_per_group", "value_segments"):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, name
