@@ -1,0 +1,195 @@
+"""Randomized property tests: custom operators vs brute-force oracles.
+
+Each test draws seeded random inputs (several seeds, adversarial shapes:
+multi-bucket spans, duplicate rows, touching/zero-length/nested intervals)
+and compares the distributed operator against an exact pandas/python oracle.
+One Spark job per seed keeps runtime bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.range_join import (
+    cluster_overlaps,
+    count_overlaps,
+    range_join,
+    subtract_overlaps,
+)
+
+
+def _random_intervals(rng, n, max_pos=2000, max_len=400, n_chrom=3, dup_frac=0.1):
+    start = rng.integers(0, max_pos, n)
+    length = rng.integers(0, max_len, n)  # 0-length => start == end (closed)
+    chrom = rng.integers(1, n_chrom + 1, n)
+    pdf = pd.DataFrame(
+        {
+            "chromosome": [f"chr{c}" for c in chrom],
+            "start": start.astype("int64"),
+            "end": (start + length).astype("int64"),
+        }
+    )
+    # inject exact duplicates to exercise join multiplicity
+    n_dup = int(n * dup_frac)
+    if n_dup:
+        pdf = pd.concat([pdf, pdf.iloc[:n_dup]], ignore_index=True)
+    return pdf
+
+
+def _brute_pairs(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+    m = lp.assign(_k=1).merge(
+        rp.assign(_k=1), on=["_k", "chromosome"], suffixes=("_l", "_r")
+    )
+    return m[(m.start_l <= m.end_r) & (m.end_l >= m.start_r)]
+
+
+@pytest.mark.parametrize("seed,bucket", [(0, 100), (1, 50), (2, 1000), (3, 137)])
+def test_range_join_matches_brute_force(spark, seed, bucket):
+    rng = np.random.default_rng(seed)
+    lp = _random_intervals(rng, 120)
+    rp = _random_intervals(rng, 150)
+    lp["lid"] = range(len(lp))
+    rp["rid"] = range(len(rp))
+    got = (
+        range_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            bucket=bucket,
+        )
+        .select("lid", "rid")
+        .toPandas()
+    )
+    exp = _brute_pairs(lp, rp)[["lid", "rid"]]
+    got_set = sorted(map(tuple, got.itertuples(index=False)))
+    exp_set = sorted(map(tuple, exp.itertuples(index=False)))
+    assert got_set == exp_set  # each overlapping pair exactly once
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_range_join_semi_anti_partition_left(spark, seed):
+    rng = np.random.default_rng(seed)
+    lp = _random_intervals(rng, 100)
+    rp = _random_intervals(rng, 40, max_pos=1000)
+    lp["lid"] = range(len(lp))
+    l_df, r_df = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    semi = range_join(l_df, r_df, bucket=64, how="left_semi").toPandas()
+    anti = range_join(l_df, r_df, bucket=64, how="left_anti").toPandas()
+    matched = set(_brute_pairs(lp, rp)["lid"])
+    assert sorted(semi["lid"]) == sorted(matched)
+    assert sorted(anti["lid"]) == sorted(set(lp["lid"]) - matched)
+    # semi + anti is a partition of the left table
+    assert len(semi) + len(anti) == len(lp)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_count_overlaps_keeps_zero_rows(spark, seed):
+    rng = np.random.default_rng(seed)
+    bins = pd.DataFrame(
+        {
+            "chromosome": ["chr1"] * 10 + ["chr2"] * 10,
+            "start": list(np.arange(10) * 200) * 2,
+        }
+    ).astype({"start": "int64"})
+    bins["end"] = bins["start"] + 199
+    bins["bid"] = range(len(bins))
+    pts = _random_intervals(rng, 80, max_pos=1800, max_len=50, n_chrom=2, dup_frac=0)
+    got = (
+        count_overlaps(
+            spark.createDataFrame(bins),
+            spark.createDataFrame(pts),
+            group_cols=["bid"],
+            bucket=128,
+        )
+        .select("bid", "n_overlaps")
+        .toPandas()
+        .set_index("bid")["n_overlaps"]
+    )
+    exp = _brute_pairs(bins.rename(columns={}), pts).groupby("bid").size()
+    for bid in bins["bid"]:
+        assert got[bid] == exp.get(bid, 0), bid
+    assert len(got) == len(bins)  # zero-count bins retained
+
+
+@pytest.mark.parametrize("seed,slack", [(0, 1), (1, 0), (2, 25)])
+def test_cluster_overlaps_matches_brute_force(spark, seed, slack):
+    rng = np.random.default_rng(seed)
+    pdf = _random_intervals(rng, 150, max_pos=1500, max_len=120, dup_frac=0)
+    got = (
+        cluster_overlaps(spark.createDataFrame(pdf), slack=slack)
+        .toPandas()
+        .sort_values(["chromosome", "start", "end"])
+        .reset_index(drop=True)
+    )
+
+    def brute(group):
+        group = group.sort_values(["start", "end"]).reset_index(drop=True)
+        cid, max_end, out = 0, None, []
+        for _, r in group.iterrows():
+            if max_end is None or r["start"] > max_end + slack:
+                cid += 1
+                max_end = r["end"]
+            else:
+                max_end = max(max_end, r["end"])
+            out.append(cid)
+        group["cid"] = out
+        return group
+
+    exp = (
+        pdf.groupby("chromosome", group_keys=False)[pdf.columns]
+        .apply(brute)
+        .sort_values(["chromosome", "start", "end"])
+        .reset_index(drop=True)
+    )
+    # cluster ids are labels: compare the induced partitions
+    got_part = [
+        frozenset(zip(g.chromosome, g.start, g.end))
+        for _, g in got.groupby("cluster_id")
+    ]
+    exp_part = [
+        frozenset(zip(g.chromosome, g.start, g.end))
+        for _, g in exp.groupby(["chromosome", "cid"])
+    ]
+    assert sorted(got_part, key=str) == sorted(exp_part, key=str)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 11])
+def test_subtract_overlaps_matches_coverage_mask(spark, seed):
+    rng = np.random.default_rng(seed)
+    tiles = _random_intervals(rng, 60, max_pos=1200, max_len=300, dup_frac=0)
+    tiles = tiles.drop_duplicates(["chromosome", "start", "end"]).reset_index(
+        drop=True
+    )
+    gaps = _random_intervals(rng, 25, max_pos=1300, max_len=150, dup_frac=0)
+    got = (
+        subtract_overlaps(spark.createDataFrame(tiles), spark.createDataFrame(gaps))
+        .toPandas()
+        .groupby("chromosome")
+        .apply(
+            lambda g: sorted(zip(g.start, g.end)), include_groups=False
+        )
+        .to_dict()
+    )
+
+    # oracle: per chromosome, boolean coverage mask over positions
+    exp: dict[str, list[tuple[int, int]]] = {}
+    for chrom, tg in tiles.groupby("chromosome"):
+        mask_len = 3000
+        covered = np.zeros(mask_len, dtype=bool)
+        for _, g in gaps[gaps.chromosome == chrom].iterrows():
+            covered[g["start"] : g["end"] + 1] = True
+        pieces = []
+        for _, tile in tg.iterrows():
+            run_start = None
+            for pos in range(tile["start"], tile["end"] + 2):
+                free = pos <= tile["end"] and not covered[pos]
+                if free and run_start is None:
+                    run_start = pos
+                elif not free and run_start is not None:
+                    pieces.append((run_start, pos - 1))
+                    run_start = None
+        exp[chrom] = sorted(pieces)
+    for chrom in set(exp) | set(got):
+        assert got.get(chrom, []) == exp.get(chrom, []), chrom
