@@ -530,6 +530,124 @@ def compute_dmr(
     return segments, dmr
 
 
+def get_top_dm(
+    dm: DataFrame,
+    contrast: str,
+    annotation: DataFrame,
+    *,
+    kind: str = "dmp",
+    segments: DataFrame | None = None,
+    annotation_col: str = "genes",
+    chromosome_col: str = "chromosome",
+    sort_by: str = "pvalue",
+    ascending: bool = True,
+    pval_threshold: float | None = 0.05,
+    effect_size_threshold: float | None = None,
+    n_dms: int = 20,
+    columns_to_keep: list[str] | None = None,
+) -> DataFrame:
+    """Top-N DMPs/DMRs with merged gene annotation (reference
+    dm.py:156-270 ``_get_top`` / ``get_top_dmp`` / ``get_top_dmr``).
+
+    Semantics mirrored: filter by ``{contrast}_p_value_adjusted`` and
+    |effect size| thresholds, drop NA sort keys, take the top ``n_dms``
+    (by |effect| when sorting on the effect column, else by ``sort_by``
+    asc/desc), attach the annotation column per probe (via ``segments``
+    for DMRs), and merge distinct annotation values per row into a
+    deterministic sorted ``;``-join.
+
+    Scale shape: the top-N is ``orderBy().limit()`` (TakeOrderedAndProject —
+    a per-partition top-N plus a driver merge, never a global sort), after
+    which every join touches at most ``n_dms`` keys; the probe-level
+    annotation join is a broadcast of the 2-column gene dimension.
+    """
+    from pylluminator_spark.functions.genomic import merge_alt_chromosomes_expr
+
+    if kind not in ("dmp", "dmr"):
+        raise ValueError("kind must be 'dmp' or 'dmr'")
+    is_dmr = kind == "dmr"
+    key_col = "segment_id" if is_dmr else "probe_id"
+    es_col = f"{contrast}_avg_beta_delta" if is_dmr else "effect_size"
+    pval_col = f"{contrast}_p_value_adjusted"
+    if sort_by in ("pvalue", "p_value", "pval"):
+        sort_column = pval_col
+    elif sort_by == "effect_size":
+        sort_column = es_col
+    elif sort_by in dm.columns:
+        sort_column = sort_by
+    else:
+        raise ValueError(f"unknown sort_by {sort_by!r}")
+    for c in (key_col, pval_col, es_col, sort_column):
+        if c not in dm.columns:
+            raise ValueError(f"column {c!r} not found in {dm.columns}")
+
+    keep = [key_col] + (columns_to_keep or [])
+    if is_dmr:
+        keep.append(chromosome_col)
+    keep += [pval_col, es_col, sort_column]
+    keep = list(dict.fromkeys(keep))
+    top = dm.select(*[F.col(f"`{c}`") for c in keep])
+    if is_dmr:
+        top = top.withColumn(
+            chromosome_col, merge_alt_chromosomes_expr(F.col(chromosome_col))
+        )
+    if pval_threshold is not None:
+        top = top.filter(F.col(f"`{pval_col}`") < pval_threshold)
+    if effect_size_threshold is not None:
+        top = top.filter(F.abs(F.col(f"`{es_col}`")) > effect_size_threshold)
+    # (na.drop(subset=...) would parse the patsy-style 'f[T.level]' names as
+    # multipart identifiers — filter on the backquoted column instead)
+    top = top.filter(F.col(f"`{sort_column}`").isNotNull())
+
+    if sort_column == es_col:
+        order = [F.abs(F.col(f"`{sort_column}`")).desc()]
+    else:
+        order = [
+            F.col(f"`{sort_column}`").asc()
+            if ascending
+            else F.col(f"`{sort_column}`").desc()
+        ]
+    top = top.orderBy(*order, F.col(key_col).asc()).limit(n_dms)
+
+    if is_dmr:
+        if segments is None:
+            raise ValueError("segments required for kind='dmr'")
+        top = top.join(
+            segments.select("probe_id", "segment_id"), "segment_id", "left"
+        )
+
+    ann_dt = dict(annotation.dtypes).get(annotation_col)
+    ann_val = (
+        F.col(f"`{annotation_col}`")
+        if ann_dt and ann_dt.startswith("array")
+        else F.split(F.col(f"`{annotation_col}`"), ";")
+    )
+    gene_info = F.broadcast(
+        annotation.select(
+            "probe_id", ann_val.alias("_ann_arr")
+        )
+        .na.drop()
+        .dropDuplicates()
+    )
+    top = top.join(gene_info, "probe_id", "left")
+    if is_dmr:
+        top = top.drop("probe_id")
+    group_cols = [c for c in top.columns if c != "_ann_arr"]
+    merged = top.groupBy(*[F.col(f"`{c}`") for c in group_cols]).agg(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list("_ann_arr")
+                    )
+                )
+            ),
+            ";",
+        ).alias(annotation_col)
+    )
+    return merged.orderBy(*order, F.col(key_col).asc())
+
+
 def select_dmps(
     dmps: DataFrame,
     effect_size_th: float | None = None,

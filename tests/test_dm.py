@@ -215,3 +215,90 @@ def test_select_dmps(betas_df):
     dmps, _ = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
     sel = dm.select_dmps(dmps, effect_size_th=0.2, p_value_th=0.05)
     assert 0 < sel.count() <= dmps.count()
+
+
+def test_get_top_dmp_matches_pandas(spark, betas_df):
+    dmps, contrasts = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
+    contrast = contrasts[0]
+    # annotation with ';'-packed genes; probe cg00007 maps to two rows
+    ann = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "probe_id": [f"cg{i:05d}" for i in range(80)] + ["cg00007"],
+                "genes": [f"G{i % 7};G{(i + 1) % 7}" for i in range(80)]
+                + ["G1;G9"],
+            }
+        )
+    )
+    top = dm.get_top_dm(
+        dmps, contrast, ann, n_dms=10, pval_threshold=0.05
+    ).toPandas()
+    assert len(top) == 10
+    # pandas oracle for membership + gene merge
+    pdf = dmps.toPandas()
+    pcol = f"{contrast}_p_value_adjusted"
+    expected = (
+        pdf[pdf[pcol] < 0.05]
+        .dropna(subset=[pcol])
+        .sort_values([pcol, "probe_id"])
+        .head(10)
+    )
+    assert sorted(top["probe_id"]) == sorted(expected["probe_id"])
+    # ordered by adjusted p ascending
+    assert top[pcol].tolist() == sorted(top[pcol].tolist())
+    for _, r in top.iterrows():
+        i = int(r["probe_id"][2:])
+        genes = {f"G{i % 7}", f"G{(i + 1) % 7}"} | ({"G1", "G9"} if i == 7 else set())
+        assert set(r["genes"].split(";")) == genes, r["probe_id"]
+
+
+def test_get_top_dmr_merges_genes_per_segment(spark, betas_df):
+    dmps, contrasts = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
+    contrast = contrasts[0]
+    # 2 probes per segment, segment stats = dmp stats renamed
+    segs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "probe_id": [f"cg{i:05d}" for i in range(80)],
+                "segment_id": [i // 2 for i in range(80)],
+            }
+        )
+    )
+    dmrs = (
+        dmps.withColumn("segment_id", (F.regexp_replace("probe_id", "cg", "").cast("int") / 2).cast("long"))
+        .groupBy("segment_id")
+        .agg(
+            F.avg(f"`{contrast}_p_value_adjusted`").alias(
+                f"{contrast}_p_value_adjusted"
+            ),
+            F.avg(f"`{contrast}_avg_beta_delta`").alias(
+                f"{contrast}_avg_beta_delta"
+            ),
+        )
+        .withColumn("chromosome", F.lit("chr1"))
+    )
+    top = dm.get_top_dm(
+        dmrs,
+        contrast,
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "probe_id": [f"cg{i:05d}" for i in range(80)],
+                    "genes": [f"G{i}" for i in range(80)],
+                }
+            )
+        ),
+        kind="dmr",
+        segments=segs,
+        n_dms=5,
+        pval_threshold=1.1,
+        sort_by="effect_size",
+    ).toPandas()
+    assert len(top) == 5
+    # each segment's genes = union over its 2 probes; sorted by |delta| desc
+    for _, r in top.iterrows():
+        sid = int(r["segment_id"])
+        assert set(r["genes"].split(";")) == {f"G{2 * sid}", f"G{2 * sid + 1}"}
+    deltas = top[f"{contrast}_avg_beta_delta"].abs().tolist()
+    assert deltas == sorted(deltas, reverse=True)
+    assert "probe_id" not in top.columns
