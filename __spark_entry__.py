@@ -1877,6 +1877,92 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_top_intensity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 composition — per-sample median of the top-20 meth intensities
+    (reference samples.py:1375-1376 ``nlargest(20).median()``): per-group
+    top-k via partitioned row_number (never a global sort), then an exact
+    percentile over the 20 survivors."""
+    sig = _signal_df(spark, sf_dir)
+    w = Window.partitionBy("sample").orderBy(
+        F.col("mg").desc(), F.col("probe_id").asc()
+    )
+    top = (
+        sig.filter(F.col("mg").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+    )
+    return top.groupBy("sample").agg(
+        F.round(F.expr("percentile(mg, 0.5)"), 6).alias("top20_median")
+    )
+
+
+ORACLE_TOP_INTENSITY_MEDIAN = f"""
+WITH {_SIGNAL_CTE},
+ranked AS (
+  SELECT sample, mg,
+         ROW_NUMBER() OVER (PARTITION BY sample
+                            ORDER BY mg DESC, probe_id ASC) AS rn
+  FROM signal WHERE mg IS NOT NULL
+)
+SELECT sample, ROUND(MEDIAN(mg), 6) AS top20_median
+FROM ranked WHERE rn <= 20 GROUP BY sample
+"""
+
+
+def q_top_dm_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W4/A4 — dm.get_top_dm end-to-end on synthetic DMP stats: top-25
+    probes by adjusted p (deterministic tie-break), gene annotation
+    broadcast-joined, distinct genes ';'-merged per probe (reference
+    dm.py:156-270)."""
+    from pylluminator_spark.dm import get_top_dm
+
+    orders = _t(spark, sf_dir, "orders")
+    dmp = orders.select(
+        F.col("o_orderkey").cast("string").alias("probe_id"),
+        (((F.col("o_orderkey") * 7919) % 9973) / 9973.0).alias(
+            "c_p_value_adjusted"
+        ),
+        ((((F.col("o_orderkey") * 31) % 200) / 100.0) - 1.0).alias("effect_size"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    ann = li.select(
+        F.col("l_orderkey").cast("string").alias("probe_id"),
+        F.concat(F.lit("G"), (F.col("l_partkey") % 50).cast("string")).alias(
+            "genes"
+        ),
+    )
+    top = get_top_dm(dmp, "c", ann, n_dms=25, pval_threshold=0.05)
+    return top.select(
+        "probe_id",
+        F.round(F.col("c_p_value_adjusted"), 8).alias("p_adj"),
+        F.round("effect_size", 6).alias("effect_size"),
+        "genes",
+    )
+
+
+ORACLE_TOP_DM_GENES = """
+WITH dmp AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS probe_id,
+         ((o_orderkey * 7919) % 9973) / 9973.0 AS p_adj,
+         (((o_orderkey * 31) % 200) / 100.0) - 1.0 AS effect_size
+  FROM orders
+), top AS (
+  SELECT * FROM dmp WHERE p_adj < 0.05
+  ORDER BY p_adj ASC, probe_id ASC LIMIT 25
+), ann AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS probe_id,
+         'G' || CAST(l_partkey % 50 AS VARCHAR) AS genes
+  FROM lineitem
+)
+SELECT t.probe_id, ROUND(t.p_adj, 8) AS p_adj,
+       ROUND(t.effect_size, 6) AS effect_size,
+       COALESCE(string_agg(DISTINCT a.genes, ';' ORDER BY a.genes), '')
+         AS genes
+FROM top t LEFT JOIN ann a ON a.probe_id = t.probe_id
+GROUP BY t.probe_id, t.p_adj, t.effect_size
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1926,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "rollup_agg": q_rollup_agg,
+        "top_intensity_median": q_top_intensity_median,
+        "top_dm_genes": q_top_dm_genes,
     }
 
 
@@ -1978,4 +2066,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "ann_ivf": ORACLE_ANN_IVF,
         "rollup_agg": ORACLE_ROLLUP_AGG,
+        "top_intensity_median": ORACLE_TOP_INTENSITY_MEDIAN,
+        "top_dm_genes": ORACLE_TOP_DM_GENES,
     }

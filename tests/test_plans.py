@@ -28,7 +28,8 @@ CLEAN = [
     "pivot_wide", "pricing_summary", "probe_suffix_merge", "quality_scores",
     "range_join_count", "revenue_by_nation", "rollup_agg", "running_total",
     "semi_join", "sessionize", "stouffer_groups", "token_stats",
-    "top_customers", "topk_per_group", "total_ib_intensity", "typed_merge",
+    "top_customers", "top_dm_genes", "top_intensity_median",
+    "topk_per_group", "total_ib_intensity", "typed_merge",
     "union_except", "value_segments",
 ]
 
