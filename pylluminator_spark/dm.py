@@ -530,6 +530,96 @@ def compute_dmr(
     return segments, dmr
 
 
+class DM:
+    """User-facing façade mirroring the reference ``DM`` class
+    (reference dm.py:93-143): construct with a long betas table + sample
+    sheet + model formula (fits the per-probe models immediately), then
+    ``compute_dmr()`` for segments/DMRs and ``get_top_dmp/get_top_dmr`` for
+    annotated top hits. All members are DataFrames — nothing is collected.
+    """
+
+    def __init__(
+        self,
+        betas: DataFrame,
+        sheet: pd.DataFrame,
+        formula: str,
+        genomic_ranges: DataFrame | None = None,
+        sample_col: str = "sample",
+        reference_value: dict | None = None,
+        group_column: str | None = None,
+        drop_na: bool = False,
+    ) -> None:
+        self.betas = betas
+        self.sheet = sheet
+        self.genomic_ranges = genomic_ranges
+        self.dmp, self.contrasts = compute_dmp(
+            betas,
+            sheet,
+            formula,
+            sample_col=sample_col,
+            reference_value=reference_value,
+            group_column=group_column,
+            drop_na=drop_na,
+        )
+        self.segments: DataFrame | None = None
+        self.dmr: DataFrame | None = None
+
+    def _default_contrast(self, contrast: str | None) -> str:
+        if contrast is not None:
+            return contrast
+        if len(self.contrasts) != 1:
+            raise ValueError(
+                f"specify one of the contrasts {self.contrasts}"
+                " (reference dm.py:145-153)"
+            )
+        return self.contrasts[0]
+
+    def compute_dmr(
+        self,
+        dist_cutoff: float | None = None,
+        seg_per_locus: float = 0.5,
+    ) -> DataFrame:
+        if self.genomic_ranges is None:
+            raise ValueError("genomic_ranges required to compute DMRs")
+        self.segments, self.dmr = compute_dmr(
+            self.betas,
+            self.dmp,
+            self.genomic_ranges,
+            self.contrasts,
+            dist_cutoff=dist_cutoff,
+            seg_per_locus=seg_per_locus,
+        )
+        return self.dmr
+
+    def get_top_dmp(
+        self, annotation: DataFrame, contrast: str | None = None, **kwargs
+    ) -> DataFrame:
+        return get_top_dm(
+            self.dmp,
+            self._default_contrast(contrast),
+            annotation,
+            kind="dmp",
+            **kwargs,
+        )
+
+    def get_top_dmr(
+        self, annotation: DataFrame, contrast: str | None = None, **kwargs
+    ) -> DataFrame:
+        if self.dmr is None or self.segments is None:
+            raise ValueError("call compute_dmr() first (reference dm.py:180)")
+        return get_top_dm(
+            self.dmr,
+            self._default_contrast(contrast),
+            annotation,
+            kind="dmr",
+            segments=self.segments,
+            **kwargs,
+        )
+
+    def select_dmps(self, **kwargs) -> DataFrame:
+        return select_dmps(self.dmp, **kwargs)
+
+
 def get_top_dm(
     dm: DataFrame,
     contrast: str,

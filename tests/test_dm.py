@@ -217,6 +217,42 @@ def test_select_dmps(betas_df):
     assert 0 < sel.count() <= dmps.count()
 
 
+def test_dm_facade_end_to_end(spark, betas_df):
+    ranges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "probe_id": [f"cg{i:05d}" for i in range(80)],
+                "chromosome": ["chr1"] * 40 + ["chr2"] * 40,
+                "start": [100 * (i % 40) + 1 for i in range(80)],
+                "end": [100 * (i % 40) + 50 for i in range(80)],
+            }
+        )
+    )
+    ann = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "probe_id": [f"cg{i:05d}" for i in range(80)],
+                "genes": [f"G{i % 9}" for i in range(80)],
+            }
+        )
+    )
+    model = dm.DM(betas_df, SHEET, "~ sample_type", genomic_ranges=ranges)
+    assert model.contrasts == ["sample_type[T.PREC]"]
+    assert model.dmp.count() == 80
+    top = model.get_top_dmp(ann, n_dms=5, pval_threshold=1.1)
+    assert top.count() == 5
+    dmr = model.compute_dmr(seg_per_locus=0.5)
+    assert model.segments is not None
+    assert dmr.filter(F.col("`sample_type[T.PREC]_p_value_adjusted`").isNotNull()).count() > 0
+    top_r = model.get_top_dmr(ann, n_dms=3, pval_threshold=1.1)
+    rows = top_r.collect()
+    assert len(rows) == 3 and "genes" in top_r.columns
+    # default-contrast resolution + select_dmps passthrough
+    assert model.select_dmps(p_value_th=1.1).count() == 80
+    with pytest.raises(ValueError):
+        dm.DM(betas_df, SHEET, "~ sample_type").compute_dmr()
+
+
 def test_get_top_dmp_matches_pandas(spark, betas_df):
     dmps, contrasts = dm.compute_dmp(betas_df, SHEET, "~ sample_type")
     contrast = contrasts[0]
