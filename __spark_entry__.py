@@ -1963,6 +1963,48 @@ GROUP BY t.probe_id, t.p_adj, t.effect_size
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference as-of join (operators.asof): each purchase event
+    picks up the most recent error value at-or-before it for the same user
+    — one shuffle on the key, windowed carry, no nested-loop."""
+    from pylluminator_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(purchases, errors, on="user_id")
+    return out.select(
+        "event_id", F.round("err_value_asof", 6).alias("asof_value")
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, MAX(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+), u AS (
+  SELECT user_id, ts, 0 AS is_r, event_id, CAST(NULL AS DOUBLE) AS rv FROM l
+  UNION ALL
+  SELECT user_id, ts, 1 AS is_r, NULL AS event_id, err_value AS rv FROM r
+), c AS (
+  SELECT event_id, is_r,
+         LAST_VALUE(CASE WHEN is_r = 1 THEN rv END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, is_r DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+  FROM u
+)
+SELECT event_id, ROUND(av, 6) AS asof_value FROM c WHERE is_r = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2014,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
+        "asof_join": q_asof_join,
     }
 
 
@@ -2068,4 +2111,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": ORACLE_ROLLUP_AGG,
         "top_intensity_median": ORACLE_TOP_INTENSITY_MEDIAN,
         "top_dm_genes": ORACLE_TOP_DM_GENES,
+        "asof_join": ORACLE_ASOF_JOIN,
     }

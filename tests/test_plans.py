@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 # queries whose plans must carry NO scale red flag at any size
 CLEAN = [
-    "anti_join", "beta_distribution", "beta_values", "cnv_regression",
+    "anti_join", "asof_join", "beta_distribution", "beta_values", "cnv_regression",
     "corr_by_brand", "cube_agg", "dedup_exact", "distinct_agg",
     "doc_fingerprint", "event_windows", "explode_tokens", "infer_channel",
     "interval_anti_join", "interval_cluster", "lang_profile", "m_values",
