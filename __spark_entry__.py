@@ -668,17 +668,23 @@ FROM documents GROUP BY lang
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search — brute-force cosine top-5 neighbors for the first
     five vectors (similarity rounded before ranking for determinism)."""
+    from pylluminator_spark.operators.similarity import dot_expr, norm_expr
+
     emb = _t(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector before the cross join (the per-pair
+    # hot loop then does a single dot product); float math is bit-identical
+    # to cosine_expr, which evaluates the same sqrt-of-sum-of-squares.
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
-    )
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_q"),
+    ).withColumn("_qn", norm_expr(F.col("_q")))
     corpus = emb.select(
-        F.col("vec_id"), F.col("embedding").alias("_c")
-    )
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("_c")
+    ).withColumn("_cn", norm_expr(F.col("_c")))
+    denom = F.col("_qn") * F.col("_cn")
     sim = F.round(
-        cosine_expr(
-            F.col("_q").cast("array<double>"), F.col("_c").cast("array<double>")
-        ),
+        F.when(denom > 0, dot_expr(F.col("_q"), F.col("_c")) / denom)
+        .otherwise(F.lit(0.0)),
         6,
     )
     scored = (
@@ -743,17 +749,20 @@ def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("bin_end", F.col("bin_start") + 49999)
     )
+    # probes on the left (fact side), 80-row bins broadcast on the right:
+    # the exploded fact side must never be the build/broadcast side.
     joined = rj(
+        probes,
         bins.select(
             "chromosome",
             F.col("bin_start").alias("start"),
             F.col("bin_end").alias("end"),
         ),
-        probes,
         bucket=50000,
+        broadcast_right=True,
     )
     return (
-        joined.groupBy("chromosome", F.col("start").alias("bin_start"))
+        joined.groupBy("chromosome", F.col("r_start").alias("bin_start"))
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
     )
 
