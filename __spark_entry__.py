@@ -2014,6 +2014,166 @@ SELECT event_id, ROUND(av, 6) AS asof_value FROM c WHERE is_r = 0
 """
 
 
+def q_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving zero-groups + two-level aggregate (TPC-H
+    Q13 shape): orders-per-customer histogram. Customers without orders must
+    appear with c_count = 0 — the left join keeps them, count(o_orderkey)
+    ignores the null."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+
+
+ORACLE_OUTER_JOIN_COUNTS = """
+SELECT c_count, COUNT(*) AS n_custs FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t GROUP BY c_count
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery decorrelation (TPC-H Q17 shape): lineitems
+    below half their part's average quantity, aggregated per brand. Spark
+    expresses the subquery as a groupBy + equi-join — Catalyst's own
+    decorrelation produces the same plan for the SQL form. l_quantity is
+    whole-numbered, so AVG is exact in both engines and the comparison is
+    order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_aq"))
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("_aq"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_cents(F.col("l_extendedprice"))) / 100.0, 2).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT p_brand, COUNT(*) AS n_items,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_price
+FROM lineitem l1
+JOIN part ON l1.l_partkey = p_partkey
+WHERE l1.l_quantity < 0.5 * (
+  SELECT AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY p_brand
+"""
+
+
+def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN interval PRECEDING): per event,
+    count and integer-scaled sum of 'value' over the trailing hour for the
+    same user. Frames are keyed on epoch microseconds so both engines bound
+    them identically; partitioned by user_id — no global window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(_cents(F.col("value"))).over(w) / 100.0, 2
+        ).alias("sum_1h"),
+    )
+
+
+ORACLE_MOVING_AVG_TIME = """
+SELECT event_id,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0, 2)
+         AS sum_1h
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions (ntile / percent_rank / cume_dist) per
+    market segment over a total order — all rank-based, so cross-engine
+    deterministic without float-accumulation concerns."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+ORACLE_WINDOW_RANKS = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the cube/rollup entries): per-status,
+    per-priority, and grand-total order counts in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     / CAST(100.0 AS DOUBLE), 2) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2066,6 +2226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
+        "outer_join_counts": q_outer_join_counts,
+        "scalar_subquery": q_scalar_subquery,
+        "moving_avg_time": q_moving_avg_time,
+        "window_ranks": q_window_ranks,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -2121,4 +2286,9 @@ def oracle_sql() -> dict[str, str]:
         "top_intensity_median": ORACLE_TOP_INTENSITY_MEDIAN,
         "top_dm_genes": ORACLE_TOP_DM_GENES,
         "asof_join": ORACLE_ASOF_JOIN,
+        "outer_join_counts": ORACLE_OUTER_JOIN_COUNTS,
+        "scalar_subquery": ORACLE_SCALAR_SUBQUERY,
+        "moving_avg_time": ORACLE_MOVING_AVG_TIME,
+        "window_ranks": ORACLE_WINDOW_RANKS,
+        "grouping_sets": ORACLE_GROUPING_SETS,
     }
