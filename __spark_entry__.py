@@ -591,10 +591,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: keep lowest doc_id per content
     (beyond-reference training-data operator)."""
     docs = _t(spark, sf_dir, "documents")
+    # Group on the 8-byte fingerprint of the normalized text, not the text
+    # itself: at 100 TB the shuffle moves hashes, not documents (collision
+    # odds at 2^64 are ~n^2/2^65 — immaterial for dedup).
     normalized = docs.withColumn(
-        "_norm", F.array_join(tokens_expr(F.lower(F.col("text"))), " ")
+        "_fp",
+        F.xxhash64(F.array_join(tokens_expr(F.lower(F.col("text"))), " ")),
     )
-    keep = normalized.groupBy("_norm").agg(
+    keep = normalized.groupBy("_fp").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
     return keep.select("doc_id", "n_copies")
@@ -2174,6 +2178,107 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def q_exists_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS in one query (TPC-H Q21 shape): customers with at
+    least one urgent order and no fulfilled ('F') order. Spark plans these as
+    left-semi + left-anti hash joins on the same key — no subquery re-scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(urgent, "c_custkey", "left_semi")
+        .join(fulfilled, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+ORACLE_EXISTS_SHAPES = """
+SELECT c_mktsegment, COUNT(*) AS n_custs
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_min_cost_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-matches-its-group-minimum (TPC-H Q2 shape): for each part, the
+    supplier(s) whose lineitem price hits the part's minimum. The per-group
+    min is a partial-aggregable groupBy re-joined on the key — two shuffles
+    on l_partkey, both AQE-coalesced."""
+    li = _t(spark, sf_dir, "lineitem")
+    priced = li.select(
+        "l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("_pc")
+    )
+    mins = priced.groupBy("l_partkey").agg(F.min("_pc").alias("_min_pc"))
+    return (
+        priced.join(mins, "l_partkey")
+        .filter(F.col("_pc") == F.col("_min_pc"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.round(F.min("_pc") / 100.0, 2).alias("min_price"),
+        )
+    )
+
+
+ORACLE_MIN_COST_MATCH = """
+WITH priced AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+), mins AS (
+  SELECT l_partkey, MIN(pc) AS min_pc FROM priced GROUP BY l_partkey
+)
+SELECT p.l_partkey, MIN(p.l_suppkey) AS best_suppkey,
+       ROUND(MIN(p.pc) / 100.0, 2) AS min_price
+FROM priced p JOIN mins m
+  ON p.l_partkey = m.l_partkey AND p.pc = m.min_pc
+GROUP BY p.l_partkey
+"""
+
+
+def q_agg_equals_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-equals-global-max (TPC-H Q15 shape): supplier(s) with the
+    maximum total revenue. The scalar max of an aggregate becomes a 1-row
+    broadcast-joined comparison, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("_rev_c")
+    )
+    top = rev.agg(F.max("_rev_c").alias("_max_c"))
+    return (
+        rev.join(F.broadcast(top), F.col("_rev_c") == F.col("_max_c"))
+        .select(
+            "l_suppkey",
+            F.round(F.col("_rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_AGG_EQUALS_MAX = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_c
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, ROUND(rev_c / 100.0, 2) AS total_revenue
+FROM rev WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2231,6 +2336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_time": q_moving_avg_time,
         "window_ranks": q_window_ranks,
         "grouping_sets": q_grouping_sets,
+        "exists_shapes": q_exists_shapes,
+        "min_cost_match": q_min_cost_match,
+        "agg_equals_max": q_agg_equals_max,
     }
 
 
@@ -2291,4 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg_time": ORACLE_MOVING_AVG_TIME,
         "window_ranks": ORACLE_WINDOW_RANKS,
         "grouping_sets": ORACLE_GROUPING_SETS,
+        "exists_shapes": ORACLE_EXISTS_SHAPES,
+        "min_cost_match": ORACLE_MIN_COST_MATCH,
+        "agg_equals_max": ORACLE_AGG_EQUALS_MAX,
     }

@@ -31,7 +31,13 @@ CLEAN = [
     "top_customers", "top_dm_genes", "top_intensity_median",
     "topk_per_group", "total_ib_intensity", "typed_merge",
     "union_except", "value_segments",
+    "outer_join_counts", "scalar_subquery", "moving_avg_time",
+    "window_ranks", "grouping_sets", "exists_shapes", "min_cost_match",
 ]
+
+# global scalar aggregate: the final 1-row stage exchanges O(partitions)
+# partial-agg rows, not data — SinglePartition is correct there
+SCALAR_AGG_OK = ["agg_equals_max"]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
 # small-input threshold (the distributed path is tested in test_ordered.py)
@@ -60,7 +66,9 @@ def _formatted(spark, name: str) -> str:
 
 
 def test_inventory_is_fully_classified():
-    assert sorted(CLEAN + DISPATCHED + BNLJ_OK) == sorted(em.queries())
+    assert sorted(CLEAN + DISPATCHED + BNLJ_OK + SCALAR_AGG_OK) == sorted(
+        em.queries()
+    )
 
 
 @pytest.mark.parametrize("name", CLEAN)
@@ -72,7 +80,7 @@ def test_no_scale_red_flags(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
 
 
-@pytest.mark.parametrize("name", DISPATCHED + BNLJ_OK)
+@pytest.mark.parametrize("name", DISPATCHED + BNLJ_OK + SCALAR_AGG_OK)
 def test_no_row_python_anywhere(spark, name):
     # even the dispatched / BNLJ-by-design queries must never fall back to
     # row-at-a-time Python evaluation
