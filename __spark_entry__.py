@@ -2279,6 +2279,35 @@ FROM rev WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_agg): per
+    event_type totals where one hot type dominates. Result is identical to a
+    plain GROUP BY — the oracle is exactly that — while each hot key's rows
+    spread over `salt` reducers in phase 1."""
+    from pylluminator_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev.withColumn("_vc", _cents(F.col("value"))),
+        "event_type",
+        [F.sum("_vc").alias("_s"), F.count(F.lit(1)).alias("_c")],
+        [
+            F.round(F.sum("_s") / 100.0, 2).alias("total_value"),
+            F.sum("_c").alias("n_events"),
+        ],
+        salt=8,
+    )
+
+
+ORACLE_SKEW_SALTED_AGG = """
+SELECT event_type,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)
+         AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2339,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
         "agg_equals_max": q_agg_equals_max,
+        "skew_salted_agg": q_skew_salted_agg,
     }
 
 
@@ -2402,4 +2432,5 @@ def oracle_sql() -> dict[str, str]:
         "exists_shapes": ORACLE_EXISTS_SHAPES,
         "min_cost_match": ORACLE_MIN_COST_MATCH,
         "agg_equals_max": ORACLE_AGG_EQUALS_MAX,
+        "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     }
