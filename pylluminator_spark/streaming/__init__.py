@@ -15,6 +15,8 @@ from pylluminator_spark.streaming.events import (  # noqa: F401
     session_window_agg,
     streaming_dedup,
     stateful_sessionize,
+    stream_static_enrich,
+    stream_stream_interval_join,
     run_available_now,
     parquet_sink,
 )

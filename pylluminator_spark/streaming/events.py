@@ -297,6 +297,50 @@ def stateful_sessionize(
 # --- Sinks / test drivers ---------------------------------------------------
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream ⨝ static dimension (the streaming analogue of the engine's
+    fact↔manifest broadcast join, SURVEY §2.3 J1). Stateless: each
+    micro-batch hash-joins against the (broadcast) dim — no state store, no
+    watermark needed. The dim is re-resolvable per batch, so slowly-changing
+    dimensions refresh on re-read at batch boundaries."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: rows with equal ``key`` whose right-side
+    event time falls in ``[left_ts, left_ts + within]``.
+
+    Both sides carry a watermark so the state store only buffers rows inside
+    the join window plus the allowed lateness — O(rate x (watermark +
+    within)) state per executor, evicted as the watermark advances. The
+    caller must pre-rename the right-side time column (``right_ts``) so the
+    equi-key and both time columns coexist unambiguously in the output.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(F.col(f"r.{key}"))
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,

@@ -192,3 +192,69 @@ def test_stateful_sessionize(spark, event_chunks):
             r.n_events,
             round(r.sum_value, 6),
         ), f"user {r.user_id} seg {r.segment_id}"
+
+
+def test_stream_static_enrich_parity(spark, event_chunks):
+    from pylluminator_spark.streaming import stream_static_enrich
+
+    ev_batch = load_table(spark, SF_DIR, "events")
+    dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .withColumn("user_bucket", (F.col("user_id") % 7).cast("string"))
+    )
+    enriched = stream_static_enrich(
+        _stream(spark, event_chunks), dim, on="user_id"
+    )
+    res = run_available_now(
+        enriched.groupBy("user_bucket").agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+    )
+    batch = (
+        ev_batch.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_stream_interval_join_parity(spark, event_chunks):
+    from pylluminator_spark.streaming import stream_stream_interval_join
+
+    purchases = _stream(spark, event_chunks).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", F.col("event_id").alias("p_event"))
+    errors = _stream(spark, event_chunks).filter(
+        F.col("event_type") == "error"
+    ).select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("e_event"),
+    )
+    joined = stream_stream_interval_join(
+        purchases, errors, key="user_id", watermark="2 hours", within="1 hour"
+    )
+    res = run_available_now(
+        joined.select("user_id", "p_event", "e_event"), output_mode="append"
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("e_event"),
+    )
+    batch = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 1 hour")),
+    ).select("user_id", "p_event", "e_event")
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
