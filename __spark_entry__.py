@@ -2308,6 +2308,37 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash
+    (operators.sampling; SQL-portable multiplicative-hash variant): per
+    split, document count + char sum. Same key -> same split on any engine,
+    any cluster size, no shuffle for the assignment itself."""
+    from pylluminator_spark.operators.sampling import arith_bucket_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    b = arith_bucket_expr(F.col("doc_id"), 10)
+    split = (
+        F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT = """
+SELECT CASE WHEN ((doc_id * 2654435761) % 1000003) % 10 < 8 THEN 'train'
+            WHEN ((doc_id * 2654435761) % 1000003) % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2369,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_match": q_min_cost_match,
         "agg_equals_max": q_agg_equals_max,
         "skew_salted_agg": q_skew_salted_agg,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2433,4 +2465,5 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_match": ORACLE_MIN_COST_MATCH,
         "agg_equals_max": ORACLE_AGG_EQUALS_MAX,
         "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
+        "hash_split": ORACLE_HASH_SPLIT,
     }

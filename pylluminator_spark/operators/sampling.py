@@ -1,0 +1,79 @@
+"""Deterministic key-hash sampling & split assignment (training-data ops).
+
+A 100 TB corpus pipeline needs samples and train/val/test splits that are
+(a) reproducible across runs and engines, (b) consistent per key — every
+row of a document/user lands in the same split — and (c) computed without
+a shuffle or a stored assignment table. ``rand()``-based sampling violates
+all three; keyed hashing gives all three for free: the decision is a pure
+column expression on the key, evaluated map-side.
+
+``xxhash64`` variants are the engine-grade path. The ``*_arith`` variants
+use a multiplicative hash (Knuth 2654435761 mod a prime) expressible in
+ANSI SQL — the DuckDB oracle checks those bit-for-bit; the xxhash64 path is
+property-tested (fraction tolerance, per-key consistency, disjointness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ARITH_MULT = 2654435761
+_ARITH_MOD = 1000003  # prime
+
+
+def hash_bucket_expr(key: Column, buckets: int = 10_000, salt: int = 0) -> Column:
+    """Uniform bucket in [0, buckets) from xxhash64(key, salt)."""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(buckets))
+
+
+def arith_bucket_expr(key: Column, buckets: int = 10_000) -> Column:
+    """SQL-portable bucket: ((key * 2654435761) % 1000003) % buckets.
+    Key must be integral. Mirrors ``((k * 2654435761) % 1000003) % b`` in
+    any engine with 64-bit integer arithmetic."""
+    return ((key.cast("long") * _ARITH_MULT) % _ARITH_MOD) % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    salt: int = 0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep ~``fraction`` of keys, deterministically: a key is in or out
+    regardless of run, partition layout, or cluster size."""
+    thresh = int(round(fraction * buckets))
+    return df.filter(hash_bucket_expr(F.col(key), buckets, salt) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+    salt: int = 0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Append a deterministic split label ('train'/'val'/'test', any names)
+    with the given weights (must sum to ~1). Same key → same split, always;
+    splits are exactly disjoint and exhaustive."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket_expr(F.col(key), buckets, salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        bound = int(round(acc * buckets))
+        expr = (
+            F.when(bucket < bound, name)
+            if expr is None
+            else expr.when(bucket < bound, name)
+        )
+    last = items[-1][0]
+    return df.withColumn(
+        out_col, F.lit(last) if expr is None else expr.otherwise(last)
+    )

@@ -226,3 +226,23 @@ def test_selectors(session):
     assert ib_t1.count() + oob.count() == long.filter(F.col("type") == "I").count()
     ctl_free = sel.cg(signal)
     assert ctl_free.count() == signal.filter(F.col("probe_type") == "cg").count()
+
+
+def test_idat_python_datasource(spark, idat_dir):
+    """spark.read.format('idat') — Spark 4 Python DataSource — must produce
+    exactly the rows of the binaryFile+mapInPandas scan."""
+    from pylluminator_spark.sources.idat_datasource import IdatDataSource
+
+    spark.dataSource.register(IdatDataSource)
+    via_ds = spark.read.format("idat").load(f"{idat_dir}/*.idat*")
+    assert via_ds.schema.simpleString() == (
+        "struct<sample:string,channel:string,illumina_id:int,"
+        "mean_value:float,std_dev:float,n_beads:int>"
+    )
+    # one input partition per file
+    assert via_ds.rdd.getNumPartitions() == len(SAMPLES) * 2
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(
+        map(tuple, read_idat_files(spark, f"{idat_dir}/*.idat*").collect())
+    )
+    assert a == b
