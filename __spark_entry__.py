@@ -2339,6 +2339,40 @@ FROM documents GROUP BY 1
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting (functions.text.bpe_tokens_expr,
+    GPT-2-style RE2-safe pattern) vs whitespace counts, aggregated per
+    source — the unit an LLM data pipeline budgets in."""
+    from pylluminator_spark.functions.text import bpe_token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        token_count_expr(F.col("text")).alias("_ws"),
+        bpe_token_count_expr(F.col("text")).alias("_bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("_ws").alias("ws_tokens"),
+        F.sum("_bpe").alias("bpe_tokens"),
+        F.round(F.sum("_bpe") / F.sum("_ws"), 6).alias("bpe_per_ws"),
+    )
+
+
+ORACLE_BPE_TOKEN_STATS = r"""
+SELECT source,
+       SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')))
+         AS ws_tokens,
+       SUM(len(regexp_extract_all(text,
+           '''[sdmt]|''ll|''ve|''re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
+         AS bpe_tokens,
+       ROUND(SUM(len(regexp_extract_all(text,
+           '''[sdmt]|''ll|''ve|''re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
+             / (SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x != ''))) * 1.0), 6) AS bpe_per_ws
+FROM documents GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2401,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_equals_max": q_agg_equals_max,
         "skew_salted_agg": q_skew_salted_agg,
         "hash_split": q_hash_split,
+        "bpe_token_stats": q_bpe_token_stats,
     }
 
 
@@ -2466,4 +2501,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_equals_max": ORACLE_AGG_EQUALS_MAX,
         "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
         "hash_split": ORACLE_HASH_SPLIT,
+        "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
     }
