@@ -2373,6 +2373,43 @@ FROM documents GROUP BY source
 """
 
 
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide -> long, the inverse of A1's pivot): part
+    measure columns stacked into (metric, value) rows, aggregated per
+    metric. Spark `unpivot` == SQL UNPIVOT == pandas melt."""
+    part = _t(spark, sf_dir, "part")
+    long = part.unpivot(
+        ["p_partkey"],
+        [
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        ],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).alias("_sum_c"),
+    ).select(
+        "metric",
+        "n",
+        F.round(F.col("_sum_c") / 100.0, 2).alias("sum_value"),
+    )
+
+
+ORACLE_UNPIVOT_MELT = """
+WITH long AS (
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+)
+SELECT metric, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM long GROUP BY metric
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2436,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "hash_split": q_hash_split,
         "bpe_token_stats": q_bpe_token_stats,
+        "unpivot_melt": q_unpivot_melt,
     }
 
 
@@ -2502,4 +2540,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
         "hash_split": ORACLE_HASH_SPLIT,
         "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
+        "unpivot_melt": ORACLE_UNPIVOT_MELT,
     }

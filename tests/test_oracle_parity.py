@@ -98,3 +98,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_entry_driver_smoke(spark):
+    """The driver's t1 smoke contract: entry(spark) runs, yields >=0 rows
+    with a stable schema, and returns an uncollected DataFrame."""
+    df = entry_mod.entry(spark)
+    assert df.schema.simpleString() == (
+        "struct<sample:string,n_probes:bigint,mean_beta:double,"
+        "n_hypo:bigint,n_hyper:bigint>"
+    )
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(r["n_probes"] > 0 for r in rows)

@@ -33,7 +33,7 @@ CLEAN = [
     "union_except", "value_segments",
     "outer_join_counts", "scalar_subquery", "moving_avg_time",
     "window_ranks", "grouping_sets", "exists_shapes", "min_cost_match",
-    "skew_salted_agg", "hash_split", "bpe_token_stats",
+    "skew_salted_agg", "hash_split", "bpe_token_stats", "unpivot_melt",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
