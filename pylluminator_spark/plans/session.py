@@ -189,6 +189,49 @@ class MethylSession:
         ``sigdf=`` threading, samples.py:129-136)."""
         return replace(self, signal=self.signal.persist())
 
+    # -- canonical preprocessing chain ------------------------------------
+    def preprocess(
+        self,
+        infer_channel: bool = True,
+        dye_bias: str | None = "linear",
+        noob: bool = True,
+        poobah_threshold: float | None = 0.05,
+    ) -> "MethylSession":
+        """The reference's tutorial-order chain (SURVEY §3.2):
+        ``infer_type1_channel -> dye bias -> NOOB -> pOOBAH`` as one call,
+        returning a new session whose signal is **persisted** — the chain's
+        output is the canonical reuse point consumed by both ``betas()`` and
+        downstream DM/CNV, and without the cache every consumer re-runs the
+        whole lineage (measured 4x slower at 6M rows,
+        tests/test_scale_pipeline.py). ``dye_bias``: 'linear' | 'nl' | None.
+        pOOBAH failures (p >= threshold) land in the masks table.
+        """
+        from pylluminator_spark import preprocessing as pp
+
+        sess = self
+        sig = sess.signal
+        if infer_channel:
+            sig, _summary, _failed = pp.infer_type1_channel(sig)
+        if dye_bias == "linear":
+            sig = pp.dye_bias_correction(sig)
+        elif dye_bias == "nl":
+            sig = pp.dye_bias_correction_nl(sig)
+        elif dye_bias is not None:
+            raise ValueError(f"dye_bias must be 'linear', 'nl' or None: {dye_bias!r}")
+        if noob:
+            sig = pp.noob_background_correction(sig, sess.masks)
+        sig = sig.persist()
+        sess = replace(sess, signal=sig)
+        if poobah_threshold is not None:
+            _pvals, pb_mask = pp.poobah(
+                sig, sess.masks, threshold=poobah_threshold
+            )
+            masks = sess.masks
+            if masks is None:
+                masks = mask_ops.empty_masks(self.spark)
+            sess = replace(sess, masks=masks.unionByName(pb_mask))
+        return sess
+
     # -- persistence (reference pickle save/load utils.py:144-183,
     #    samples.py:445-462 — here: parquet per table + a JSON manifest) ---
     _TABLES = ("signal", "sample_sheet", "manifest", "masks")

@@ -246,3 +246,22 @@ def test_idat_python_datasource(spark, idat_dir):
         map(tuple, read_idat_files(spark, f"{idat_dir}/*.idat*").collect())
     )
     assert a == b
+
+
+def test_session_preprocess_chain(session):
+    """MethylSession.preprocess: one-call canonical chain with the persisted
+    reuse point and pOOBAH masks folded into the masks table."""
+    out = session.preprocess(dye_bias="linear", poobah_threshold=0.05)
+    assert out.signal.storageLevel.useMemory  # reuse point is cached
+    assert out.signal.count() == session.signal.count()
+    mask_names = {
+        r["mask_name"]
+        for r in out.masks.select("mask_name").distinct().collect()
+    }
+    assert "poobah_0.05" in mask_names
+    # betas off the preprocessed session stay in [0, 1]
+    b = out.betas().agg(
+        F.min("beta").alias("lo"), F.max("beta").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= b["lo"] <= b["hi"] <= 1.0
+    out.signal.unpersist()
