@@ -27,6 +27,7 @@ from pylluminator_spark.functions.text import (
     tokens_expr,
 )
 from pylluminator_spark.operators.similarity import cosine_expr
+from pylluminator_spark.queries import tpch_shapes as _tpch
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -2474,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "bpe_token_stats": q_bpe_token_stats,
         "unpivot_melt": q_unpivot_melt,
+        **_tpch.QUERIES,
     }
 
 
@@ -2541,4 +2543,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": ORACLE_HASH_SPLIT,
         "bpe_token_stats": ORACLE_BPE_TOKEN_STATS,
         "unpivot_melt": ORACLE_UNPIVOT_MELT,
+        **_tpch.ORACLES,
     }

@@ -34,11 +34,19 @@ CLEAN = [
     "outer_join_counts", "scalar_subquery", "moving_avg_time",
     "window_ranks", "grouping_sets", "exists_shapes", "min_cost_match",
     "skew_salted_agg", "hash_split", "bpe_token_stats", "unpivot_melt",
+    "shipping_priority", "late_orders", "volume_shipping", "market_share",
+    "product_profit", "returned_items", "priority_shipmode",
+    "supplier_part_cnt", "large_orders",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
-# partial-agg rows, not data — SinglePartition is correct there
-SCALAR_AGG_OK = ["agg_equals_max"]
+# partial-agg rows, not data — SinglePartition is correct there (and a
+# 1-row broadcast scalar compared via crossJoin plans as a BNLJ by design)
+SCALAR_AGG_OK = [
+    "agg_equals_max", "filter_scan_revenue", "promo_revenue",
+    "disjunctive_pred", "important_parts", "bulk_suppliers",
+    "idle_customers",
+]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
 # small-input threshold (the distributed path is tested in test_ordered.py)
