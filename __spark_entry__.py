@@ -43,6 +43,18 @@ def _cents(col: F.Column, scale: int = 100) -> F.Column:
     return F.round(col * scale).cast("long")
 
 
+def _epoch_us(col_name: str = "ts") -> F.Column:
+    """Epoch microseconds for the events timestamp, valid for both TIMESTAMP
+    and TIMESTAMP_NTZ inputs (the driver's session reads events.parquet as
+    NTZ; ``unix_micros`` rejects NTZ). ``timestampdiff`` from an NTZ epoch
+    literal is timezone-independent and matches DuckDB's ``epoch_us`` on the
+    same naive column."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" CAST({col_name} AS TIMESTAMP_NTZ))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic methylation signal derived deterministically from lineitem. The
 # same derivation is written in each oracle's CTE so both engines compute on
@@ -320,7 +332,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").asc(), F.col("event_id").asc()
     )
     gap_us = 30 * 60 * 1_000_000
-    with_flag = ev.withColumn("_us", F.unix_micros(F.col("ts"))).withColumn(
+    with_flag = ev.withColumn("_us", _epoch_us("ts")).withColumn(
         "_new",
         F.when(
             F.col("_us") - F.lag("_us").over(w) > gap_us, 1
@@ -350,8 +362,8 @@ WITH flagged AS (
            AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
-       (MAX(us) - MIN(us)) // 1000000 AS duration_sec
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
 FROM sessions GROUP BY user_id, session_id
 """
 
@@ -665,7 +677,7 @@ ORACLE_LANG_PROFILE = r"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))) AS DOUBLE)
          / COUNT(*) AS avg_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -1341,7 +1353,7 @@ WITH flagged AS (
                       0) AS segment_id
   FROM flagged
 )
-SELECT user_id, segment_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
 FROM seg GROUP BY user_id, segment_id
 """
@@ -1627,7 +1639,8 @@ flagged AS (
            AS cluster_id
   FROM flagged
 )
-SELECT chromosome, cluster_id, COUNT(*) AS n_intervals,
+SELECT chromosome, CAST(cluster_id AS BIGINT) AS cluster_id,
+       COUNT(*) AS n_intervals,
        MIN(start) AS cluster_start, MAX("end") AS cluster_end
 FROM clustered GROUP BY chromosome, cluster_id
 """
@@ -1747,8 +1760,9 @@ WITH chars AS (
   FROM documents
 )
 SELECT doc_id,
-       SUM((CAST(ascii(substr(text, i, 1)) AS BIGINT)
-            * ((i * 2654435761) % 1000003)) % 1000003) % 1000003 AS fingerprint
+       CAST(SUM((CAST(ascii(substr(text, i, 1)) AS BIGINT)
+            * ((i * 2654435761) % 1000003)) % 1000003) % 1000003 AS BIGINT)
+         AS fingerprint
 FROM chars GROUP BY doc_id
 """
 
@@ -2097,7 +2111,7 @@ def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user. Frames are keyed on epoch microseconds so both engines bound
     them identically; partitioned by user_id — no global window."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_us("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(us.alias("_us"))
@@ -2361,11 +2375,11 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE_TOKEN_STATS = r"""
 SELECT source,
-       SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')))
-         AS ws_tokens,
-       SUM(len(regexp_extract_all(text,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')))
+            AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
            '''[sdmt]|''ll|''ve|''re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
-         AS bpe_tokens,
+            AS BIGINT) AS bpe_tokens,
        ROUND(SUM(len(regexp_extract_all(text,
            '''[sdmt]|''ll|''ve|''re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
              / (SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -2412,7 +2426,36 @@ FROM long GROUP BY metric
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver gates only the FIRST 50 entries against the
+    # DuckDB oracle each round. Sections, in priority order:
+    #   1. queries whose r02 gate row was red (fixed this round — re-verify);
+    #   2. queries never yet driver-gated (r01/r02 gated the old first 50);
+    #   3. queries new this round;
+    #   4. previously green rows (r01+r02), re-gated as capacity allows.
     return {
+        # -- 1. fixed this round --------------------------------------------
+        "sessionize": q_sessionize,
+        "lang_profile": q_lang_profile,
+        "value_segments": q_value_segments,
+        "interval_cluster": q_interval_cluster,
+        "doc_fingerprint": q_doc_fingerprint,
+        # -- 2. never yet gated ---------------------------------------------
+        "outer_join_counts": q_outer_join_counts,
+        "scalar_subquery": q_scalar_subquery,
+        "moving_avg_time": q_moving_avg_time,
+        "window_ranks": q_window_ranks,
+        "grouping_sets": q_grouping_sets,
+        "exists_shapes": q_exists_shapes,
+        "min_cost_match": q_min_cost_match,
+        "agg_equals_max": q_agg_equals_max,
+        "skew_salted_agg": q_skew_salted_agg,
+        "hash_split": q_hash_split,
+        "bpe_token_stats": q_bpe_token_stats,
+        "unpivot_melt": q_unpivot_melt,
+        **_tpch.QUERIES,
+        # -- 3. new this round ----------------------------------------------
+        # (entries appended by the round-3 additions below)
+        # -- 4. previously green (driver-verified in r01/r02) ---------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -2420,7 +2463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "running_total": q_running_total,
-        "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "distinct_agg": q_distinct_agg,
         "median_by_brand": q_median_by_brand,
@@ -2431,7 +2473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_by_group": q_merge_by_group,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
-        "lang_profile": q_lang_profile,
         "cosine_topk": q_cosine_topk,
         "range_join_count": q_range_join_count,
         "ecdf_pvalue": q_ecdf_pvalue,
@@ -2446,36 +2487,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "infer_channel": q_infer_channel,
         "total_ib_intensity": q_total_ib_intensity,
-        "value_segments": q_value_segments,
         "corr_by_brand": q_corr_by_brand,
         "explode_tokens": q_explode_tokens,
         "mask_builders": q_mask_builders,
         "probe_suffix_merge": q_probe_suffix_merge,
         "typed_merge": q_typed_merge,
         "interval_anti_join": q_interval_anti_join,
-        "interval_cluster": q_interval_cluster,
         "beta_distribution": q_beta_distribution,
         "quality_scores": q_quality_scores,
-        "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "rollup_agg": q_rollup_agg,
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
-        "outer_join_counts": q_outer_join_counts,
-        "scalar_subquery": q_scalar_subquery,
-        "moving_avg_time": q_moving_avg_time,
-        "window_ranks": q_window_ranks,
-        "grouping_sets": q_grouping_sets,
-        "exists_shapes": q_exists_shapes,
-        "min_cost_match": q_min_cost_match,
-        "agg_equals_max": q_agg_equals_max,
-        "skew_salted_agg": q_skew_salted_agg,
-        "hash_split": q_hash_split,
-        "bpe_token_stats": q_bpe_token_stats,
-        "unpivot_melt": q_unpivot_melt,
-        **_tpch.QUERIES,
     }
 
 

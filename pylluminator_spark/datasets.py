@@ -33,13 +33,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as a
-    # bigint of epoch-nanos — convert to a microsecond timestamp (matching
-    # what DuckDB's TIMESTAMP cast of the same column produces).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+    # events.ts is parquet TIMESTAMP(NANOS). Depending on the session it
+    # arrives as bigint epoch-nanos (spark.sql.legacy.parquet.nanosAsLong),
+    # TIMESTAMP_NTZ (Spark 4 vanilla read), or TIMESTAMP. Normalize all three
+    # to TIMESTAMP_NTZ at microsecond resolution with timezone-independent
+    # conversions so every downstream query (and the DuckDB oracle, which sees
+    # the same column as a naive TIMESTAMP) observes identical wall-clock
+    # values no matter which session configuration loaded the table.
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, CAST(FLOOR(ts / 1000) AS BIGINT),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif dt == "timestamp":
+            # LTZ -> NTZ via epoch micros (UTC wall clock; session-tz independent).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

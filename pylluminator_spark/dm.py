@@ -19,9 +19,13 @@ Reference: /root/reference/pylluminator/dm.py. Spark-first decomposition:
 - **DMR aggregates (A13)**: groupBy(segment) with Stouffer combine as pure
   column math (functions.stats.stouffer_combine).
 
-MixedLM (group_column random effects, reference dm.py:61-67) requires an
-iterative REML fit; statsmodels is unavailable in this environment so it is
-stubbed with NotImplementedError.
+- **MixedLM (K9, group_column random effects, reference dm.py:61-67)**: a
+  pure-numpy one-random-intercept REML fit. The per-group Sherman-Morrison
+  identity collapses V*^-1 to group sums, so the variance-ratio profile is
+  vectorized across every probe in an Arrow batch simultaneously (grid +
+  golden-section refinement); no statsmodels dependency. Wald z p-values,
+  matching statsmodels MixedLM conventions (f_pvalue is NaN for mixed fits,
+  as the reference returns None there).
 """
 
 from __future__ import annotations
@@ -152,6 +156,136 @@ def f_sf(f_stat: np.ndarray, d1: float, d2: float) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MixedLM: one-random-intercept REML (reference dm.py:61-67, where
+# statsmodels MixedLM(y, X, groups).fit() is used when group_column is set)
+# ---------------------------------------------------------------------------
+
+_erfc = np.vectorize(__import__("math").erfc, otypes=[np.float64])
+
+
+def norm_sf_two_sided(z: np.ndarray) -> np.ndarray:
+    """Two-sided normal (Wald z) p-value: erfc(|z|/sqrt(2))."""
+    z = np.asarray(z, dtype="float64")
+    out = _erfc(np.abs(np.nan_to_num(z)) / np.sqrt(2.0))
+    return np.where(np.isnan(z), np.nan, out)
+
+
+def mixedlm_fit_block(
+    y: np.ndarray,
+    x: np.ndarray,
+    group_codes: np.ndarray,
+    n_grid: int = 41,
+    n_refine: int = 48,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized one-random-intercept linear mixed model, REML.
+
+    ``y``: (p, n) responses with no NaNs; ``x``: (n, k) design matrix;
+    ``group_codes``: (n,) integer group labels. Returns ``(coef, se, tval,
+    pval)``, each (p, k); rows where the fit is singular are NaN (the
+    reference returns NaN on LinAlgError, dm.py:68-69).
+
+    Model: y = X b + Z u + e with u ~ N(0, s_u^2 I_G), e ~ N(0, s_e^2 I_n).
+    Writing lam = s_u^2 / s_e^2 and V* = I + lam Z Z', the per-group
+    Sherman-Morrison identity gives V*^-1 = I - sum_g c_g J_g with
+    c_g = lam / (1 + lam n_g), so every REML quantity reduces to group sums:
+    each lambda evaluation is O(p * G * k^2) with no n x n matrices — the
+    whole Arrow batch of probes shares one profile pass. The profiled REML
+    criterion minimized over lam is
+
+        (n-k) log s2_hat(lam) + sum_g log(1 + lam n_g) + logdet(X'V*^-1 X)
+
+    (equivalent to statsmodels MixedLM(..).fit(reml=True)); inference uses
+    Wald z like statsmodels MixedLM (normal, not t).
+    """
+    y = np.asarray(y, dtype="float64")
+    x = np.asarray(x, dtype="float64")
+    p, n = y.shape
+    k = x.shape[1]
+    if n <= k:
+        nan = np.full((p, k), np.nan)
+        return nan, nan.copy(), nan.copy(), nan.copy()
+    codes, inv = np.unique(group_codes, return_inverse=True)
+    g_count = len(codes)
+    ind = np.zeros((n, g_count))
+    ind[np.arange(n), inv] = 1.0
+    n_g = ind.sum(axis=0)  # (G,)
+    s_mat = ind.T @ x  # (G, k) per-group column sums of X
+    xtx = x.T @ x
+    a_mat = y @ x  # (p, k)  X'y per probe
+    t_mat = y @ ind  # (p, G) per-group sums of y
+    yy = (y * y).sum(axis=1)  # (p,)
+    dof = n - k
+
+    def crit_and_fit(lam: np.ndarray, want_fit: bool = False):
+        # lam: (p,) per-probe variance ratio; returns criterion (p,) and,
+        # when want_fit, (beta, xtwx_inv, s2) for the final extraction.
+        c = lam[:, None] / (1.0 + lam[:, None] * n_g[None, :])  # (p, G)
+        xtwx = xtx[None, :, :] - np.einsum("pg,gi,gj->pij", c, s_mat, s_mat)
+        xtwy = a_mat - np.einsum("pg,pg,gk->pk", c, t_mat, s_mat)
+        ywy = yy - (c * t_mat * t_mat).sum(axis=1)
+        sign, logdet = np.linalg.slogdet(xtwx)
+        ok = sign > 0
+        beta = np.full((p, k), np.nan)
+        if ok.any():
+            try:
+                beta[ok] = np.linalg.solve(xtwx[ok], xtwy[ok][..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                ok = ok & np.array(
+                    [np.linalg.cond(m) < 1e12 for m in xtwx], dtype=bool
+                )
+                beta[ok] = np.einsum(
+                    "pij,pj->pi", np.linalg.pinv(xtwx[ok]), xtwy[ok]
+                )
+        rss = ywy - (beta * xtwy).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s2 = rss / dof
+            crit = (
+                dof * np.log(s2)
+                + np.log1p(lam[:, None] * n_g[None, :]).sum(axis=1)
+                + logdet
+            )
+        crit = np.where(ok & (s2 > 0) & np.isfinite(crit), crit, np.inf)
+        if not want_fit:
+            return crit
+        xtwx_inv = np.full((p, k, k), np.nan)
+        if ok.any():
+            try:
+                xtwx_inv[ok] = np.linalg.inv(xtwx[ok])
+            except np.linalg.LinAlgError:
+                xtwx_inv[ok] = np.linalg.pinv(xtwx[ok])
+        return crit, beta, xtwx_inv, s2
+
+    # 1. coarse profile on a shared grid (0 = OLS boundary included)
+    grid = np.concatenate([[0.0], np.logspace(-5.0, 5.0, n_grid)])
+    crits = np.stack([crit_and_fit(np.full(p, lam)) for lam in grid])  # (g+1, p)
+    best = np.argmin(crits, axis=0)  # (p,)
+    lo = grid[np.maximum(best - 1, 0)]
+    hi = grid[np.minimum(best + 1, len(grid) - 1)]
+    # 2. per-probe golden-section refinement inside the bracket
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    m1 = hi - gr * (hi - lo)
+    m2 = lo + gr * (hi - lo)
+    f1 = crit_and_fit(m1)
+    f2 = crit_and_fit(m2)
+    for _ in range(n_refine):
+        take_left = f1 < f2
+        hi = np.where(take_left, m2, hi)
+        lo = np.where(take_left, lo, m1)
+        m1 = hi - gr * (hi - lo)
+        m2 = lo + gr * (hi - lo)
+        f1 = crit_and_fit(m1)
+        f2 = crit_and_fit(m2)
+    lam_hat = (lo + hi) / 2.0
+    _, beta, xtwx_inv, s2 = crit_and_fit(lam_hat, want_fit=True)
+    diag = np.einsum("pii->pi", xtwx_inv)
+    with np.errstate(invalid="ignore"):
+        se = np.sqrt(s2[:, None] * diag)
+        tval = beta / se
+    pval = norm_sf_two_sided(tval)
+    return beta, se, tval, pval
+
+
+# ---------------------------------------------------------------------------
 # DMP computation
 # ---------------------------------------------------------------------------
 
@@ -172,11 +306,6 @@ def compute_dmp(
     p/t/estimate/std_err + BH-adjusted p, plus per-level avg_beta (+delta)
     for categorical factors.
     """
-    if group_column is not None:
-        raise NotImplementedError(
-            "MixedLM random effects need statsmodels (unavailable); "
-            "reference dm.py:61-67"
-        )
     sheet = sheet.copy()
     if sample_col in sheet.columns:
         sheet = sheet.set_index(sample_col)
@@ -188,6 +317,8 @@ def compute_dmp(
     ]
     for term in rhs_terms:
         sheet = sheet[~sheet[term].isna()]
+    if group_column is not None:
+        sheet = sheet[~sheet[group_column].isna()]
 
     sample_order = sorted(sheet.index.tolist())
     design = build_design_matrix(sheet.loc[sample_order], formula, reference_value)
@@ -200,6 +331,12 @@ def compute_dmp(
     xtx_inv = np.linalg.pinv(x_mat.T @ x_mat)
     pinv = xtx_inv @ x_mat.T  # k x n
     diag_c = np.diag(xtx_inv).copy()
+    # random-intercept group codes aligned to the design's sample order
+    group_codes = (
+        pd.factorize(sheet.loc[sample_order, group_column])[0]
+        if group_column is not None
+        else None
+    )
 
     # categorical avg-beta groupings (reference dm.py:460-472)
     cat_groups: list[tuple[str, str, list[str]]] = []  # (colname, level, samples)
@@ -251,6 +388,25 @@ def compute_dmp(
         has_nan = np.isnan(y_mat).any(axis=1)
         all_nan = np.isnan(y_mat).all(axis=1)
 
+        def _fit_block_mixed(
+            y_block: np.ndarray, x_b, codes_b: np.ndarray, idx: np.ndarray
+        ):
+            # reference dm.py:61-67: MixedLM per probe; f_pvalue is None
+            # (NaN here), inference is Wald z.
+            nb, kb = x_b.shape
+            if nb <= kb or len(idx) == 0:
+                return
+            coef, se, t_vals, p_vals = mixedlm_fit_block(y_block, x_b, codes_b)
+            est_no_int = np.concatenate(
+                [coef[:, 1:], np.zeros((coef.shape[0], 1))], axis=1
+            )
+            out["effect_size"][idx] = est_no_int.max(axis=1) - est_no_int.min(axis=1)
+            for j, fname in enumerate(factor_names):
+                out[f"{fname}_estimate"][idx] = coef[:, j]
+                out[f"{fname}_std_err"][idx] = se[:, j]
+                out[f"{fname}_t_value"][idx] = t_vals[:, j]
+                out[f"{fname}_p_value"][idx] = p_vals[:, j]
+
         def _fit_block(y_block: np.ndarray, x_b, pinv_b, diag_b, idx: np.ndarray):
             nb, kb = x_b.shape
             if nb <= kb or len(idx) == 0:
@@ -284,8 +440,14 @@ def compute_dmp(
         # fast path: probes with complete data share X
         complete_idx = np.where(~has_nan)[0]
         if len(complete_idx) > 0:
-            _fit_block(y_mat[complete_idx], x_mat, pinv, diag_c, complete_idx)
-        # NA path: per distinct missingness pattern (reference OLS missing='drop')
+            if group_codes is not None:
+                _fit_block_mixed(
+                    y_mat[complete_idx], x_mat, group_codes, complete_idx
+                )
+            else:
+                _fit_block(y_mat[complete_idx], x_mat, pinv, diag_c, complete_idx)
+        # NA path: per distinct missingness pattern (reference OLS missing='drop'
+        # / MixedLM's manual NA drop at reference dm.py:65-67)
         partial_idx = np.where(has_nan & ~all_nan)[0]
         if len(partial_idx) > 0:
             patterns: dict[bytes, list[int]] = {}
@@ -296,6 +458,14 @@ def compute_dmp(
                 mask = ~np.frombuffer(key, dtype=bool)
                 x_b = x_mat[mask]
                 if x_b.shape[0] <= x_b.shape[1]:
+                    continue
+                if group_codes is not None:
+                    _fit_block_mixed(
+                        y_mat[np.ix_(idx_list, mask)],
+                        x_b,
+                        group_codes[mask],
+                        np.asarray(idx_list),
+                    )
                     continue
                 xtx_b = np.linalg.pinv(x_b.T @ x_b)
                 pinv_b = xtx_b @ x_b.T

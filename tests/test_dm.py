@@ -338,3 +338,134 @@ def test_get_top_dmr_merges_genes_per_segment(spark, betas_df):
     deltas = top[f"{contrast}_avg_beta_delta"].abs().tolist()
     assert deltas == sorted(deltas, reverse=True)
     assert "probe_id" not in top.columns
+
+
+# ---------------------------------------------------------------------------
+# MixedLM (K9 random-intercept path, reference dm.py:61-67)
+# ---------------------------------------------------------------------------
+
+def test_mixedlm_balanced_one_way_closed_form():
+    """Balanced one-way design: REML has a closed form (sigma_e^2 = MSE,
+    sigma_u^2 = (MSB - MSE)/m); the profiled-lambda kernel must recover the
+    grand mean and its exact standard error sqrt(MSB/n) on interior probes."""
+    rng = np.random.RandomState(7)
+    G, m = 6, 5
+    n = G * m
+    codes = np.repeat(np.arange(G), m)
+    p = 120
+    u = rng.normal(0, 0.8, (p, G))
+    y = 2.0 + u[:, codes] + rng.normal(0, 0.5, (p, n))
+    x = np.ones((n, 1))
+    coef, se, t, pv = dm.mixedlm_fit_block(y, x, codes)
+
+    gm = y.reshape(p, G, m)
+    group_means = gm.mean(axis=2)
+    grand = y.mean(axis=1)
+    mse = ((gm - group_means[:, :, None]) ** 2).sum(axis=(1, 2)) / (n - G)
+    msb = m * ((group_means - grand[:, None]) ** 2).sum(axis=1) / (G - 1)
+    interior = (msb - mse) / m > 1e-4  # away from the sigma_u^2 = 0 boundary
+    assert interior.sum() > p * 0.8
+    np.testing.assert_allclose(coef[:, 0], grand, rtol=1e-9)
+    np.testing.assert_allclose(
+        se[interior, 0], np.sqrt(msb[interior] / n), rtol=1e-5
+    )
+    # Wald z p-values
+    np.testing.assert_allclose(
+        pv[:, 0], dm.norm_sf_two_sided(coef[:, 0] / se[:, 0]), rtol=1e-12
+    )
+
+
+def test_mixedlm_matches_dense_v_reference():
+    """The group-sum (Sherman-Morrison) kernel must agree with a brute-force
+    dense-V REML fit (explicit n x n inverse, fine lambda grid)."""
+    rng = np.random.RandomState(11)
+    G, m, k = 5, 4, 2
+    n = G * m
+    codes = np.repeat(np.arange(G), m)
+    x = np.column_stack([np.ones(n), rng.normal(size=n)])
+    p = 6
+    y = (
+        (x @ np.array([1.0, 0.5]))[None, :]
+        + rng.normal(0, 0.7, (p, G))[:, codes]
+        + rng.normal(0, 0.4, (p, n))
+    )
+    coef, se, _, _ = dm.mixedlm_fit_block(y, x, codes)
+
+    z = np.zeros((n, G))
+    z[np.arange(n), codes] = 1.0
+    lams = np.concatenate([[0.0], np.logspace(-5, 5, 4001)])
+    for i in range(p):
+        best = (np.inf, None, None)
+        for lam in lams:
+            v = np.eye(n) + lam * (z @ z.T)
+            vi = np.linalg.inv(v)
+            xtvx = x.T @ vi @ x
+            beta = np.linalg.solve(xtvx, x.T @ vi @ y[i])
+            r = y[i] - x @ beta
+            s2 = r @ vi @ r / (n - k)
+            crit = (
+                (n - k) * np.log(s2)
+                + np.linalg.slogdet(v)[1]
+                + np.linalg.slogdet(xtvx)[1]
+            )
+            if crit < best[0]:
+                best = (
+                    crit,
+                    beta,
+                    np.sqrt(s2 * np.diag(np.linalg.inv(xtvx))),
+                )
+        np.testing.assert_allclose(coef[i], best[1], atol=2e-4)
+        np.testing.assert_allclose(se[i], best[2], atol=2e-3)
+
+
+def test_compute_dmp_mixedlm_end_to_end(spark):
+    """compute_dmp(group_column=...) runs the mixed path end-to-end:
+    f_pvalue NaN (reference returns None), Wald p-values in [0,1], signal
+    probes detected, NA probes routed through the per-pattern path."""
+    rng = np.random.RandomState(3)
+    donors = ["d0", "d0", "d1", "d1", "d2", "d2", "d3", "d3"]
+    samples = [f"r{i}" for i in range(8)]
+    sheet = pd.DataFrame(
+        {
+            "sample": samples,
+            "sample_type": ["LNCAP", "PREC"] * 4,
+            "donor": donors,
+        }
+    )
+    rows = []
+    for p in range(40):
+        base = rng.uniform(0.3, 0.6)
+        delta = 0.25 if p < 10 else 0.0
+        donor_fx = {d: rng.normal(0, 0.05) for d in set(donors)}
+        for s, st, d in zip(samples, sheet["sample_type"], donors):
+            val = base + (delta if st == "PREC" else 0) + donor_fx[d]
+            val += rng.normal(0, 0.01)
+            if p == 3 and s == "r5":
+                rows.append((s, f"cg{p:05d}", None))
+            else:
+                rows.append((s, f"cg{p:05d}", float(np.clip(val, 0, 1))))
+    betas = spark.createDataFrame(
+        rows, "sample string, probe_id string, beta double"
+    )
+    dmps, contrasts = dm.compute_dmp(
+        betas, sheet, "~ sample_type", group_column="donor"
+    )
+    assert contrasts == ["sample_type[T.PREC]"]
+    got = dmps.toPandas().set_index("probe_id")
+    assert len(got) == 40
+    # mixed fits have no F p-value (reference dm.py:80-83)
+    assert got["f_pvalue"].isna().all()
+    pcol = "sample_type[T.PREC]_p_value"
+    assert got[pcol].between(0, 1).all()
+    assert f"{pcol}_adjusted" in got.columns or "sample_type[T.PREC]_p_value_adjusted" in got.columns
+    # estimates recover the injected group delta
+    est = got["sample_type[T.PREC]_estimate"]
+    assert est[[f"cg{p:05d}" for p in range(10)]].mean() == pytest.approx(
+        0.25, abs=0.05
+    )
+    assert est[[f"cg{p:05d}" for p in range(10, 40)]].abs().mean() < 0.05
+    # the NA probe still gets a finite estimate (pattern path)
+    assert np.isfinite(got.loc["cg00003", "sample_type[T.PREC]_estimate"])
+    # signal probes significant after BH
+    adj = got["sample_type[T.PREC]_p_value_adjusted"]
+    assert (adj[[f"cg{p:05d}" for p in range(10)]] < 0.05).all()

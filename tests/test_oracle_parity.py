@@ -111,3 +111,32 @@ def test_entry_driver_smoke(spark):
     rows = df.collect()
     assert len(rows) == 6
     assert all(r["n_probes"] > 0 for r in rows)
+
+
+def test_vanilla_session_events_queries():
+    """VERDICT r1 #1 regression: the driver passes its OWN SparkSession with
+    none of get_spark's confs, and events.parquet (TIMESTAMP NANOS) must
+    still load and hash-match. Runs the driver-emulating harness in a
+    subprocess so the session really is vanilla (same-JVM getOrCreate would
+    inherit this suite's confs)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "tests" / "driver_emu.py"),
+            "/root/testdata/sf0.001",
+            "sessionize",
+            "event_windows",
+            "moving_avg_time",
+            "asof_join",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**__import__("os").environ, "PYTHONPATH": str(repo)},
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"

@@ -167,13 +167,17 @@ def test_stateful_sessionize(spark, event_chunks):
     gap_us = 2 * 3600 * 1_000_000
     batch_seg = (
         ev.withColumn("_prev_v", F.lag("value").over(w))
-        .withColumn("_prev_t", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn("_us", F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " CAST(ts AS TIMESTAMP_NTZ))"
+        ))
+        .withColumn("_prev_t", F.lag("_us").over(w))
         .withColumn(
             "_break",
             F.when(
                 F.col("_prev_t").isNotNull()
                 & (
-                    (F.unix_micros("ts") - F.col("_prev_t") > gap_us)
+                    (F.col("_us") - F.col("_prev_t") > gap_us)
                     | (F.pow(F.col("value") - F.col("_prev_v"), 2) > 5000.0)
                 ),
                 1,
