@@ -2425,6 +2425,208 @@ FROM long GROUP BY metric
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: real-codec multimodal gate + LSH near-dup gate
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode on a REAL public codec: deterministic RGB images
+    are packed as genuine 24-bit BMP bytes in one mapInPandas pass, decoded
+    back by the pure-Python BMP decoder (operators.multimodal.decode_bmp),
+    and reduced to dims + a pixel checksum. Pixel value is the closed form
+    (x + y + id) % 256 on all three channels, so the oracle recomputes the
+    checksum in SQL — a hash match proves encode -> decode -> aggregate end
+    to end with bytes that any external image tool would also accept."""
+    import numpy as np
+    import pandas as pd
+
+    from pylluminator_spark.operators.multimodal import decode_images, encode_bmp
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 23, 6 + mid % 19
+                yy, xx = np.mgrid[0:h, 0:w]
+                v = ((xx + yy + mid) % 256).astype(np.uint8)
+                rows.append(
+                    (mid, "image", encode_bmp(np.stack([v, v, v], axis=2)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = ids.mapInPandas(
+        pack, schema="media_id long, kind string, content binary"
+    )
+    return decode_images(media).select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pix_sum"),
+    )
+
+
+ORACLE_MEDIA_DECODE = """
+WITH ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 200
+), dims AS (
+  SELECT id, 8 + id % 23 AS w, 6 + id % 19 AS h FROM ids
+), px AS (
+  -- w in [8, 30], h in [6, 24]: fixed series + filter (DuckDB's
+  -- generate_series takes no lateral column arguments)
+  SELECT d.id, d.w, d.h, ((x.x + y.y + d.id) % 256) AS v
+  FROM dims d
+  CROSS JOIN generate_series(0, 29) AS x(x)
+  CROSS JOIN generate_series(0, 23) AS y(y)
+  WHERE x.x < d.w AND y.y < d.h
+)
+SELECT id AS media_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(SUM(v) * 3 AS BIGINT) AS pix_sum
+FROM px GROUP BY id
+"""
+
+
+_LSH_DIM, _LSH_BITS, _LSH_TABLES, _LSH_SEED = 64, 8, 2, 42
+_LSH_THRESHOLD = 0.35
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of near-duplicate detection: LSH hyperplane bucketing
+    (sub-quadratic; only same-bucket pairs are scored), vs the exact
+    block-matmul gate in q_embedding_near_dup. The hyperplanes are
+    seed-deterministic, so the oracle replicates the bucketing EXACTLY with
+    the same plane coefficients as SQL literals — hash equality proves the
+    LSH candidate generation itself, not just a recall bound."""
+    from pylluminator_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dups(
+        emb,
+        threshold=_LSH_THRESHOLD,
+        dim=_LSH_DIM,
+        n_bits=_LSH_BITS,
+        n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def _oracle_near_dup_lsh() -> str:
+    """Generate the DuckDB twin of q_embedding_near_dup_lsh: per table, the
+    signature is the same bit-packed sum of hyperplane sign tests, with the
+    plane coefficients inlined as literals (they are deterministic in the
+    seed, operators/similarity.py:81)."""
+    from pylluminator_spark.operators.similarity import _hyperplanes
+
+    table_ctes = []
+    pair_selects = []
+    for t in range(_LSH_TABLES):
+        planes = _hyperplanes(_LSH_DIM, _LSH_BITS, _LSH_SEED + 1000 * t)
+        bits = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(repr(x) for x in plane)
+            bits.append(
+                "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"[{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        sig = " + ".join(bits)
+        table_ctes.append(
+            f"sig{t} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+            f"{sig} AS sig FROM embeddings)"
+        )
+        pair_selects.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.emb AS ea, "
+            f"b.emb AS eb FROM sig{t} a JOIN sig{t} b "
+            f"ON a.sig = b.sig AND a.vec_id < b.vec_id"
+        )
+    cos = (
+        "list_dot_product(ea, eb) / (sqrt(list_dot_product(ea, ea))"
+        " * sqrt(list_dot_product(eb, eb)))"
+    )
+    return (
+        "WITH " + ",\n".join(table_ctes) + ",\n"
+        "cand AS (SELECT DISTINCT id_a, id_b, ea, eb FROM ("
+        + " UNION ALL ".join(pair_selects)
+        + "))\n"
+        f"SELECT id_a, id_b, ROUND({cos}, 6) AS similarity\n"
+        f"FROM cand WHERE {cos} >= {_LSH_THRESHOLD}"
+    )
+
+
+def _order_betas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long betas with REPEATED MEASURES: probe = order, sample = line
+    number (1..7, naturally missing for short orders — exercises the
+    per-missingness-pattern fit path). Deterministic 1-in-20 probe subset
+    keeps the iterative kernels bench-bounded at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("probe_id"),
+        F.col("l_linenumber").cast("string").alias("sample"),
+        (F.pmod(F.round(F.col("l_extendedprice") * 100).cast("long"), 1000) / 1000.0).alias(
+            "beta"
+        ),
+    ).filter(F.pmod(F.xxhash64("probe_id"), F.lit(20)) == 0)
+
+
+def q_mixedlm_dmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 MixedLM path (reference dm.py:61-67): per-probe one-random-
+    intercept REML over a paired design (sample_type fixed effect, donor
+    random intercept). Iterative REML is not SQL-expressible, so this entry
+    has no oracle — the driver records the rows-only check; numeric parity
+    is covered by tests/test_dm.py against closed-form REML."""
+    import pandas as pd
+
+    from pylluminator_spark.dm import compute_dmp
+
+    betas = _order_betas(spark, sf_dir)
+    sheet = pd.DataFrame(
+        {
+            "sample": [str(i) for i in range(1, 8)],
+            "sample_type": ["A", "B"] * 3 + ["A"],
+            "donor": ["d0", "d0", "d1", "d1", "d2", "d2", "d3"],
+        }
+    )
+    dmps, _ = compute_dmp(betas, sheet, "~ sample_type", group_column="donor")
+    return dmps.select(
+        "probe_id",
+        F.round(F.col("`sample_type[T.B]_estimate`"), 6).alias("estimate"),
+        F.round(F.col("`sample_type[T.B]_p_value`"), 6).alias("p_value"),
+    )
+
+
+def q_dr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K16 DR family smoke at driver scale: classical MDS (closed-form
+    Torgerson counterpart of the reference's sklearn MDS) over the repeated-
+    measures betas — distributed Gram, driver eigendecomposition. Rows-only
+    gate (eigendecompositions are not SQL-expressible)."""
+    from pylluminator_spark.ml import classical_mds
+
+    betas = _order_betas(spark, sf_dir)
+    scores, _ratio = classical_mds(betas, 2, n_probes=500)
+    return scores.select(
+        "sample",
+        F.round("c1", 6).alias("c1"),
+        F.round("c2", 6).alias("c2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Sections, in priority order:
@@ -2454,7 +2656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_melt": q_unpivot_melt,
         **_tpch.QUERIES,
         # -- 3. new this round ----------------------------------------------
-        # (entries appended by the round-3 additions below)
+        "media_decode": q_media_decode,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "mixedlm_dmp": q_mixedlm_dmp,
+        "dr_scores": q_dr_scores,
         # -- 4. previously green (driver-verified in r01/r02) ---------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2556,6 +2761,8 @@ def oracle_sql() -> dict[str, str]:
         "top_intensity_median": ORACLE_TOP_INTENSITY_MEDIAN,
         "top_dm_genes": ORACLE_TOP_DM_GENES,
         "asof_join": ORACLE_ASOF_JOIN,
+        "media_decode": ORACLE_MEDIA_DECODE,
+        "embedding_near_dup_lsh": _oracle_near_dup_lsh(),
         "outer_join_counts": ORACLE_OUTER_JOIN_COUNTS,
         "scalar_subquery": ORACLE_SCALAR_SUBQUERY,
         "moving_avg_time": ORACLE_MOVING_AVG_TIME,

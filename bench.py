@@ -37,12 +37,18 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            _ = n
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # zero out the whole benchmark record
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            continue
         timings[name] = round(time.perf_counter() - start, 4)
-        _ = n
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -51,6 +57,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -5,12 +5,12 @@ a 100 TB training-data pipeline needs: content stays as bytes end-to-end
 (no row-level Python objects), all decode/transform work runs in
 Arrow-batched `mapInPandas` UDFs so each task processes whole record batches.
 
-Container reality: no image/audio libraries are installed here, so real
-codec decode (JPEG/PNG/WAV/MP4) is STUBBED — `decode_media` raises
-`NotImplementedError` for payloads it does not recognize, and tests exercise
-a deterministic synthetic container format (`PYLM`) whose parser is real.
-The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is the deliverable and is fully tested.
+Codecs: three REAL public formats are decoded pure-Python from their
+published specs — uncompressed BMP (24/32-bit), RIFF/WAVE PCM16, and PNG
+(zlib + the five standard row filters) — alongside the deterministic
+synthetic `PYLM` container used for bulk fixtures. Compressed formats whose
+decoders genuinely need native libraries (JPEG/MP4) raise
+`NotImplementedError` at the single `_parse_payload` dispatch point.
 
 Scale notes:
 - `binaryFile` scans parallelize per file; metadata-only queries never read
@@ -146,6 +146,196 @@ def read_binary_dir(spark: SparkSession, path: str, *, glob: str = "*") -> DataF
     )
 
 
+# --- Real public codecs (pure Python from the published specs) -------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    row_size = (w * 3 + 3) & ~3
+    pix_bytes = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + pix_bytes, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix_bytes, 2835, 2835, 0, 0)
+    body = bytearray()
+    bgr = arr[:, :, ::-1]  # RGB -> BGR
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[y].tobytes() + pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to an (h, w, 3|4) uint8 RGB(A)
+    array. Handles bottom-up and top-down row order and row padding."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    bpp, compression = struct.unpack("<HI", data[28:34])
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS with default masks
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (24/32 supported)")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    c = bpp // 8
+    row_size = (w * c + 3) & ~3
+    out = np.zeros((h, w, c), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(
+            data[offset + i * row_size : offset + i * row_size + w * c],
+            dtype=np.uint8,
+        ).reshape(w, c)
+        y = i if top_down else h - 1 - i
+        out[y] = row
+    # BGR(A) -> RGB(A)
+    out[:, :, :3] = out[:, :, 2::-1]
+    return out
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (interleaved if multichannel) as RIFF/WAVE."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a RIFF/WAVE PCM16 payload -> (interleaved int16 samples,
+    sample_rate, channels). Walks the chunk list (ignores LIST/fact etc.)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    sample_rate = channels = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(f"WAVE format {audio_fmt} (PCM only)")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pcm is None or sample_rate is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit WAVE (PCM16 only)")
+    return np.frombuffer(pcm, dtype="<i2"), int(sample_rate), int(channels)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, c) or (h, w) uint8 array as an 8-bit PNG (filter 0
+    rows, one zlib IDAT)."""
+    import binascii
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA)
+    to an (h, w, c) uint8 array — zlib inflate + the five standard row
+    filters (None/Sub/Up/Average/Paeth) from the PNG spec."""
+    import zlib
+
+    if data[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    idat = bytearray()
+    w = h = None
+    color_type = bit_depth = interlace = None
+    while pos + 8 <= len(data):
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {bit_depth} / color type {color_type}"
+        )
+    if interlace:
+        raise NotImplementedError("interlaced PNG")
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbour: scan pixels
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0  # left
+                b = int(prev[i])  # up
+                if ftype == 1:
+                    cur[i] = (row[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (row[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    cc = int(prev[i - c]) if i >= c else 0  # up-left
+                    p = a + b - cc
+                    pa, pb, pc2 = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc2) else (b if pb <= pc2 else cc)
+                    cur[i] = (row[i] + pred) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
 # --- Decode / transform operators (mapInPandas) -----------------------------
 
 DECODED_IMAGE_SCHEMA = StructType(
@@ -160,16 +350,26 @@ DECODED_IMAGE_SCHEMA = StructType(
 
 
 def _parse_payload(content: bytes):
-    """Parse a PYLM container; raise NotImplementedError for foreign codecs.
-
-    REAL-CODEC STUB: decoding JPEG/PNG/WAV/MP4 requires PIL/libsndfile/ffmpeg
-    which are not installed in this container. The dispatch point is here —
-    plug the real decoder in and every downstream operator works unchanged.
+    """Parse a media payload by magic bytes: the PYLM synthetic container,
+    or one of the real pure-Python codecs (BMP / WAVE / PNG above). Formats
+    whose decode genuinely needs native libraries (JPEG/MP4) raise
+    NotImplementedError from this single dispatch point — plug a decoder in
+    here and every downstream operator works unchanged.
     """
+    if content[:2] == b"BM":
+        arr = decode_bmp(content)
+        return "image", arr, {}
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, sr, channels = decode_wav(content)
+        return "audio", samples, {"sample_rate": sr, "channels": channels}
+    if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        arr = decode_png(content)
+        return "image", arr, {}
     if content[:4] != MAGIC:
         raise NotImplementedError(
-            "real media codecs (JPEG/PNG/WAV/MP4) are not available in this "
-            "environment; only the PYLM synthetic container is decodable"
+            "codec not decodable pure-Python in this environment "
+            "(JPEG/MP4 need native libraries); supported: BMP, WAVE PCM16, "
+            "PNG, PYLM"
         )
     kind = content[4]
     if kind == KIND_IMAGE:

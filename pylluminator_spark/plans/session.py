@@ -129,6 +129,7 @@ class MethylSession:
     manifest: DataFrame | None = None
     masks: DataFrame | None = None
     min_beads: int = 1
+    array_type: str | None = None
 
     @classmethod
     def from_idata(
@@ -138,9 +139,19 @@ class MethylSession:
         manifest: DataFrame,
         sample_sheet: DataFrame | None = None,
         min_beads: int = 1,
+        detect_array_type: bool = False,
     ) -> "MethylSession":
+        """``detect_array_type=True`` infers the Illumina array generation
+        from per-sample probe counts (reference annotations.py:360-397 via
+        read_samples); it costs one count-distinct aggregation over idata,
+        so it is opt-in."""
         signal = assemble_signal(idata, manifest, min_beads)
         masks = min_beads_masks(signal, min_beads)
+        array_type = None
+        if detect_array_type:
+            from pylluminator_spark.annotations import consensus_array_type
+
+            array_type = consensus_array_type(idata)
         return cls(
             spark=spark,
             signal=signal,
@@ -148,6 +159,7 @@ class MethylSession:
             manifest=manifest,
             masks=masks,
             min_beads=min_beads,
+            array_type=array_type,
         )
 
     # -- masks ------------------------------------------------------------
@@ -243,7 +255,11 @@ class MethylSession:
         import json
         import os
 
-        state = {"min_beads": self.min_beads, "tables": []}
+        state = {
+            "min_beads": self.min_beads,
+            "array_type": self.array_type,
+            "tables": [],
+        }
         for name in self._TABLES:
             df = getattr(self, name)
             if df is not None:
@@ -263,4 +279,9 @@ class MethylSession:
             name: spark.read.parquet(f"{path}/{name}.parquet")
             for name in state["tables"]
         }
-        return cls(spark=spark, min_beads=state["min_beads"], **kwargs)
+        return cls(
+            spark=spark,
+            min_beads=state["min_beads"],
+            array_type=state.get("array_type"),
+            **kwargs,
+        )

@@ -107,3 +107,205 @@ def test_metadata_correlation(spark):
         np.corrcoef(pdf["age"], pd.factorize(pdf["group"])[0])[0, 1], abs=1e-9
     )
     assert cm[("dose", "age")] == cm[("age", "dose")]
+
+
+# ---------------------------------------------------------------------------
+# DR family (reference ml.py:14-86 model surface)
+# ---------------------------------------------------------------------------
+
+def _pca_ref_scores(mat: pd.DataFrame, k: int) -> np.ndarray:
+    x = mat.to_numpy(dtype=float)
+    xc = x - x.mean(axis=0, keepdims=True)
+    u, s, _ = np.linalg.svd(xc, full_matrices=False)
+    scores = u[:, :k] * s[:k]
+    for j in range(k):
+        p = np.argmax(np.abs(scores[:, j]))
+        if scores[p, j] < 0:
+            scores[:, j] = -scores[:, j]
+    return scores
+
+
+def test_classical_mds_equals_pca_scores(betas):
+    """Classical MDS on euclidean distances == PCA scores (textbook
+    equivalence) — validates the distance/double-centering path."""
+    sdf, ratio = ml.classical_mds(betas, 3, n_probes=None)
+    got = (
+        sdf.toPandas().sort_values("sample").set_index("sample").to_numpy()
+    )
+    want = _pca_ref_scores(_to_matrix(betas), 3)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_truncated_svd_matches_numpy(betas):
+    sdf, _ = ml.truncated_svd(betas, 3, n_probes=None)
+    got = sdf.toPandas().sort_values("sample").set_index("sample").to_numpy()
+    x = _to_matrix(betas).to_numpy(dtype=float)
+    u, s, _ = np.linalg.svd(x, full_matrices=False)
+    want = u[:, :3] * s[:3]
+    for j in range(3):
+        p = np.argmax(np.abs(want[:, j]))
+        if want[p, j] < 0:
+            want[:, j] = -want[:, j]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_kernel_pca_linear_equals_pca(betas):
+    sdf, _ = ml.kernel_pca(betas, 3, kernel="linear", n_probes=None)
+    got = sdf.toPandas().sort_values("sample").set_index("sample").to_numpy()
+    want = _pca_ref_scores(_to_matrix(betas), 3)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_kernel_pca_rbf_runs(betas):
+    sdf, ratio = ml.kernel_pca(betas, 2, kernel="rbf", n_probes=100)
+    pdf = sdf.toPandas()
+    assert len(pdf) == 8 and np.isfinite(pdf[["c1", "c2"]].to_numpy()).all()
+    assert (ratio >= 0).all()
+
+
+def test_fast_ica_recovers_sources():
+    """Two independent non-gaussian sources, linear mixing: FastICA must
+    recover them up to permutation/sign/scale (|corr| > 0.95)."""
+    rng = np.random.RandomState(0)
+    n = 400
+    s1 = np.sign(rng.uniform(-1, 1, n)) * rng.uniform(0.5, 1.0, n)
+    s2 = rng.laplace(size=n)
+    s_true = np.column_stack([s1, s2])
+    a = np.array([[1.0, 0.6], [0.4, 1.2]])
+    x = s_true @ a.T  # n x 2 observed
+    got = ml.fast_ica_scores(x, 2)
+    corr = np.corrcoef(got.T, s_true.T)[:2, 2:]
+    best = np.abs(corr).max(axis=1)
+    assert (best > 0.95).all()
+    # deterministic
+    np.testing.assert_array_equal(got, ml.fast_ica_scores(x, 2))
+
+
+def test_factor_analysis_recovers_structure():
+    rng = np.random.RandomState(1)
+    n, p, k = 200, 20, 2
+    z = rng.normal(size=(n, k))
+    load = rng.normal(size=(k, p)) * 2
+    x = z @ load + rng.normal(scale=0.3, size=(n, p))
+    scores = ml.factor_analysis_scores(x, k)
+    assert scores.shape == (n, k)
+    corr = np.abs(np.corrcoef(scores.T, z.T)[:k, k:])
+    # each true factor matched by some recovered factor
+    assert (corr.max(axis=0) > 0.9).all()
+
+
+def test_nmf_scores_properties():
+    rng = np.random.RandomState(2)
+    w_true = np.abs(rng.normal(size=(30, 3)))
+    h_true = np.abs(rng.normal(size=(3, 40)))
+    x = w_true @ h_true
+    w = ml.nmf_scores(x, 3)
+    assert w.shape == (30, 3)
+    assert (w >= 0).all()
+    np.testing.assert_array_equal(w, ml.nmf_scores(x, 3))  # deterministic
+    # reconstruction via a least-squares H beats the rank-0 baseline by far
+    h = np.linalg.lstsq(w, x, rcond=None)[0]
+    err = np.linalg.norm(x - w @ np.clip(h, 0, None))
+    assert err < 0.15 * np.linalg.norm(x)
+
+
+def test_dictionary_learning_sparse_code():
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=(40, 25))
+    code = ml.dictionary_learning_scores(x, 5, alpha=1.0)
+    assert code.shape == (40, 5)
+    assert (code == 0).mean() > 0.1  # l1 produces genuine zeros
+    np.testing.assert_array_equal(
+        code, ml.dictionary_learning_scores(x, 5, alpha=1.0)
+    )
+
+
+def test_sparse_pca_scores_shape_and_determinism():
+    rng = np.random.RandomState(4)
+    x = rng.normal(size=(30, 50))
+    code = ml.sparse_pca_scores(x, 4, alpha=0.5)
+    assert code.shape == (30, 4)
+    np.testing.assert_array_equal(code, ml.sparse_pca_scores(x, 4, alpha=0.5))
+
+
+def test_lda_scores_topic_separation():
+    """Two disjoint 'vocabulary' blocks: docs from different blocks must get
+    different dominant topics; rows are distributions."""
+    rng = np.random.RandomState(5)
+    x = np.zeros((40, 30))
+    x[:20, :15] = rng.poisson(5, (20, 15))
+    x[20:, 15:] = rng.poisson(5, (20, 15))
+    theta = ml.lda_scores(x, 2, max_iter=30)
+    np.testing.assert_allclose(theta.sum(axis=1), 1.0, atol=1e-8)
+    dom_a = np.bincount(theta[:20].argmax(axis=1), minlength=2).argmax()
+    dom_b = np.bincount(theta[20:].argmax(axis=1), minlength=2).argmax()
+    assert dom_a != dom_b
+
+
+def test_dimensionality_reduction_dispatch(betas):
+    """Every reference model name runs end-to-end on the Spark fixture and
+    returns (info, scores_df, samples, nb_probes)."""
+    for model in ml.DR_MODELS:
+        info, sdf, samples, nb = ml.dimensionality_reduction(
+            betas, model=model, nb_probes=60, n_components=2
+        )
+        pdf = sdf.toPandas()
+        assert info["model"] == model
+        assert set(pdf.columns) == {"sample", "c1", "c2"}, model
+        assert len(pdf) == 8, model
+        assert np.isfinite(pdf[["c1", "c2"]].to_numpy()).all(), model
+        assert samples == sorted(samples)
+    with pytest.raises(ValueError):
+        ml.dimensionality_reduction(betas, model="NOPE")
+
+
+def test_collect_matrix_guard(betas):
+    with pytest.raises(ValueError):
+        ml._collect_matrix(betas, None, max_collect_probes=10)
+
+
+def test_sample_distance_matrix(betas):
+    sdf = ml.sample_distance_matrix(betas)
+    pdf = sdf.toPandas().pivot(index="s1", columns="s2", values="dist")
+    mat = _to_matrix(betas)
+    x = mat.to_numpy(dtype=float)
+    want = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2))
+    got = pdf.loc[mat.index, mat.index].to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-8)
+    assert np.allclose(np.diag(got), 0.0)
+
+
+def test_pc_metadata_association(spark):
+    """Group label aligned with the dominant variance axis gets a tiny
+    association p-value; an orthogonal balanced label does not."""
+    rng = np.random.RandomState(9)
+    samples = [f"s{i}" for i in range(8)]
+    rows = []
+    for p in range(60):
+        base = rng.uniform(0.3, 0.5)
+        for i, s in enumerate(samples):
+            shift = 0.35 if (i >= 4 and p < 40) else 0.0
+            rows.append((s, f"cg{p:04d}", float(base + shift + rng.normal(0, 0.02))))
+    betas = spark.createDataFrame(
+        rows, "sample string, probe_id string, beta double"
+    )
+    sheet = pd.DataFrame(
+        {
+            "sample": samples,
+            "grp": ["lo"] * 4 + ["hi"] * 4,
+            "noise": ["a", "b"] * 4,
+        }
+    )
+    out = ml.pc_metadata_association(
+        betas, sheet, n_components=2, nb_probes=None
+    ).toPandas()
+    assoc = out.set_index(["component", "param"])["value"]
+    assert assoc.loc[(1, "grp")] < 0.01
+    assert assoc.loc[(1, "noise")] > 0.05
+    corr = ml.pc_metadata_association(
+        betas, sheet, kind="correlation", n_components=1, nb_probes=None
+    ).toPandas().set_index(["component", "param"])["value"]
+    assert abs(corr.loc[(1, "grp")]) > 0.9
+    assert abs(corr.loc[(1, "noise")]) <= 1.0
+    with pytest.raises(ValueError):
+        ml.pc_metadata_association(betas, sheet, kind="nope")

@@ -96,7 +96,7 @@ def test_foreign_codec_raises_not_implemented(spark):
 
     fake = spark.createDataFrame(
         pd.DataFrame(
-            {"media_id": [1], "kind": ["image"], "content": [b"\x89PNG fake bytes"]}
+            {"media_id": [1], "kind": ["image"], "content": [b"\xff\xd8\xff\xe0JFIF jpeg bytes"]}
         )
     )
     with pytest.raises(Exception, match="NotImplementedError|not available"):
@@ -115,3 +115,130 @@ def test_binary_dir_scan(media, spark, tmp_path):
     assert len(rows) == 5
     assert all(r.extension == "pylm" for r in rows)
     assert all(r.size_bytes == len(r.content) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Real public codecs (BMP / WAVE / PNG) — pure-Python decoders
+# ---------------------------------------------------------------------------
+
+def test_bmp_round_trip():
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)  # odd width -> padding
+    data = mm.encode_bmp(arr)
+    assert data[:2] == b"BM"
+    np.testing.assert_array_equal(mm.decode_bmp(data), arr)
+
+
+def test_bmp_top_down_and_32bit():
+    # hand-build a 2x2 top-down 32-bit BMP: BGRA pixels
+    import struct as st
+
+    px = bytes([255, 0, 0, 10, 0, 255, 0, 20, 0, 0, 255, 30, 9, 9, 9, 40])
+    header = b"BM" + st.pack("<IHHI", 14 + 40 + len(px), 0, 0, 54)
+    info = st.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(px), 0, 0, 0, 0)
+    out = mm.decode_bmp(header + info + px)
+    assert out.shape == (2, 2, 4)
+    # first row first pixel: BGRA 255,0,0,10 -> RGB(A) 0,0,255,10
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 255, 10])
+    np.testing.assert_array_equal(out[1, 1], [9, 9, 9, 40])
+
+
+def test_wav_round_trip():
+    rng = np.random.RandomState(1)
+    samples = (rng.randn(1000) * 5000).astype(np.int16)
+    data = mm.encode_wav(samples, 16000)
+    got, sr, ch = mm.decode_wav(data)
+    assert (sr, ch) == (16000, 1)
+    np.testing.assert_array_equal(got, samples)
+    # stereo interleaved
+    st2 = (rng.randn(600) * 100).astype(np.int16)
+    got2, sr2, ch2 = mm.decode_wav(mm.encode_wav(st2, 8000, channels=2))
+    assert (sr2, ch2) == (8000, 2)
+    np.testing.assert_array_equal(got2, st2)
+
+
+def test_png_round_trip_all_color_types():
+    rng = np.random.RandomState(2)
+    for c in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, (9, 11, c), dtype=np.uint8)
+        got = mm.decode_png(mm.encode_png(arr))
+        np.testing.assert_array_equal(got, arr, err_msg=f"channels={c}")
+
+
+def test_png_all_filters():
+    """Decode a PNG whose rows use every filter type (hand-filtered)."""
+    import struct as st
+    import zlib
+    import binascii
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8).astype(np.int32)
+    stride = 7 * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = arr[y].ravel()
+        row = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            cc = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                row[i] = cur[i]
+            elif ftype == 1:
+                row[i] = cur[i] - a
+            elif ftype == 2:
+                row[i] = cur[i] - b
+            elif ftype == 3:
+                row[i] = cur[i] - (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc2 = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc2) else (b if pb <= pc2 else cc)
+                row[i] = cur[i] - pred
+        raw += bytes([ftype]) + bytes((row % 256).astype(np.uint8))
+        prev = cur
+
+    def chunk(tag, body):
+        crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + tag + body + st.pack(">I", crc)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mm.decode_png(data), arr.astype(np.uint8))
+
+
+def test_real_codecs_flow_through_operators(spark):
+    """BMP and PNG payloads decode through the same mapInPandas operators as
+    the synthetic container; WAV flows through extract_features."""
+    import pandas as pd
+
+    rng = np.random.RandomState(4)
+    img_a = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    wav = (rng.randn(400) * 2000).astype(np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "kind": ["image", "image", "audio"],
+                "content": [
+                    mm.encode_bmp(img_a),
+                    mm.encode_png(img_b),
+                    mm.encode_wav(wav, 8000),
+                ],
+            }
+        )
+    )
+    decoded = {r.media_id: r for r in mm.decode_images(media).collect()}
+    assert (decoded[1].width, decoded[1].height, decoded[1].channels) == (8, 6, 3)
+    assert (decoded[2].width, decoded[2].height, decoded[2].channels) == (5, 4, 3)
+    np.testing.assert_array_equal(
+        np.array(decoded[1].pixels, dtype=np.uint8).reshape(6, 8, 3), img_a
+    )
+    feats = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert feats[3].kind == "audio"

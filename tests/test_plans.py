@@ -37,6 +37,9 @@ CLEAN = [
     "shipping_priority", "late_orders", "volume_shipping", "market_share",
     "product_profit", "returned_items", "priority_shipmode",
     "supplier_part_cnt", "large_orders",
+    # round 3: real-codec decode (mapInPandas, shuffle-free), LSH bucket
+    # join (equi-join on signatures), grouped-map REML, Gram-trick MDS
+    "media_decode", "embedding_near_dup_lsh", "mixedlm_dmp", "dr_scores",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
