@@ -201,6 +201,324 @@ class MethylSession:
         ``sigdf=`` threading, samples.py:129-136)."""
         return replace(self, signal=self.signal.persist())
 
+    # ------------------------------------------------------------------
+    # Reference-parity facade — one method per public ``Samples`` method
+    # (reference samples.py), delegating to the functional operator layer
+    # so a reference user can switch call-for-call. Getters return Spark
+    # DataFrames (long or semi-wide, never pandas); transforms return a
+    # NEW session (immutable snapshots, unlike the reference's in-place
+    # mutation).
+    # ------------------------------------------------------------------
+
+    def _sig(self, apply_mask: bool = True) -> DataFrame:
+        return self.masked_signal() if apply_mask else self.signal
+
+    def _long(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.to_long(self._sig(apply_mask))
+
+    # -- dimension helpers (reference samples.py:77-121; dimension-sized
+    #    collects only) --------------------------------------------------
+    def sample_labels(self) -> list[str]:
+        return sorted(
+            r["sample"] for r in self.signal.select("sample").distinct().collect()
+        )
+
+    def nb_samples(self) -> int:
+        return self.signal.select("sample").distinct().count()
+
+    def nb_probes(self) -> int:
+        return self.signal.select("probe_id").distinct().count()
+
+    # -- probe-subset getters (reference samples.py:123-419) -------------
+    def type1(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.type1(self._sig(apply_mask))
+
+    def type2(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.type2(self._sig(apply_mask))
+
+    def type1_green(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.type1_green(self._sig(apply_mask))
+
+    def type1_red(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.type1_red(self._sig(apply_mask))
+
+    def oob(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.oob(self._long(apply_mask))
+
+    def oob_red(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.oob_red(self._long(apply_mask))
+
+    def oob_green(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.oob_green(self._long(apply_mask))
+
+    def ib(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.ib(self._long(apply_mask))
+
+    def ib_red(self, apply_mask: bool = True) -> DataFrame:
+        # in-band measurements READ on the red channel (reference
+        # samples.py:208-223): type I red probes + type II red cells
+        return self.ib(apply_mask).filter(F.col("signal_channel") == "R")
+
+    def ib_green(self, apply_mask: bool = True) -> DataFrame:
+        return self.ib(apply_mask).filter(F.col("signal_channel") == "G")
+
+    def meth(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.meth(self._long(apply_mask))
+
+    def unmeth(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.unmeth(self._long(apply_mask))
+
+    def cg_probes(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.cg(self._sig(apply_mask))
+
+    def ch_probes(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.ch(self._sig(apply_mask))
+
+    def snp_probes(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.snp(self._sig(apply_mask))
+
+    def get_probes_with_probe_type(
+        self, probe_type: str, apply_mask: bool = True
+    ) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.probe_type_in(self._sig(apply_mask), probe_type)
+
+    def get_probes(self, probe_ids, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        if isinstance(probe_ids, str):
+            probe_ids = [probe_ids]
+        return sel.get_probes(self._sig(apply_mask), probe_ids)
+
+    def get_signal_df(self, apply_mask: bool = True) -> DataFrame:
+        return self._sig(apply_mask)
+
+    # -- control probes (reference samples.py:837-938) --------------------
+    def controls(
+        self, apply_mask: bool = True, pattern: str | None = None
+    ) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        return sel.controls(self._sig(apply_mask), pattern)
+
+    def get_normalization_controls(
+        self, apply_mask: bool = True, average: bool = False
+    ) -> DataFrame:
+        from pylluminator_spark.operators import selectors as sel
+
+        ctl = sel.normalization_controls(self._sig(apply_mask))
+        if not average:
+            return ctl
+        # reference samples.py:905-918: per-sample mean per channel
+        return ctl.groupBy("sample", "channel").agg(
+            F.avg(F.when(F.col("channel") == "G", F.col("mg")).otherwise(F.col("ur"))).alias(
+                "mean_intensity"
+            )
+        )
+
+    def get_negative_controls(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark import preprocessing as pp
+
+        return pp.negative_controls(self._sig(apply_mask))
+
+    # -- intensity / beta getters (reference samples.py:1017-1255) --------
+    def get_mean_ib_intensity(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark import preprocessing as pp
+
+        return pp.mean_ib_intensity(self._sig(apply_mask))
+
+    def get_total_ib_intensity(self, apply_mask: bool = True) -> DataFrame:
+        from pylluminator_spark import preprocessing as pp
+
+        return pp.total_ib_intensity(self._sig(apply_mask))
+
+    def get_betas(
+        self,
+        drop_na: bool = False,
+        include_out_of_band: bool = False,
+        apply_mask: bool = True,
+    ) -> DataFrame:
+        b = self.betas(include_out_of_band, apply_mask)
+        return b.na.drop(subset=["beta"]) if drop_na else b
+
+    def get_m_values(
+        self, drop_na: bool = False, apply_mask: bool = True
+    ) -> DataFrame:
+        from pylluminator_spark.functions.methyl import beta_to_m_expr
+
+        b = self.get_betas(drop_na=drop_na, apply_mask=apply_mask)
+        return b.withColumn("m_value", beta_to_m_expr(F.col("beta"))).drop("beta")
+
+    # -- preprocessing transforms (reference samples.py:940-1016,
+    #    1257-1607): each returns a NEW session ---------------------------
+    def infer_type1_channel(
+        self, switch_failed: bool = False, mask_failed: bool = False
+    ) -> "MethylSession":
+        from pylluminator_spark import preprocessing as pp
+
+        sig, _summary, _failed = pp.infer_type1_channel(
+            self.signal, switch_failed, mask_failed
+        )
+        return self.with_signal(sig)
+
+    def dye_bias_correction(self, reference: DataFrame | None = None) -> "MethylSession":
+        from pylluminator_spark import preprocessing as pp
+
+        return self.with_signal(pp.dye_bias_correction(self.signal, reference))
+
+    def dye_bias_correction_l(self, reference: DataFrame | None = None) -> "MethylSession":
+        from pylluminator_spark import preprocessing as pp
+
+        return self.with_signal(pp.dye_bias_correction_l(self.signal, reference))
+
+    def dye_bias_correction_nl(self) -> "MethylSession":
+        from pylluminator_spark import preprocessing as pp
+
+        return self.with_signal(pp.dye_bias_correction_nl(self.signal))
+
+    def noob_background_correction(
+        self, use_negative_controls: bool = True, offset: float = 15
+    ) -> "MethylSession":
+        from pylluminator_spark import preprocessing as pp
+
+        return self.with_signal(
+            pp.noob_background_correction(
+                self.signal, self.masks, use_negative_controls, offset
+            )
+        )
+
+    def scrub_background_correction(self) -> "MethylSession":
+        from pylluminator_spark import preprocessing as pp
+
+        return self.with_signal(
+            pp.scrub_background_correction(self.signal, self.masks)
+        )
+
+    def poobah(
+        self, use_negative_controls: bool = True, threshold: float = 0.05
+    ) -> "MethylSession":
+        """pOOBAH detection masking (reference samples.py:1529-1607): failing
+        probes land in the masks table of the returned session."""
+        from pylluminator_spark import preprocessing as pp
+
+        _pvals, pb_mask = pp.poobah(
+            self.signal, self.masks, use_negative_controls, threshold
+        )
+        masks = self.masks if self.masks is not None else mask_ops.empty_masks(self.spark)
+        return replace(self, masks=masks.unionByName(pb_mask))
+
+    def batch_correction(
+        self, batch: str, covariates: list[str] | None = None
+    ) -> DataFrame:
+        """ComBat on betas (reference samples.py:1609-1701): betas -> M ->
+        EB correction -> betas. Requires ``sample_sheet``. Returns the
+        corrected long betas table (the reference stores it as ``_betas``;
+        here betas are always derived views)."""
+        from pylluminator_spark.combat import combat_betas
+
+        if self.sample_sheet is None:
+            raise ValueError("batch_correction needs a sample_sheet")
+        return combat_betas(
+            self.get_betas(drop_na=True), self.sample_sheet, batch, covariates
+        )
+
+    # -- sample/probe reshaping (reference samples.py:604-738) ------------
+    def merge_samples_by(self, by: str) -> "MethylSession":
+        from pylluminator_spark.operators import merge as merge_ops
+
+        if self.sample_sheet is None:
+            raise ValueError("merge_samples_by needs a sample_sheet")
+        return self.with_signal(
+            merge_ops.merge_samples_by(self.signal, self.sample_sheet, by)
+        )
+
+    def remove_probes_suffix(self) -> "MethylSession":
+        from pylluminator_spark.operators import merge as merge_ops
+
+        return self.with_signal(merge_ops.remove_probes_suffix(self.signal))
+
+    def drop_samples(self, sample_labels) -> "MethylSession":
+        from pylluminator_spark.operators import selectors as sel
+
+        labels = [sample_labels] if isinstance(sample_labels, str) else sample_labels
+        return self.with_signal(sel.drop_samples(self.signal, labels))
+
+    def subset(self, sample_labels) -> "MethylSession":
+        from pylluminator_spark.operators import selectors as sel
+
+        labels = [sample_labels] if isinstance(sample_labels, str) else sample_labels
+        return self.with_signal(sel.select_samples(self.signal, labels))
+
+    # -- mask builders (reference samples.py:739-835): each appends to the
+    #    masks table of a new session -------------------------------------
+    def _add_builder_mask(self, probes: DataFrame, name: str) -> "MethylSession":
+        return self.add_mask(probes, name)
+
+    def mask_probes_by_names(self, names_to_mask: str, mask_name: str | None = None) -> "MethylSession":
+        probes = mask_ops.mask_quality(self.signal, names_to_mask)
+        return self._add_builder_mask(probes, mask_name or names_to_mask)
+
+    def mask_quality_probes(self) -> "MethylSession":
+        return self._add_builder_mask(mask_ops.mask_quality(self.signal), "quality")
+
+    def mask_non_unique_probes(self) -> "MethylSession":
+        return self._add_builder_mask(
+            mask_ops.mask_non_unique(self.signal), "non_unique"
+        )
+
+    def mask_xy_probes(self) -> "MethylSession":
+        if self.manifest is None:
+            raise ValueError("mask_xy_probes needs a manifest with chromosomes")
+        return self._add_builder_mask(mask_ops.mask_xy(self.manifest), "xy")
+
+    def mask_control_probes(self) -> "MethylSession":
+        return self._add_builder_mask(mask_ops.mask_controls(self.signal), "controls")
+
+    def mask_snp_probes(self) -> "MethylSession":
+        return self._add_builder_mask(mask_ops.mask_snp(self.signal), "snp")
+
+    def mask_non_cg_probes(self) -> "MethylSession":
+        return self._add_builder_mask(mask_ops.mask_non_cg(self.signal), "non_cg")
+
+    def reset_masks(self) -> "MethylSession":
+        return replace(self, masks=mask_ops.empty_masks(self.spark))
+
+    # -- QC aggregates (reference samples.py:1703-1741 /
+    #    quality_control.py) ---------------------------------------------
+    def get_nb_probes_per_chr_and_type(self) -> DataFrame:
+        from pylluminator_spark import quality_control as qc
+
+        return qc.nb_probes_stats(self._sig(True))
+
     # -- canonical preprocessing chain ------------------------------------
     def preprocess(
         self,

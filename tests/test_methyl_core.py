@@ -265,3 +265,123 @@ def test_session_preprocess_chain(session):
     ).collect()[0]
     assert 0.0 <= b["lo"] <= b["hi"] <= 1.0
     out.signal.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity facade (reference samples.py public methods, one-to-one)
+# ---------------------------------------------------------------------------
+
+def test_facade_probe_getters(session):
+    n_probes = N_PROBES_I + N_PROBES_II
+    assert session.nb_samples() == len(SAMPLES)
+    assert session.nb_probes() == n_probes
+    assert session.sample_labels() == SAMPLES
+    assert session.type1(apply_mask=False).count() == len(SAMPLES) * N_PROBES_I
+    assert session.type2(apply_mask=False).count() == len(SAMPLES) * N_PROBES_II
+    t1g = session.type1_green(apply_mask=False)
+    t1r = session.type1_red(apply_mask=False)
+    assert t1g.count() + t1r.count() == len(SAMPLES) * N_PROBES_I
+    # long-form views partition cells disjointly for type I probes
+    oob_n = session.oob(apply_mask=False).count()
+    ib_n = session.ib(apply_mask=False).count()
+    assert oob_n > 0 and ib_n > 0
+    assert (
+        session.ib_red(apply_mask=False).count()
+        + session.ib_green(apply_mask=False).count()
+        == ib_n
+    )
+    assert session.meth(apply_mask=False).count() > 0
+    assert session.unmeth(apply_mask=False).count() > 0
+    # probe-type families cover the manifest
+    assert (
+        session.cg_probes(apply_mask=False).count()
+        + session.ch_probes(apply_mask=False).count()
+        + session.snp_probes(apply_mask=False).count()
+        == len(SAMPLES) * (N_PROBES_I + N_PROBES_II)
+    )
+    got = session.get_probes("cg000001", apply_mask=False)
+    assert got.select("probe_id").distinct().count() == 1
+    assert session.get_probes_with_probe_type("snp", apply_mask=False).count() > 0
+    assert session.get_signal_df(apply_mask=False).count() == session.signal.count()
+
+
+def test_facade_intensity_and_betas(session):
+    mean_ib = session.get_mean_ib_intensity()
+    tot_ib = session.get_total_ib_intensity()
+    assert mean_ib.count() == len(SAMPLES)
+    # per (sample, probe) totals, like the reference's probes x samples frame
+    assert tot_ib.count() == len(SAMPLES) * (N_PROBES_I + N_PROBES_II)
+    betas = session.get_betas(drop_na=True)
+    assert betas.filter(F.col("beta").isNull()).count() == 0
+    m = session.get_m_values(drop_na=True)
+    assert "m_value" in m.columns and "beta" not in m.columns
+
+
+def test_facade_transforms_return_new_sessions(session):
+    out = session.infer_type1_channel()
+    assert out is not session and out.signal is not session.signal
+    assert out.signal.count() == session.signal.count()
+    db = session.dye_bias_correction_l()
+    assert db.signal.count() == session.signal.count()
+    nb = session.noob_background_correction()
+    assert nb.signal.count() == session.signal.count()
+    sc = session.scrub_background_correction()
+    assert sc.signal.count() == session.signal.count()
+    pb = session.poobah(threshold=0.5)
+    assert pb.masks is not None
+    # drop / subset
+    assert session.drop_samples("s01").select("sample").distinct().count() if False else True
+    assert sorted(
+        r["sample"]
+        for r in session.drop_samples("s01").signal.select("sample").distinct().collect()
+    ) == ["s02", "s03"]
+    assert sorted(
+        r["sample"]
+        for r in session.subset(["s01", "s02"]).signal.select("sample").distinct().collect()
+    ) == ["s01", "s02"]
+    assert session.remove_probes_suffix().signal.count() == session.signal.count()
+
+
+def test_facade_mask_builders(session):
+    masked = (
+        session.mask_quality_probes()
+        .mask_non_unique_probes()
+        .mask_xy_probes()
+        .mask_snp_probes()
+        .mask_non_cg_probes()
+    )
+    names = {
+        r["mask_name"]
+        for r in masked.masks.select("mask_name").distinct().collect()
+    }
+    assert {"quality", "non_unique", "xy", "snp", "non_cg"} <= names
+    # masking nulls out more cells than the min-beads baseline alone
+    base_nulls = session.masked_signal().filter(F.col("mg").isNull()).count()
+    more_nulls = masked.masked_signal().filter(F.col("mg").isNull()).count()
+    assert more_nulls >= base_nulls
+    # reset drops everything
+    assert masked.reset_masks().masks.count() == 0
+    # by-name masking uses the mask_info pattern
+    byname = session.mask_probes_by_names("M_nonuniq")
+    assert byname.masks.filter(F.col("mask_name") == "M_nonuniq").count() > 0
+
+
+def test_facade_merge_and_qc(session, spark):
+    sheet = spark.createDataFrame(
+        pd.DataFrame(
+            {"sample": SAMPLES, "grp": ["a", "a", "b"], "batch": ["x", "y", "x"]}
+        )
+    )
+    sess = MethylSession(
+        spark=spark,
+        signal=session.signal,
+        sample_sheet=sheet,
+        manifest=session.manifest,
+        masks=session.masks,
+    )
+    merged = sess.merge_samples_by("grp")
+    assert sorted(
+        r["sample"] for r in merged.signal.select("sample").distinct().collect()
+    ) == ["a", "b"]
+    qc = session.get_nb_probes_per_chr_and_type()
+    assert qc.count() == len(SAMPLES)
