@@ -2627,6 +2627,123 @@ def q_dr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING (beyond-reference): token-Jaccard pairs
+    over a doc subset become duplicate groups via distributed connected
+    components (min-label propagation + pointer jumping,
+    operators.graph.connected_components); singleton docs keep themselves.
+    The oracle computes the same components as a recursive-CTE transitive
+    closure of min reachable id — exact hash equality on the grouping."""
+    from pylluminator_spark.operators.graph import dedup_components
+
+    dt = _doc_tokens_df(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = dt.select(F.col("doc_id").alias("id_a"), "tid")
+    b = dt.select(F.col("doc_id").alias("id_b"), "tid")
+    inter = (
+        a.join(b, "tid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b")
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 100)
+    )
+    comp = dedup_components(pairs, docs)
+    return comp.select(
+        "doc_id", F.col("component").cast("long").alias("component")
+    )
+
+
+def _oracle_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE {_VOCAB_CTE},
+small AS (SELECT * FROM doc_tokens WHERE doc_id < 100),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM small GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM small a JOIN small b ON a.tid = b.tid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.05
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+docs_sub AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 100
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM docs_sub
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (beyond-reference training-data
+    prep): 200-char chunks every 150 chars (50 overlap), one row per chunk.
+    Pure sequence+substring codegen — the shape a 100 TB pretokenization
+    pass uses (no Python, no shuffle; chunk count scales with doc length)."""
+    docs = _t(spark, sf_dir, "documents")
+    step, size = 150, 200
+    n = F.length("text")
+    return (
+        docs.withColumn(
+            "chunk_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((n - 1) / step).cast("int")
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * step).alias("chunk_start"),
+            F.substring(
+                F.col("text"), F.col("chunk_idx") * step + 1, size
+            ).alias("chunk"),
+        )
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+SELECT doc_id,
+       CAST(x.i AS BIGINT) AS chunk_idx,
+       CAST(x.i * 150 AS BIGINT) AS chunk_start,
+       substr(text, x.i * 150 + 1, 200) AS chunk
+FROM documents CROSS JOIN generate_series(0, 39) AS x(i)
+WHERE x.i <= (len(text) - 1) // 150
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Sections, in priority order:
@@ -2660,6 +2777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
+        "dedup_components": q_dedup_components,
+        "chunk_documents": q_chunk_documents,
         # -- 4. previously green (driver-verified in r01/r02) ---------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2763,6 +2882,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": ORACLE_ASOF_JOIN,
         "media_decode": ORACLE_MEDIA_DECODE,
         "embedding_near_dup_lsh": _oracle_near_dup_lsh(),
+        "dedup_components": _oracle_dedup_components(),
+        "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "outer_join_counts": ORACLE_OUTER_JOIN_COUNTS,
         "scalar_subquery": ORACLE_SCALAR_SUBQUERY,
         "moving_avg_time": ORACLE_MOVING_AVG_TIME,

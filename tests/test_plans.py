@@ -40,6 +40,7 @@ CLEAN = [
     # round 3: real-codec decode (mapInPandas, shuffle-free), LSH bucket
     # join (equi-join on signatures), grouped-map REML, Gram-trick MDS
     "media_decode", "embedding_near_dup_lsh", "mixedlm_dmp", "dr_scores",
+    "chunk_documents",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -56,6 +57,8 @@ SCALAR_AGG_OK = [
 DISPATCHED = [
     "bh_adjust", "ecdf_pvalue", "minhash_signatures", "ngram_jaccard",
     "quantile_normalize", "simhash",
+    # token-vocabulary rank inside _doc_tokens_df is size-dispatched
+    "dedup_components",
 ]
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design
