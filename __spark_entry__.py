@@ -1118,12 +1118,21 @@ _MINHASH_PARAMS = [(7, 3), (11, 17), (13, 29), (17, 43), (19, 59), (23, 71), (29
 _MINHASH_P = 1000003
 
 
-def _doc_tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tokens_df(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
     """(doc_id, tid) pairs with a deterministic relational vocabulary
-    (token -> dense integer id via global ordering)."""
+    (token -> dense integer id via global ordering).
+
+    ``max_doc_id`` restricts BOTH the docs and the vocabulary to the subset
+    before the (eager) vocabulary rank — set-intersection sizes are
+    invariant to the id assignment, so Jaccard-style consumers can restrict
+    early without changing results (or their oracles)."""
     from pylluminator_spark.functions.text import tokens_expr
 
     docs = _t(spark, sf_dir, "documents")
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_expr(F.lower(F.col("text"))))).alias("token"),
@@ -1199,7 +1208,7 @@ def _oracle_simhash() -> str:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/token Jaccard similarity on candidate pairs (dedup
     verification shape, operators.dedup.jaccard_verify semantics)."""
-    dt = _doc_tokens_df(spark, sf_dir).filter(F.col("doc_id") < 30)
+    dt = _doc_tokens_df(spark, sf_dir, max_doc_id=30)
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = dt.select(F.col("doc_id").alias("id_a"), "tid")
     b = dt.select(F.col("doc_id").alias("id_b"), "tid")
@@ -2582,7 +2591,7 @@ def _order_betas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.round(F.col("l_extendedprice") * 100).cast("long"), 1000) / 1000.0).alias(
             "beta"
         ),
-    ).filter(F.pmod(F.xxhash64("probe_id"), F.lit(20)) == 0)
+    ).filter(F.pmod(F.xxhash64("probe_id"), F.lit(40)) == 0)
 
 
 def q_mixedlm_dmp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2636,7 +2645,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure of min reachable id — exact hash equality on the grouping."""
     from pylluminator_spark.operators.graph import dedup_components
 
-    dt = _doc_tokens_df(spark, sf_dir).filter(F.col("doc_id") < 100)
+    dt = _doc_tokens_df(spark, sf_dir, max_doc_id=100)
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = dt.select(F.col("doc_id").alias("id_a"), "tid")
     b = dt.select(F.col("doc_id").alias("id_b"), "tid")

@@ -33,6 +33,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the MINIMUM
     node id reachable from it (its component id).
@@ -41,18 +42,31 @@ def connected_components(
     isolated nodes only appear if present as self-edges or in both columns.
     Raises after ``max_iter`` rounds without convergence (pathological
     diameter — raise the cap for chain-shaped graphs).
+
+    ``num_partitions`` sizes the per-round shuffles: the iterative state is
+    (node, label) — usually orders of magnitude smaller than the corpus the
+    edges came from, so running each round at the session's full shuffle
+    width is pure task-scheduling overhead. Set it to roughly
+    ``n_nodes / 5M`` (AQE coalescing handles the rest); at driver-default
+    None the session's shuffle width is used.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist()  # re-read EVERY round: without this the upstream edge
+        # pipeline (which may itself be a join/similarity computation)
+        # re-executes once per iteration
     )
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "b")
     # initial label: min neighbour (including self)
     labels = (
         sym.unionByName(sym.select(F.col("a"), F.col("a").alias("b")))
         .groupBy("a")
         .agg(F.min("b").alias("lab"))
         .select(F.col("a").alias("node"), "lab")
+        .persist()  # consumed three times per round (nbr, jump, changed)
     )
     for it in range(max_iter):
         # propagate: each node adopts min(own, neighbours', and its label's
@@ -67,12 +81,10 @@ def connected_components(
         jump = l1.join(l2, F.col("l1.lab") == F.col("l2.node")).select(
             F.col("l1.node").alias("node"), F.col("l2.lab").alias("lab")
         )
-        new_labels = (
-            labels.unionByName(nbr)
-            .unionByName(jump)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-        )
+        merged = labels.unionByName(nbr).unionByName(jump)
+        if num_partitions:
+            merged = merged.repartition(num_partitions, "node")
+        new_labels = merged.groupBy("node").agg(F.min("lab").alias("lab"))
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # lineage cut without requiring a checkpoint dir; keeps the
             # iterative plan bounded for the optimizer
@@ -84,10 +96,17 @@ def connected_components(
             .filter(F.col("_old") != F.col("_new"))
             .count()
         )
-        labels.unpersist() if it > 0 else None
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
-            return labels.select("node", F.col("lab").alias("component"))
+            out = labels.select("node", F.col("lab").alias("component"))
+            # materialize the (small) label table before dropping caches so
+            # the returned plan does not depend on the unpersisted inputs
+            out = out.localCheckpoint(eager=True)
+            labels.unpersist()
+            sym.unpersist()
+            return out
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
@@ -99,6 +118,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Duplicate groups from near-duplicate pairs: every document keyed by
     the minimum reachable id of its duplicate cluster. Documents with no
@@ -108,7 +128,7 @@ def dedup_components(
     The canonical-document rule downstream is then one groupBy: keep
     ``min(id)`` (or max quality score) per component.
     """
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b, num_partitions=num_partitions)
     comp = comp.select(F.col("node").alias(id_col), "component")
     if all_ids is not None:
         comp = (

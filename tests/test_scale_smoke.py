@@ -60,3 +60,40 @@ def test_lead_has_one_null_and_no_order_violation(big):
     ld = with_lead(big, ["k", "id"], {"nk": "k"})
     assert ld.filter(F.col("nk").isNull()).count() == 1
     assert ld.filter(F.col("nk") < F.col("k")).count() == 0
+
+
+def test_connected_components_scale(spark):
+    """1M-edge random graph over 200k nodes: the CC loop must converge in
+    few rounds with distributed state only (no driver-side graph). A
+    supercritical random graph (avg degree 10) has one giant component —
+    check the dominant component covers almost everything and labels are
+    component-minimal on a sample."""
+    from pylluminator_spark.operators.graph import connected_components
+
+    n_nodes, n_edges = 200_000, 1_000_000
+    edges = (
+        spark.range(0, n_edges, 1, 64)
+        .select(
+            (F.xxhash64("id") % n_nodes).alias("src"),
+            (F.xxhash64(F.col("id") + 7) % n_nodes).alias("dst"),
+        )
+        .select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+    )
+    comp = connected_components(edges, max_iter=12).persist()
+    n = comp.count()
+    assert n > n_nodes * 0.9  # nearly every node appears in some edge
+    top = (
+        comp.groupBy("component").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] > n * 0.99  # giant component
+    # labels are fixed points: no node's neighbour has a smaller component
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = comp.select(F.col("node").alias("src"), F.col("component").alias("ca"))
+    b = comp.select(F.col("node").alias("dst"), F.col("component").alias("cb"))
+    violations = (
+        sym.join(a, "src").join(b, "dst").filter(F.col("ca") != F.col("cb")).count()
+    )
+    assert violations == 0
+    comp.unpersist()
