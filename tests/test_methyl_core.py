@@ -385,3 +385,26 @@ def test_facade_merge_and_qc(session, spark):
     ) == ["a", "b"]
     qc = session.get_nb_probes_per_chr_and_type()
     assert qc.count() == len(SAMPLES)
+
+
+def test_facade_batch_correction(session, spark):
+    """batch_correction delegates to combat_betas (the numeric path is
+    covered in test_combat with >=2 samples per batch); merged pseudo-samples
+    give each batch two members here."""
+    sheet = spark.createDataFrame(
+        pd.DataFrame({"sample": SAMPLES + ["s04"], "batch": ["x", "y", "x", "y"]})
+    )
+    extra = session.signal.filter(F.col("sample") == "s01").withColumn(
+        "sample", F.lit("s04")
+    )
+    sess = MethylSession(
+        spark=spark,
+        signal=session.signal.unionByName(extra),
+        sample_sheet=sheet,
+        manifest=session.manifest,
+    )
+    corrected = sess.batch_correction("batch").toPandas()
+    assert set(corrected.columns) == {"probe_id", "sample", "beta"}
+    assert corrected["beta"].dropna().between(0, 1).all()
+    with pytest.raises(ValueError, match="sample_sheet"):
+        session.batch_correction("batch")
