@@ -2358,7 +2358,7 @@ ORACLE_HASH_SPLIT = """
 SELECT CASE WHEN ((doc_id * 2654435761) % 1000003) % 10 < 8 THEN 'train'
             WHEN ((doc_id * 2654435761) % 1000003) % 10 < 9 THEN 'val'
             ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
 """
 
