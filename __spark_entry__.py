@@ -2720,7 +2720,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep): 200-char chunks every 150 chars (50 overlap), one row per chunk.
     Pure sequence+substring codegen — the shape a 100 TB pretokenization
     pass uses (no Python, no shuffle; chunk count scales with doc length)."""
-    docs = _t(spark, sf_dir, "documents")
+    # Zero-length texts emit no chunks: floor((0-1)/150) = -1 would make
+    # Spark's sequence(0, -1) descend and emit two spurious rows, while
+    # DuckDB's truncating `//` gives 0 — filtering len>0 makes both sides
+    # agree (and matches the training-pipeline semantics: nothing to chunk).
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     step, size = 150, 200
     n = F.length("text")
     return (
@@ -2743,13 +2747,23 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The chunk-index series bound is derived from MAX(len(text)) (DuckDB's
+# generate_series cannot laterally reference len(text), and a literal cap
+# would silently drop chunks of any document longer than cap*150 chars).
+# len(text) > 0 mirrors the Spark-side empty-text filter; with len >= 1
+# the (len-1)//150 truncating division equals floor division.
 ORACLE_CHUNK_DOCUMENTS = """
+WITH idx AS (
+  SELECT UNNEST(range(0,
+    GREATEST(CAST((SELECT MAX(len(text)) FROM documents) // 150 + 1 AS BIGINT),
+             1))) AS i
+)
 SELECT doc_id,
        CAST(x.i AS BIGINT) AS chunk_idx,
        CAST(x.i * 150 AS BIGINT) AS chunk_start,
        substr(text, x.i * 150 + 1, 200) AS chunk
-FROM documents CROSS JOIN generate_series(0, 39) AS x(i)
-WHERE x.i <= (len(text) - 1) // 150
+FROM documents CROSS JOIN idx AS x
+WHERE len(text) > 0 AND x.i <= (len(text) - 1) // 150
 """
 
 

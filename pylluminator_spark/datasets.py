@@ -43,10 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
+            # `div` keeps the arithmetic integral: `/` would promote the
+            # epoch-nanos bigint (~1.7e18 > 2^53) to double and can floor
+            # off by one microsecond for values that aren't exactly
+            # double-representable.  Nanos are positive, so truncating
+            # `div` equals floor.
             df = df.withColumn(
                 "ts",
                 F.expr(
-                    "timestampadd(MICROSECOND, CAST(FLOOR(ts / 1000) AS BIGINT),"
+                    "timestampadd(MICROSECOND, ts div 1000,"
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )

@@ -253,13 +253,18 @@ def truncated_svd(
     n_probes: int | None = 1000,
     value_col: str = "beta",
 ) -> tuple[DataFrame, np.ndarray]:
-    """TruncatedSVD scores (PCA without centering): eigendecomposition of the
-    UNcentered distributed Gram matrix."""
+    """TruncatedSVD scores over the CENTERED distributed Gram matrix.
+
+    TruncatedSVD itself does not center, but the reference centers the
+    betas per probe before fitting every model except LDA/NMF/MBNMF —
+    TSVD included (reference ml.py:76-80) — so on reference-prepared data
+    TSVD coincides with PCA. We mirror that: center, then eigendecompose.
+    """
     data = betas.na.drop(subset=[value_col])
     if n_probes is not None:
         top = top_variance_probes(data, n_probes, value_col).select("probe_id")
         data = data.join(F.broadcast(top), "probe_id")
-    g, samples = _gram_matrix(data, value_col, center=False)
+    g, samples = _gram_matrix(data, value_col, center=True)
     scores, eigvals = _eig_scores(g, n_components)
     k = scores.shape[1]
     total = eigvals.sum()

@@ -338,11 +338,17 @@ class MethylSession:
         ctl = sel.normalization_controls(self._sig(apply_mask))
         if not average:
             return ctl
-        # reference samples.py:905-918: per-sample mean per channel
-        return ctl.groupBy("sample", "channel").agg(
-            F.avg(F.when(F.col("channel") == "G", F.col("mg")).otherwise(F.col("ur"))).alias(
-                "mean_intensity"
-            )
+        # reference samples.py:909-911: {'G': mean of (G,'M') i.e. mg over
+        # green-pattern controls, 'R': mean of (R,'U') i.e. ur over
+        # red-pattern controls}, per sample.  The grouping key is the
+        # control label the selector adds ('control_channel'), NOT the
+        # manifest design 'channel' — which is NULL for type-II controls.
+        return ctl.groupBy("sample", "control_channel").agg(
+            F.avg(
+                F.when(F.col("control_channel") == "G", F.col("mg")).otherwise(
+                    F.col("ur")
+                )
+            ).alias("mean_intensity")
         )
 
     def get_negative_controls(self, apply_mask: bool = True) -> DataFrame:

@@ -408,3 +408,50 @@ def test_facade_batch_correction(session, spark):
     assert corrected["beta"].dropna().between(0, 1).all()
     with pytest.raises(ValueError, match="sample_sheet"):
         session.batch_correction("batch")
+
+
+def test_get_normalization_controls_average(spark):
+    """average=True must group by the selector's 'control_channel' label, not
+    the manifest design 'channel' (NULL for type-II controls): green rows are
+    mean(mg) over norm_c|norm_g probes, red rows mean(ur) over norm_a|norm_t
+    (reference samples.py:909-911)."""
+    rows = []
+    for si, sample in enumerate(["sA", "sB"]):
+        base = 100.0 * (si + 1)
+        rows += [
+            dict(sample=sample, probe_id="norm_c_01", type="I", channel="G",
+                 probe_type="ctl", mask_info="", mg=base + 1, mr=5.0, ug=7.0,
+                 ur=900.0),
+            # type-II control: design channel is NULL — the regression case
+            dict(sample=sample, probe_id="norm_g_02", type="II", channel=None,
+                 probe_type="ctl", mask_info="", mg=base + 3, mr=5.0, ug=7.0,
+                 ur=901.0),
+            dict(sample=sample, probe_id="norm_a_03", type="I", channel="R",
+                 probe_type="ctl", mask_info="", mg=1.0, mr=2.0, ug=3.0,
+                 ur=base + 11),
+            dict(sample=sample, probe_id="norm_t_04", type="II", channel=None,
+                 probe_type="ctl", mask_info="", mg=1.0, mr=2.0, ug=3.0,
+                 ur=base + 13),
+            dict(sample=sample, probe_id="cg000001", type="II", channel=None,
+                 probe_type="cg", mask_info="", mg=50.0, mr=60.0, ug=70.0,
+                 ur=80.0),
+        ]
+    pdf = pd.DataFrame(rows)
+    sess = MethylSession(spark=spark, signal=spark.createDataFrame(pdf))
+    out = sess.get_normalization_controls(average=True).toPandas()
+
+    # pandas expectation following the reference semantics
+    ctl = pdf[pdf["probe_type"] == "ctl"]
+    green = ctl[ctl["probe_id"].str.contains("norm_c|norm_g", case=False)]
+    red = ctl[ctl["probe_id"].str.contains("norm_a|norm_t", case=False)]
+    expected = {}
+    for sample in ["sA", "sB"]:
+        expected[(sample, "G")] = green.loc[green["sample"] == sample, "mg"].mean()
+        expected[(sample, "R")] = red.loc[red["sample"] == sample, "ur"].mean()
+
+    assert len(out) == 4  # 2 samples x 2 channels, no null-channel collapse
+    assert set(out["control_channel"]) == {"G", "R"}
+    for _, r in out.iterrows():
+        assert r["mean_intensity"] == pytest.approx(
+            expected[(r["sample"], r["control_channel"])]
+        ), (r["sample"], r["control_channel"])

@@ -137,9 +137,13 @@ def test_classical_mds_equals_pca_scores(betas):
 
 
 def test_truncated_svd_matches_numpy(betas):
+    """Reference centers betas per probe before EVERY model except
+    LDA/NMF/MBNMF — TSVD included (reference ml.py:76-80) — so the numpy
+    twin is SVD of the column-centered matrix."""
     sdf, _ = ml.truncated_svd(betas, 3, n_probes=None)
     got = sdf.toPandas().sort_values("sample").set_index("sample").to_numpy()
     x = _to_matrix(betas).to_numpy(dtype=float)
+    x = x - x.mean(axis=0, keepdims=True)
     u, s, _ = np.linalg.svd(x, full_matrices=False)
     want = u[:, :3] * s[:3]
     for j in range(3):
