@@ -365,11 +365,18 @@ def _parse_payload(content: bytes):
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         arr = decode_png(content)
         return "image", arr, {}
+    if content[:3] == b"\xff\xd8\xff":
+        from pylluminator_spark.operators.jpeg import decode_jpeg
+
+        arr = decode_jpeg(content)
+        if arr.ndim == 2:  # grayscale -> (h, w, 1) like every image payload
+            arr = arr[:, :, None]
+        return "image", arr, {}
     if content[:4] != MAGIC:
         raise NotImplementedError(
             "codec not decodable pure-Python in this environment "
-            "(JPEG/MP4 need native libraries); supported: BMP, WAVE PCM16, "
-            "PNG, PYLM"
+            "(MP4 needs native libraries); supported: BMP, WAVE PCM16, "
+            "PNG, baseline JPEG, PYLM"
         )
     kind = content[4]
     if kind == KIND_IMAGE:

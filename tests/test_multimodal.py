@@ -92,14 +92,36 @@ def test_extract_features_all_kinds(media):
 
 
 def test_foreign_codec_raises_not_implemented(spark):
+    """MP4 is the remaining honest codec gap (JPEG decodes for real since
+    operators/jpeg.py landed)."""
     import pandas as pd
 
     fake = spark.createDataFrame(
         pd.DataFrame(
-            {"media_id": [1], "kind": ["image"], "content": [b"\xff\xd8\xff\xe0JFIF jpeg bytes"]}
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "content": [b"\x00\x00\x00\x18ftypmp42 fake mp4 box"],
+            }
         )
     )
     with pytest.raises(Exception, match="NotImplementedError|not available"):
+        mm.decode_images(fake).collect()
+
+
+def test_truncated_jpeg_raises_parse_error(spark):
+    import pandas as pd
+
+    fake = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "content": [b"\xff\xd8\xff\xe0JFIF truncated"],
+            }
+        )
+    )
+    with pytest.raises(Exception):
         mm.decode_images(fake).collect()
 
 
@@ -242,3 +264,75 @@ def test_real_codecs_flow_through_operators(spark):
     )
     feats = {r.media_id: r for r in mm.extract_features(media).collect()}
     assert feats[3].kind == "audio"
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (operators/jpeg.py — baseline sequential, T.81 + Annex K)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_grayscale():
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    gray = np.clip(x + 10 * np.sin(np.arange(h))[:, None], 0, 255).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(gray, quality=92))
+    assert dec.shape == (h, w)
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 8
+
+
+def test_jpeg_roundtrip_rgb():
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (32, 48, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_constant_tiles_lossless_at_q50():
+    """Even-valued constant 8x8 tiles survive quality-50 exactly (DC
+    quantizer 16; even level-shift halves round exactly) — the invariant
+    the media_decode_jpeg driver oracle relies on."""
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    tiles = np.array([[100, 2, 254], [128, 64, 200]], dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    dec = decode_jpeg(encode_jpeg(img, quality=50))
+    np.testing.assert_array_equal(dec, img)
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((13, 21), 130, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=80))
+    assert dec.shape == (13, 21)
+    assert np.abs(dec.astype(int) - 130).max() <= 4
+
+
+def test_jpeg_progressive_rejected():
+    from pylluminator_spark.operators.jpeg import decode_jpeg
+
+    # SOI + minimal SOF2 (progressive) header
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08" + b"\x00\x08\x00\x08\x01" + b"\x01\x11\x00"
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(sof2 + b"\xff\xd9")
+
+
+def test_jpeg_dispatch_through_parse_payload():
+    from pylluminator_spark.operators.jpeg import encode_jpeg
+    from pylluminator_spark.operators.multimodal import _parse_payload
+
+    img = np.kron(
+        np.array([[100, 102]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    kind, arr, meta = _parse_payload(encode_jpeg(img, quality=50))
+    assert kind == "image"
+    assert arr.shape == (8, 16, 1)  # grayscale normalized to (h, w, 1)
+    np.testing.assert_array_equal(arr[:, :, 0], img)
