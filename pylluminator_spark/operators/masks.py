@@ -113,6 +113,11 @@ def apply_mask_nullout(signal: DataFrame, masks: DataFrame) -> DataFrame:
             "intensity",
             F.when(F.col("_masked"), F.lit(None)).otherwise(F.col("intensity")),
         )
+    if "beta" in signal.columns:  # precalculated betas table
+        out = out.withColumn(
+            "beta",
+            F.when(F.col("_masked"), F.lit(None)).otherwise(F.col("beta")),
+        )
     return out.drop("_masked")
 
 

@@ -130,6 +130,10 @@ class MethylSession:
     masks: DataFrame | None = None
     min_beads: int = 1
     array_type: str | None = None
+    # Precalculated UNmasked betas (reference ``_betas``, samples.py:50);
+    # set by ``calculate_betas``, served by ``betas``/``get_betas`` with
+    # masking applied on top. None until calculated.
+    betas_df: DataFrame | None = None
 
     @classmethod
     def from_idata(
@@ -184,7 +188,18 @@ class MethylSession:
         self, include_out_of_band: bool = False, apply_mask: bool = True
     ) -> DataFrame:
         """Long betas table (sample, probe_id, beta) — reference
-        ``calculate_betas`` samples.py:1074-1108 + ``get_betas`` 1129-1198."""
+        ``calculate_betas`` samples.py:1074-1108 + ``get_betas`` 1129-1198.
+
+        When ``calculate_betas`` has materialized a betas reuse point, it
+        is served directly (masking applied on top, like the reference's
+        ``get_betas`` over the stored ``_betas``); ``include_out_of_band``
+        is then fixed at calculation time, as in the reference.
+        """
+        if self.betas_df is not None:
+            b = self.betas_df
+            if apply_mask and self.masks is not None:
+                b = mask_ops.apply_mask_nullout(b, self.masks)
+            return b
         src = self.masked_signal() if apply_mask else self.signal
         meth, unmeth = meth_unmeth_exprs(include_out_of_band)
         return src.select(
@@ -195,6 +210,30 @@ class MethylSession:
             "probe_type",
             beta_expr(meth, unmeth).alias("beta"),
         )
+
+    def calculate_betas(
+        self, include_out_of_band: bool = False
+    ) -> "MethylSession":
+        """Materialize the betas reuse point (reference ``calculate_betas``
+        samples.py:1074-1108 stores ``self._betas``): compute UNmasked betas
+        once, persist them, and carry them on the new session — the
+        immutable twin of the reference's in-place mutation. ``get_betas``
+        then serves them with masking applied on top."""
+        meth, unmeth = meth_unmeth_exprs(include_out_of_band)
+        b = self.signal.select(
+            "sample",
+            "probe_id",
+            "type",
+            "channel",
+            "probe_type",
+            beta_expr(meth, unmeth).alias("beta"),
+        ).persist()
+        return replace(self, betas_df=b)
+
+    def has_betas(self) -> bool:
+        """True once ``calculate_betas`` has materialized the betas reuse
+        point (reference samples.py:1122-1127)."""
+        return self.betas_df is not None
 
     def persist(self) -> "MethylSession":
         """Mark the signal as a reuse point (replaces the reference's manual
@@ -230,6 +269,15 @@ class MethylSession:
 
     def nb_probes(self) -> int:
         return self.signal.select("probe_id").distinct().count()
+
+    def probe_ids(self) -> list[str]:
+        """Sorted distinct probe ids (reference ``probe_ids`` property,
+        samples.py:114-120). Dimension-sized collect — the probe universe
+        is manifest-bounded (~1M ids), never fact-table-sized."""
+        return sorted(
+            r["probe_id"]
+            for r in self.signal.select("probe_id").distinct().collect()
+        )
 
     # -- probe-subset getters (reference samples.py:123-419) -------------
     def type1(self, apply_mask: bool = True) -> DataFrame:

@@ -455,3 +455,34 @@ def test_get_normalization_controls_average(spark):
         assert r["mean_intensity"] == pytest.approx(
             expected[(r["sample"], r["control_channel"])]
         ), (r["sample"], r["control_channel"])
+
+
+def test_facade_probe_ids_and_calculate_betas(session):
+    """probe_ids (reference samples.py:114-120) and the calculate_betas /
+    has_betas reuse point (reference samples.py:1074-1127)."""
+    ids = session.probe_ids()
+    assert ids == sorted(ids)
+    assert len(ids) == N_PROBES_I + N_PROBES_II
+
+    assert not session.has_betas()
+    calc = session.calculate_betas()
+    assert calc.has_betas() and not session.has_betas()
+
+    # served betas (mask applied on top of the precalculated table) must
+    # equal the compute-from-lineage path
+    served = (
+        calc.get_betas(apply_mask=True)
+        .toPandas()
+        .sort_values(["sample", "probe_id"])
+        .reset_index(drop=True)
+    )
+    fresh = (
+        session.get_betas(apply_mask=True)
+        .toPandas()
+        .sort_values(["sample", "probe_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        served[["sample", "probe_id", "beta"]],
+        fresh[["sample", "probe_id", "beta"]],
+    )
