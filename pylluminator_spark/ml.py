@@ -706,7 +706,10 @@ def sample_distance_matrix(
         for i in range(len(samples))
         for j in range(len(samples))
     ]
-    return betas.sparkSession.createDataFrame(rows, ["s1", "s2", "dist"])
+    # explicit schema: rows may be empty (no probe complete across samples)
+    return betas.sparkSession.createDataFrame(
+        rows, "s1 string, s2 string, dist double"
+    )
 
 
 def pc_metadata_association(
@@ -841,3 +844,83 @@ def metadata_correlation(
             if a != b:
                 rows.append((b, a, float(corr)))
     return sheet.sparkSession.createDataFrame(rows, ["col_a", "col_b", "corr"])
+
+
+def beta_density_grid(
+    betas: DataFrame,
+    grid_points: int = 101,
+    n_bins: int = 512,
+    bandwidth: float | None = None,
+    value_col: str = "beta",
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Per-sample Gaussian KDE evaluated on a fixed grid — the engine work
+    behind the reference's beta-density plot (visualizations.py:222,
+    ``FFTKDE(kernel='gaussian', bw='silverman')`` per sample).
+
+    Scale design (binned KDE — the same linear-binning idea FFTKDE itself
+    uses): the fact table is reduced ONCE by a hash aggregation into
+    ``n_bins`` fine histogram bins per sample; the Gaussian smoothing then
+    runs on dimension-sized data (samples x bins x grid) as pure column
+    expressions — no per-row kernel evaluation, no Python, no second pass
+    over the betas. ``bandwidth=None`` applies Silverman's rule per sample:
+    h = 0.9 * min(sd, IQR/1.34) * n^(-1/5).
+
+    Returns (sample, x, density), ``grid_points`` rows per sample over
+    [lo, hi]. Bin-center approximation error is O((range/n_bins)^2) —
+    negligible against plot resolution at the default 512 bins.
+    """
+    if grid_points < 2 or n_bins < 2:
+        raise ValueError("grid_points and n_bins must be >= 2")
+    data = betas.na.drop(subset=[value_col]).filter(
+        (F.col(value_col) >= lo) & (F.col(value_col) <= hi)
+    )
+    width = hi - lo
+    # 1) per-sample bandwidth inputs (one aggregation; exact percentiles)
+    stats = data.groupBy("sample").agg(
+        F.count(value_col).alias("_n"),
+        F.stddev_samp(value_col).alias("_sd"),
+        F.expr(
+            f"percentile({value_col}, 0.75) - percentile({value_col}, 0.25)"
+        ).alias("_iqr"),
+    )
+    if bandwidth is None:
+        h = (
+            F.lit(0.9)
+            * F.least(F.col("_sd"), F.col("_iqr") / 1.34)
+            * F.pow(F.col("_n").cast("double"), F.lit(-0.2))
+        )
+    else:
+        h = F.lit(float(bandwidth))
+    stats = stats.select("sample", "_n", h.alias("_h"))
+    # 2) fine histogram per sample (THE fact-table reduction)
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(value_col) - lo) / width * n_bins).cast("int"),
+    )
+    binned = (
+        data.groupBy("sample", bin_idx.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_center", lo + (F.col("_bin") + 0.5) * (width / n_bins)
+        )
+    )
+    # 3) dimension-sized convolution: bins x grid, pure codegen
+    grid = F.explode(F.sequence(F.lit(0), F.lit(grid_points - 1))).alias("_gi")
+    x = lo + F.col("_gi").cast("double") * (width / (grid_points - 1))
+    z = (F.col("_x") - F.col("_center")) / F.col("_h")
+    sqrt_2pi = float(np.sqrt(2.0 * np.pi))
+    return (
+        binned.join(F.broadcast(stats), "sample")
+        .select("sample", "_cnt", "_center", "_n", "_h", grid)
+        .withColumn("_x", x)
+        .groupBy("sample", "_x", "_h")
+        .agg(
+            (
+                F.sum(F.col("_cnt") * F.exp(-0.5 * z * z))
+                / (F.first("_n") * F.col("_h") * sqrt_2pi)
+            ).alias("density")
+        )
+        .select("sample", F.col("_x").alias("x"), "density")
+    )

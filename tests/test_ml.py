@@ -313,3 +313,38 @@ def test_pc_metadata_association(spark):
     assert abs(corr.loc[(1, "noise")]) <= 1.0
     with pytest.raises(ValueError):
         ml.pc_metadata_association(betas, sheet, kind="nope")
+
+
+def test_beta_density_grid_matches_numpy(spark, betas):
+    """Binned Gaussian KDE == numpy twin (same bins, same Silverman rule);
+    density integrates to ~1."""
+    got = (
+        ml.beta_density_grid(betas, grid_points=51, n_bins=256)
+        .toPandas()
+        .sort_values(["sample", "x"])
+        .reset_index(drop=True)
+    )
+    pdf = betas.toPandas().dropna(subset=["beta"])
+    lo, hi, n_bins, gp = 0.0, 1.0, 256, 51
+    for sample, sub in pdf.groupby("sample"):
+        v = sub["beta"].to_numpy()
+        v = v[(v >= lo) & (v <= hi)]
+        n = len(v)
+        sd = v.std(ddof=1)
+        iqr = np.percentile(v, 75) - np.percentile(v, 25)
+        h = 0.9 * min(sd, iqr / 1.34) * n ** (-0.2)
+        idx = np.minimum(n_bins - 1, np.floor((v - lo) / (hi - lo) * n_bins).astype(int))
+        cnt = np.bincount(idx, minlength=n_bins)
+        centers = lo + (np.arange(n_bins) + 0.5) * ((hi - lo) / n_bins)
+        xs = lo + np.arange(gp) * ((hi - lo) / (gp - 1))
+        z = (xs[:, None] - centers[None, :]) / h
+        want = (cnt[None, :] * np.exp(-0.5 * z * z)).sum(axis=1) / (
+            n * h * np.sqrt(2 * np.pi)
+        )
+        sub_got = got[got["sample"] == sample]
+        np.testing.assert_allclose(
+            sub_got.sort_values("x")["density"].to_numpy(), want, rtol=1e-9
+        )
+        # densities integrate to ~1 (trapezoid; boundary mass leaks a bit)
+        integral = np.trapz(want, xs)
+        assert 0.8 < integral < 1.2

@@ -97,3 +97,30 @@ def test_connected_components_scale(spark):
     )
     assert violations == 0
     comp.unpersist()
+
+
+def test_beta_density_grid_scale(spark):
+    """8M-row betas through beta_density_grid: the fact table is reduced by
+    ONE histogram aggregation (no per-row kernel math, no collect); output
+    stays samples x grid_points regardless of input size, and each sample's
+    density integrates to ~1."""
+    from pylluminator_spark.ml import beta_density_grid
+
+    n = 8_000_000
+    betas = (
+        spark.range(0, n, 1, 64)
+        .select(
+            F.concat(F.lit("p"), F.col("id") % 1_000_000).alias("probe_id"),
+            F.concat(F.lit("s"), F.col("id") % 8).alias("sample"),
+            (((F.col("id") * 2654435761) % 1000) / 1000.0).alias("beta"),
+        )
+    )
+    out = beta_density_grid(betas, grid_points=41).toPandas()
+    assert len(out) == 8 * 41
+    for _, sub in out.groupby("sample"):
+        sub = sub.sort_values("x")
+        integral = float(
+            ((sub["density"].to_numpy()[1:] + sub["density"].to_numpy()[:-1]) / 2
+             * (sub["x"].to_numpy()[1:] - sub["x"].to_numpy()[:-1])).sum()
+        )
+        assert 0.9 < integral < 1.1
