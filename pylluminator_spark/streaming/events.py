@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -82,6 +83,57 @@ def read_event_stream(
     if ts_as_nanos:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
+    """Session-config-agnostic event stream: probe the BATCH schema of the
+    parquet (footer-only, no job) to see how this session materializes the
+    TIMESTAMP(NANOS) ``ts`` column — bigint under nanosAsLong, TIMESTAMP_NTZ
+    on vanilla Spark 4, TIMESTAMP otherwise — normalize the WALL CLOCK to
+    microseconds exactly like ``datasets.load_table``, then cast to
+    TIMESTAMP (watermarks reject NTZ). The NTZ->LTZ cast interprets the
+    wall clock in the session timezone and ``date_format`` renders it back
+    in the same zone, so downstream window labels match the DuckDB naive
+    reading under any session (including the driver's vanilla one)."""
+    import os
+
+    dt = dict(spark.read.parquet(path).dtypes).get("ts")
+    if os.path.isfile(path):
+        # FileStreamSource accepts a directory or a glob, never a bare
+        # file — a one-character class turns the file path into a glob
+        # without changing what it matches.
+        path = path[:-1] + "[" + path[-1] + "]"
+    if dt == "bigint":
+        df = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(path)
+        ntz = F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        return df.withColumn("ts", ntz.cast("timestamp"))
+    fields = [
+        StructField("event_id", LongType()),
+        StructField(
+            "ts", TimestampNTZType() if dt == "timestamp_ntz" else TimestampType()
+        ),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+    df = spark.readStream.schema(StructType(fields)).parquet(path)
+    if dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        # LTZ session: recover the UTC wall clock (the naive parquet value,
+        # same as load_table) and re-anchor it in the session timezone.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(ts),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
         )
     return df
 

@@ -262,3 +262,30 @@ def test_stream_stream_interval_join_parity(spark, event_chunks):
     assert sorted(map(tuple, res.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_read_event_stream_auto_single_file_parity(spark):
+    """read_event_stream_auto streams the RAW testdata parquet (single file,
+    TIMESTAMP(NANOS)) under whatever ts dtype this session produces, and the
+    tumbling aggregation matches the batch twin computed via load_table —
+    the q_stream_tumbling gate's exact shape."""
+    from pylluminator_spark.streaming.events import read_event_stream_auto
+
+    stream = read_event_stream_auto(spark, f"{SF_DIR}/events.parquet")
+    res = run_available_now(
+        tumbling_window_counts(stream, window_duration="1 hour"),
+        output_mode="complete",
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        "n_events",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, batch.collect()))
