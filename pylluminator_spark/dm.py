@@ -174,8 +174,8 @@ def mixedlm_fit_block(
     y: np.ndarray,
     x: np.ndarray,
     group_codes: np.ndarray,
-    n_grid: int = 41,
-    n_refine: int = 48,
+    n_grid: int = 21,
+    n_refine: int = 28,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized one-random-intercept linear mixed model, REML.
 

@@ -68,6 +68,10 @@ def connected_components(
         .select(F.col("a").alias("node"), "lab")
         .persist()  # consumed three times per round (nbr, jump, changed)
     )
+    # Caches that are safe to drop only after the NEXT action has run
+    # (unpersisting a not-yet-materialized frame would force the folded
+    # round to recompute it once per consumer).
+    pending = [labels]
     for it in range(max_iter):
         # propagate: each node adopts min(own, neighbours', and its label's
         # label). The third term is pointer-jumping (short-cutting): label
@@ -81,31 +85,46 @@ def connected_components(
         jump = l1.join(l2, F.col("l1.lab") == F.col("l2.node")).select(
             F.col("l1.node").alias("node"), F.col("l2.lab").alias("lab")
         )
-        merged = labels.unionByName(nbr).unionByName(jump)
+        # Tag the node's own previous label through the union so the
+        # convergence signal (did any min() beat the old label?) falls out
+        # of the SAME aggregation — no separate old-vs-new join pass.
+        merged = (
+            labels.select("node", "lab", F.lit(True).alias("_self"))
+            .unionByName(nbr.withColumn("_self", F.lit(False)))
+            .unionByName(jump.withColumn("_self", F.lit(False)))
+        )
         if num_partitions:
             merged = merged.repartition(num_partitions, "node")
-        new_labels = merged.groupBy("node").agg(F.min("lab").alias("lab"))
+        agg = merged.groupBy("node").agg(
+            F.min("lab").alias("lab"),
+            F.min(F.when(F.col("_self"), F.col("lab"))).alias("_prev"),
+        )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # lineage cut without requiring a checkpoint dir; keeps the
             # iterative plan bounded for the optimizer
-            new_labels = new_labels.localCheckpoint(eager=True)
-        new_labels = new_labels.persist()
-        changed = (
-            labels.select("node", F.col("lab").alias("_old"))
-            .join(new_labels.select("node", F.col("lab").alias("_new")), "node")
-            .filter(F.col("_old") != F.col("_new"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            agg = agg.localCheckpoint(eager=True)
+        agg = agg.persist()
+        labels = agg.select("node", "lab")
+        pending.append(agg)
+        # One action per round: the count both materializes this round's
+        # labels (so the three consumers of the next round hit the cache —
+        # deferring it would let parallel stages recompute the uncached
+        # plan multiplicatively) and reads the convergence signal off the
+        # same aggregation.
+        changed = agg.filter(F.col("lab") < F.col("_prev")).count()
+        for df in pending[:-1]:
+            df.unpersist()
+        pending = pending[-1:]
         if changed == 0:
             out = labels.select("node", F.col("lab").alias("component"))
             # materialize the (small) label table before dropping caches so
             # the returned plan does not depend on the unpersisted inputs
             out = out.localCheckpoint(eager=True)
-            labels.unpersist()
+            agg.unpersist()
             sym.unpersist()
             return out
+    for df in pending:
+        df.unpersist()
     sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
