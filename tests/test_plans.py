@@ -41,6 +41,11 @@ CLEAN = [
     # join (equi-join on signatures), grouped-map REML, Gram-trick MDS
     "media_decode", "embedding_near_dup_lsh", "mixedlm_dmp", "dr_scores",
     "chunk_documents",
+    # round 4: closed-form OLS surrogate, Gram-trick distance matrix
+    # (driver-side only the n x n result), streaming drain via memory sink,
+    # binned-KDE density grid
+    "ols_dmp", "sample_distances", "stream_tumbling", "beta_density",
+    "media_decode_jpeg",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
