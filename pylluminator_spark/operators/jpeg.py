@@ -247,8 +247,15 @@ class _RestartMarker(Exception):
 # Encoder (baseline, grayscale or 4:4:4 YCbCr, Annex K tables)
 # ---------------------------------------------------------------------------
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG."""
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG.
+
+    ``subsampling``: '4:4:4' (no chroma subsampling) or '4:2:0' (2x2 chroma
+    averaging, the common camera default) — the latter exists chiefly to
+    exercise the decoder's MCU-interleaved upsampling path with bytes built
+    by independent code."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -264,6 +271,22 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         raise ValueError("expected (h,w) or (h,w,3) uint8 array")
     h, w = arr.shape[:2]
     n_comp = len(planes)
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    sub420 = subsampling == "4:2:0" and n_comp == 3
+    # (h_factor, v_factor) per component
+    factors = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * n_comp
+    hmax = max(f[0] for f in factors[:n_comp])
+    vmax = max(f[1] for f in factors[:n_comp])
+    if sub420:
+        # 2x2 average the chroma planes (pad odd dims by edge replication)
+        def down2(p: np.ndarray) -> np.ndarray:
+            ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), "edge")
+            return (
+                ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+            ) / 4.0
+
+        planes = [planes[0], down2(planes[1]), down2(planes[2])]
     qluma = _scale_q(STD_LUMA_Q, quality)
     qchroma = _scale_q(STD_CHROMA_Q, quality)
     qtabs = [qluma] if n_comp == 1 else [qluma, qchroma]
@@ -276,7 +299,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
     for ci in range(n_comp):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        hv = (factors[ci][0] << 4) | factors[ci][1]
+        out += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     # DHT
     tables = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -307,49 +331,61 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * n_comp
-    bh = (h + 7) // 8
-    bwid = (w + 7) // 8
-    # pad planes to block multiples by edge replication
-    padded = [
-        np.pad(p, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
-        for p in planes
-    ]
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(n_comp):
-                block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                coef = _fdct(block)
-                quant = np.round(coef.flatten() / qsel[ci].astype(np.float64)).astype(
-                    np.int64
-                )
-                zz = quant[ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat, raw = _magnitude(diff)
-                code, ln = dc_enc[ci][cat]
+
+    def emit_block(ci: int, block: np.ndarray) -> None:
+        coef = _fdct(block - 128.0)
+        quant = np.round(
+            coef.flatten() / qsel[ci].astype(np.float64)
+        ).astype(np.int64)
+        zz = quant[ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        cat, raw = _magnitude(diff)
+        code, ln = dc_enc[ci][cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(raw, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[ci][0xF0]  # ZRL
                 bw.write(code, ln)
-                if cat:
-                    bw.write(raw, cat)
-                # AC with RLE
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[ci][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    cat, raw = _magnitude(v)
-                    code, ln = ac_enc[ci][(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(raw, cat)
-                    run = 0
-                if run:
-                    code, ln = ac_enc[ci][0x00]  # EOB
-                    bw.write(code, ln)
+                run -= 16
+            cat, raw = _magnitude(v)
+            code, ln = ac_enc[ci][(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(raw, cat)
+            run = 0
+        if run:
+            code, ln = ac_enc[ci][0x00]  # EOB
+            bw.write(code, ln)
+
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each plane to its own MCU-grid multiple by edge replication
+    padded = []
+    for ci in range(n_comp):
+        fh, fv = factors[ci]
+        ph, pw = mcuy * fv * 8, mcux * fh * 8
+        p = planes[ci]
+        padded.append(
+            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+        )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n_comp):
+                fh, fv = factors[ci]
+                for v in range(fv):
+                    for hh in range(fh):
+                        y0 = (my * fv + v) * 8
+                        x0 = (mx * fh + hh) * 8
+                        emit_block(
+                            ci, padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

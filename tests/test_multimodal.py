@@ -336,3 +336,22 @@ def test_jpeg_dispatch_through_parse_payload():
     assert kind == "image"
     assert arr.shape == (8, 16, 1)  # grayscale normalized to (h, w, 1)
     np.testing.assert_array_equal(arr[:, :, 0], img)
+
+
+def test_jpeg_420_roundtrip_exercises_upsampling():
+    """4:2:0 encoding (2x2 chroma averaging, interleaved 16x16 MCUs) decodes
+    through the sampling-factor upsampling path; luma survives closely and
+    a chroma-flat image round-trips near-exactly."""
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:33, 0:50]
+    img = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:2:0"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() <= 4.0
+
+    flat = np.stack([(xx * 3) % 256] * 3, axis=-1).astype(np.uint8)
+    dec2 = decode_jpeg(encode_jpeg(flat, quality=90, subsampling="4:2:0"))
+    assert np.abs(dec2.astype(int) - flat.astype(int)).max() <= 2
