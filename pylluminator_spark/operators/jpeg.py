@@ -4,10 +4,12 @@ Huffman tables). Closes the last real-codec gap in the multimodal surface
 (VERDICT r3 #6): JPEG is what an actual multimodal corpus contains, and the
 container has no native image libraries.
 
-Scope (honest): baseline DCT sequential, 8-bit, grayscale or YCbCr with
-arbitrary sampling factors on decode (4:4:4 / 4:2:2 / 4:2:0), restart
-markers, 8- and 16-bit quantization tables. Progressive (SOF2), arithmetic
-coding, and hierarchical modes raise NotImplementedError.
+Scope (honest): baseline DCT sequential (SOF0/1) AND progressive (SOF2 —
+spectral selection + successive approximation, EOB runs, AC refinement),
+8-bit, grayscale or YCbCr with arbitrary sampling factors on decode
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, 8- and 16-bit quantization
+tables. Arithmetic coding, lossless and hierarchical modes raise
+NotImplementedError.
 
 The encoder emits grayscale or 4:4:4 YCbCr with the Annex K tables scaled by
 the usual IJG quality formula — enough to round-trip test the decoder and to
@@ -176,10 +178,14 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_byte(self) -> None:
+        """1-pad to a byte boundary (before a restart marker / scan end)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+            self.write((1 << pad) - 1, pad)
+
+    def flush(self) -> bytes:
+        self.pad_byte()
         return bytes(self.out)
 
 
@@ -248,14 +254,19 @@ class _RestartMarker(Exception):
 # ---------------------------------------------------------------------------
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG.
 
     ``subsampling``: '4:4:4' (no chroma subsampling) or '4:2:0' (2x2 chroma
     averaging, the common camera default) — the latter exists chiefly to
     exercise the decoder's MCU-interleaved upsampling path with bytes built
-    by independent code."""
+    by independent code. ``restart_interval`` > 0 emits DRI + RSTn markers
+    every N MCUs (predictor reset + byte alignment), the error-resilience
+    structure camera JPEGs carry."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -314,6 +325,8 @@ def encode_jpeg(
     for tc, bits, vals in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
     for ci in range(n_comp):
@@ -375,8 +388,21 @@ def encode_jpeg(
         padded.append(
             np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
         )
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.pad_byte()
+                # markers are appended raw — never byte-stuffed
+                bw.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                for ci in range(n_comp):
+                    pred[ci] = 0
             for ci in range(n_comp):
                 fh, fv = factors[ci]
                 for v in range(fv):
@@ -386,6 +412,7 @@ def encode_jpeg(
                         emit_block(
                             ci, padded[ci][y0:y0 + 8, x0:x0 + 8]
                         )
+            mcu_count += 1
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -444,7 +471,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (prog)
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[0:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG (8 supported)")
@@ -454,12 +481,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) — baseline sequential only"
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) — baseline + progressive DCT supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
@@ -469,12 +499,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
             pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan, qtabs, huff, restart_interval
+            if not (frame or {}).get("progressive"):
+                return _decode_scan(
+                    data, pos, frame, scan, qtabs, huff, restart_interval
+                )
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, ss, se, ah, al, huff,
+                restart_interval,
             )
+            continue
         # APPn/COM/others: skip
         pos += seglen
+    if (frame or {}).get("progressive") and "coef" in frame:
+        return _finish_progressive(frame, qtabs)
     raise ValueError("no SOS scan found")
 
 
@@ -549,3 +590,440 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (SOF2, T.81 Annex G): spectral selection + successive
+# approximation. Coefficients accumulate across scans in zig-zag order and
+# are dequantized/IDCT'd once at EOI.
+# ---------------------------------------------------------------------------
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, restart_interval
+):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if "coef" not in frame:
+        # zig-zag-order accumulators, one 64-vector per allocated block
+        frame["coef"] = {
+            c["id"]: np.zeros(
+                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+            )
+            for c in comps
+        }
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    sel = {s["cs"]: s for s in scan}
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+
+    def dc_first(c, by, bx):
+        cat = br.read_symbol(huff[(0, sel[c["id"]]["dc"])])
+        diff = _extend(br.read_bits(cat), cat)
+        pred[c["id"]] += diff
+        frame["coef"][c["id"]][by, bx, 0] = pred[c["id"]] << al
+
+    def dc_refine(c, by, bx):
+        if br.read_bit():
+            frame["coef"][c["id"]][by, bx, 0] |= 1 << al
+
+    def ac_first(c, by, bx):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        zz = frame["coef"][c["id"]][by, bx]
+        tab = huff[(1, sel[c["id"]]["ac"])]
+        k = ss
+        while k <= se:
+            rs = br.read_symbol(tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("progressive AC index overflow")
+            zz[k] = _extend(br.read_bits(s), s) * (1 << al)
+            k += 1
+
+    def ac_refine(c, by, bx):
+        # T.81 G.2 / the classic IJG control flow: correction bits for
+        # history-nonzero coefficients, (run, +-1<<Al) for newly nonzero,
+        # EOB runs covering whole blocks.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        zz = frame["coef"][c["id"]][by, bx]
+        tab = huff[(1, sel[c["id"]]["ac"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.read_symbol(tab)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude != 1")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    cv = int(zz[k])
+                    if cv != 0:
+                        if br.read_bit() and (cv & p1) == 0:
+                            zz[k] = cv + (p1 if cv >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                cv = int(zz[k])
+                if cv != 0 and br.read_bit() and (cv & p1) == 0:
+                    zz[k] = cv + (p1 if cv >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:
+        fn = dc_first if ah == 0 else dc_refine
+    else:
+        if len(order) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        fn = ac_first if ah == 0 else ac_refine
+
+    unit = 0
+
+    def check_restart():
+        nonlocal unit, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align_restart()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if ss == 0 and len(order) > 1:
+        # interleaved DC scan: MCU traversal
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart()
+                for c in order:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            fn(c, my * c["v"] + v, mx * c["h"] + hh)
+                unit += 1
+    else:
+        # non-interleaved: row-major over the component's own block grid
+        c = order[0]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
+        for by in range(nbh):
+            for bx in range(nbw):
+                check_restart()
+                fn(c, by, bx)
+                unit += 1
+
+    # advance to the next marker (skip the 1-padding, honor stuffing)
+    p = br.pos
+    while p < len(data) - 1 and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _finish_progressive(frame, qtabs):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        zzblocks = frame["coef"][c["id"]]  # (nby, nbx, 64) zig-zag order
+        q = qtabs[c["tq"]][ZIGZAG]  # natural-order table read in zig-zag
+        nat = np.zeros_like(zzblocks, dtype=np.float64)
+        nat[:, :, ZIGZAG] = zzblocks.astype(np.float64) * q[None, None, :]
+        nby, nbx = nat.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        # vectorized IDCT over every block: X = T' S T
+        spatial = (
+            np.einsum("ij,njk,kl->nil", _T.T, blocks.reshape(-1, 8, 8), _T)
+            .reshape(nby, nbx, 8, 8)
+            + 128.0
+        )
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, hmax // c["h"], axis=1),
+                vmax // c["v"], axis=0,
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (grayscale / 4:4:4, DC+AC successive approximation) —
+# exists to produce real SOF2 streams with independent code so the
+# progressive decode paths (spectral bands, EOB runs, DC/AC refinement) are
+# genuinely testable in an environment with no native JPEG tooling.
+# ---------------------------------------------------------------------------
+
+def _tz_shift(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2 — note DC uses an ARITHMETIC shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_eobrun(bw, ac_enc, eobrun: int, bits: list[int]) -> None:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_enc[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        for b in bits:
+            bw.write(b, 1)
+
+
+# The Annex K AC tables are sequential-only: they lack the EOBn symbols
+# (0x10..0xE0) progressive EOB runs need. A complete canonical table with
+# one symbol at 8 bits + 255 at 9 bits is legal (DHT length counts are
+# bytes, so 256-at-one-length would not encode; Kraft sum ~0.5, all-ones
+# code unused) and lets the encoder emit real EOBn runs so the decoder
+# path is tested.
+_PROG_AC_BITS = [0] * 7 + [1, 255] + [0] * 7
+_PROG_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as PROGRESSIVE JPEG
+    (SOF2): DC first at Al=1 + DC refinement, spectral-selection AC bands
+    at Al=1, then AC refinement scans to Al=0."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (h,w) or (h,w,3) uint8 array")
+    h, w = arr.shape[:2]
+    n_comp = len(planes)
+    qluma = _scale_q(STD_LUMA_Q, quality)
+    qchroma = _scale_q(STD_CHROMA_Q, quality)
+    qsel = [qluma] + [qchroma] * (n_comp - 1)
+    nbh, nbw = (h + 7) // 8, (w + 7) // 8
+
+    # quantized coefficients, zig-zag order, per component (1x1 factors)
+    qblocks = []
+    for ci in range(n_comp):
+        p = np.pad(
+            planes[ci],
+            ((0, nbh * 8 - h), (0, nbw * 8 - w)),
+            mode="edge",
+        )
+        zz = np.zeros((nbh, nbw, 64), dtype=np.int64)
+        for by in range(nbh):
+            for bx in range(nbw):
+                coef = _fdct(p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0)
+                q = np.round(
+                    coef.flatten() / qsel[ci].astype(np.float64)
+                ).astype(np.int64)
+                zz[by, bx] = q[ZIGZAG]
+        qblocks.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    qtabs = [qluma] if n_comp == 1 else [qluma, qchroma]
+    for tid, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    for ci in range(n_comp):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    tables = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, _PROG_AC_BITS, _PROG_AC_VALS),
+    ]
+    if n_comp == 3:
+        tables += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, _PROG_AC_BITS, _PROG_AC_VALS),
+        ]
+    for tc, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+        out += bytes(bits) + bytes(vals)
+
+    dc_enc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    prog_ac = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_enc = [prog_ac]
+    if n_comp == 3:
+        dc_enc += [_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+        ac_enc += [prog_ac] * 2
+
+    def sos_header(comp_idx: list[int], ss: int, se: int, ah: int, al: int):
+        hdr = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idx), len(comp_idx))
+        )
+        for ci in comp_idx:
+            tt = 0x00 if ci == 0 else 0x11
+            hdr += bytes([ci + 1, tt])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * n_comp
+        for by in range(nbh):
+            for bx in range(nbw):
+                for ci in range(n_comp):
+                    v = int(qblocks[ci][by, bx, 0]) >> al  # arithmetic shift
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    cat, raw = _magnitude(diff)
+                    code, ln = dc_enc[ci][cat]
+                    bw.write(code, ln)
+                    if cat:
+                        bw.write(raw, cat)
+        return bw.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for by in range(nbh):
+            for bx in range(nbw):
+                for ci in range(n_comp):
+                    bw.write((int(qblocks[ci][by, bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                t = [
+                    _tz_shift(int(qblocks[ci][by, bx, k]), al)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(t) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        _emit_eobrun(bw, ac_enc[ci], eobrun, [])
+                        eobrun = 0
+                    continue
+                _emit_eobrun(bw, ac_enc[ci], eobrun, [])
+                eobrun = 0
+                run = 0
+                last = nz[-1]
+                for i in range(last + 1):
+                    v = t[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[ci][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    cat, raw = _magnitude(v)
+                    code, ln = ac_enc[ci][(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(raw, cat)
+                    run = 0
+                if last < se - ss:
+                    eobrun += 1
+        _emit_eobrun(bw, ac_enc[ci], eobrun, [])
+        return bw.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []
+        for by in range(nbh):
+            for bx in range(nbw):
+                zz = qblocks[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                run = 0
+                br_bits: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        _emit_eobrun(bw, ac_enc[ci], eobrun, be_bits)
+                        eobrun = 0
+                        be_bits = []
+                        code, ln = ac_enc[ci][0xF0]
+                        bw.write(code, ln)
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                        run -= 16
+                    if t > 1:
+                        br_bits.append(t & 1)  # correction bit
+                        continue
+                    # newly nonzero (+-1 at this approximation level)
+                    _emit_eobrun(bw, ac_enc[ci], eobrun, be_bits)
+                    eobrun = 0
+                    be_bits = []
+                    code, ln = ac_enc[ci][(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    run = 0
+                if run > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF or len(be_bits) > 900:
+                        _emit_eobrun(bw, ac_enc[ci], eobrun, be_bits)
+                        eobrun = 0
+                        be_bits = []
+        _emit_eobrun(bw, ac_enc[ci], eobrun, be_bits)
+        return bw.flush()
+
+    all_comps = list(range(n_comp))
+    # scan script: DC@Al=1 -> AC bands @Al=1 -> DC refine -> AC refine
+    out += sos_header(all_comps, 0, 0, 0, 1) + dc_first_scan(1)
+    out += sos_header([0], 1, 5, 0, 1) + ac_first_scan(0, 1, 5, 1)
+    for ci in range(1, n_comp):
+        out += sos_header([ci], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+    out += sos_header([0], 6, 63, 0, 1) + ac_first_scan(0, 6, 63, 1)
+    out += sos_header(all_comps, 0, 0, 1, 0) + dc_refine_scan(0)
+    for ci in range(n_comp):
+        out += sos_header([ci], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

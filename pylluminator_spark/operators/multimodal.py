@@ -5,12 +5,13 @@ a 100 TB training-data pipeline needs: content stays as bytes end-to-end
 (no row-level Python objects), all decode/transform work runs in
 Arrow-batched `mapInPandas` UDFs so each task processes whole record batches.
 
-Codecs: three REAL public formats are decoded pure-Python from their
-published specs — uncompressed BMP (24/32-bit), RIFF/WAVE PCM16, and PNG
-(zlib + the five standard row filters) — alongside the deterministic
-synthetic `PYLM` container used for bulk fixtures. Compressed formats whose
-decoders genuinely need native libraries (JPEG/MP4) raise
-`NotImplementedError` at the single `_parse_payload` dispatch point.
+Codecs: four REAL public formats are decoded pure-Python from their
+published specs — uncompressed BMP (24/32-bit), RIFF/WAVE PCM16, PNG
+(zlib + the five standard row filters), and JPEG (baseline sequential and
+progressive, operators/jpeg.py) — alongside the deterministic synthetic
+`PYLM` container used for bulk fixtures. MP4, whose decode genuinely needs
+native libraries, raises `NotImplementedError` at the single
+`_parse_payload` dispatch point.
 
 Scale notes:
 - `binaryFile` scans parallelize per file; metadata-only queries never read
@@ -376,7 +377,7 @@ def _parse_payload(content: bytes):
         raise NotImplementedError(
             "codec not decodable pure-Python in this environment "
             "(MP4 needs native libraries); supported: BMP, WAVE PCM16, "
-            "PNG, baseline JPEG, PYLM"
+            "PNG, baseline+progressive JPEG, PYLM"
         )
     kind = content[4]
     if kind == KIND_IMAGE:

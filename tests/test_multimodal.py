@@ -316,13 +316,13 @@ def test_jpeg_non_multiple_of_8_dims():
     assert np.abs(dec.astype(int) - 130).max() <= 4
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_arithmetic_rejected():
     from pylluminator_spark.operators.jpeg import decode_jpeg
 
-    # SOI + minimal SOF2 (progressive) header
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08" + b"\x00\x08\x00\x08\x01" + b"\x01\x11\x00"
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
-        decode_jpeg(sof2 + b"\xff\xd9")
+    # SOI + minimal SOF9 (arithmetic-coded sequential) header
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b" + b"\x08" + b"\x00\x08\x00\x08\x01" + b"\x01\x11\x00"
+    with pytest.raises(NotImplementedError, match="arithmetic|SOF"):
+        decode_jpeg(sof9 + b"\xff\xd9")
 
 
 def test_jpeg_dispatch_through_parse_payload():
@@ -355,3 +355,47 @@ def test_jpeg_420_roundtrip_exercises_upsampling():
     flat = np.stack([(xx * 3) % 256] * 3, axis=-1).astype(np.uint8)
     dec2 = decode_jpeg(encode_jpeg(flat, quality=90, subsampling="4:2:0"))
     assert np.abs(dec2.astype(int) - flat.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_equals_sequential_pipeline():
+    """SOF2 progressive decode (DC successive approximation, spectral AC
+    bands with EOBn runs, AC refinement with correction bits) must be
+    BIT-IDENTICAL to the sequential pipeline: both carry the same quantized
+    coefficients, so any scan-machinery bug shows as a pixel diff."""
+    from pylluminator_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:33, 0:50]
+    rng = np.random.RandomState(0)
+    cases = [
+        (((xx * 7 + yy * 3) % 256).astype(np.uint8), 85),       # gradient gray
+        (np.stack([(xx * 5) % 256, (yy * 7) % 256,
+                   ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8), 92),
+        (rng.randint(0, 256, (24, 40, 3), dtype=np.uint8), 75),  # dense ACs
+        (np.full((64, 64), 128, np.uint8), 50),                  # long EOB runs
+    ]
+    for img, q in cases:
+        seq = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        np.testing.assert_array_equal(prog, seq)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn every N MCUs (predictor reset, byte-aligned resync)
+    decodes identically to the unsegmented stream."""
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3))
+    np.testing.assert_array_equal(plain, rst)
+    rgb = np.stack([img, img[::-1], (img + 50) % 256], axis=-1).astype(np.uint8)
+    a = decode_jpeg(
+        encode_jpeg(rgb, quality=85, subsampling="4:2:0", restart_interval=2)
+    )
+    b = decode_jpeg(encode_jpeg(rgb, quality=85, subsampling="4:2:0"))
+    np.testing.assert_array_equal(a, b)
