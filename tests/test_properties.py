@@ -193,3 +193,49 @@ def test_subtract_overlaps_matches_coverage_mask(spark, seed):
         exp[chrom] = sorted(pieces)
     for chrom in set(exp) | set(got):
         assert got.get(chrom, []) == exp.get(chrom, []), chrom
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties (operators/jpeg.py) — randomized over seeds/shapes
+# ---------------------------------------------------------------------------
+
+def test_jpeg_randomized_invariants():
+    """Three invariants over random images and shapes:
+    1. progressive decode == sequential decode BIT-EXACT (same quantized
+       coefficients -> any scan-machinery bug shows up);
+    2. restart-marker streams decode identically to unsegmented ones;
+    3. per-8x8-block mean is preserved within the DC quantization step
+       (high-frequency content is lossy by design, the DC term is not).
+    """
+    from pylluminator_spark.operators.jpeg import (
+        _scale_q,
+        STD_LUMA_Q,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        h = int(rng.integers(8, 50))
+        w = int(rng.integers(8, 50))
+        q = int(rng.choice([60, 85, 95]))
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+        seq = decode_jpeg(encode_jpeg(gray, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(gray, quality=q))
+        np.testing.assert_array_equal(prog, seq, err_msg=f"seed={seed}")
+
+        rst = decode_jpeg(encode_jpeg(gray, quality=q, restart_interval=2))
+        np.testing.assert_array_equal(rst, seq, err_msg=f"seed={seed} rst")
+
+        # block-mean preservation: DC quantizer bounds the mean shift
+        q0 = float(_scale_q(STD_LUMA_Q, q)[0])
+        bh, bw2 = h // 8, w // 8
+        for by in range(bh):
+            for bx in range(bw2):
+                a = gray[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                b = seq[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                dc_err = abs(float(a.mean()) - float(b.mean()))
+                # half a DC step (q0/8 in pixel units) + IDCT/clip rounding
+                assert dc_err <= q0 / 16.0 + 1.0, (seed, by, bx, dc_err)
