@@ -2892,6 +2892,39 @@ GROUP BY x.sample, y.sample
 """
 
 
+def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K16's SCALE-CRITICAL stage with an oracle: the distributed centered
+    Gram matrix G[i,j] = sum_p (x[p,i]-mean_p)(x[p,j]-mean_p) that every
+    Gram-trick DR model (PCA/IPCA/TSVD/KPCA/MDS, ml._gram_matrix) reduces
+    the probe axis with — the only part that touches fact-table-sized data
+    at 100 TB (the n x n eigendecomposition is driver-side and
+    SQL-inexpressible, gated rows-only via dr_scores). Pure self-join +
+    aggregation, so DuckDB checks it exactly."""
+    betas = _dmp_betas(spark, sf_dir)
+    mean = F.avg("beta").over(Window.partitionBy("probe_id"))
+    centered = betas.withColumn("c", F.col("beta") - mean)
+    a = centered.select("probe_id", F.col("sample").alias("s1"), F.col("c").alias("x1"))
+    b = centered.select("probe_id", F.col("sample").alias("s2"), F.col("c").alias("x2"))
+    return (
+        a.join(b, "probe_id")
+        .groupBy("s1", "s2")
+        .agg(F.round(F.sum(F.col("x1") * F.col("x2")), 6).alias("g"))
+    )
+
+
+ORACLE_PCA_GRAM = f"""
+WITH {_DMP_BETAS_SQL},
+centered AS (
+  SELECT probe_id, sample,
+         beta - AVG(beta) OVER (PARTITION BY probe_id) AS c
+  FROM b
+)
+SELECT a.sample AS s1, b2.sample AS s2, ROUND(SUM(a.c * b2.c), 6) AS g
+FROM centered a JOIN centered b2 ON a.probe_id = b2.probe_id
+GROUP BY a.sample, b2.sample
+"""
+
+
 def q_beta_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KDE density data-side (reference visualizations.py:222 FFTKDE over
     betas): per-sample binned Gaussian KDE on a fixed grid, Silverman
@@ -3112,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beta_density": q_beta_density,
         "stream_tumbling": q_stream_tumbling,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "pca_gram": q_pca_gram,
         "dedup_components": q_dedup_components,  # pair-gen rewrite
         "chunk_documents": q_chunk_documents,  # oracle bound + empty-text
         # -- 3. last green in r01/r02 ---------------------------------------
@@ -3245,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_distances": ORACLE_SAMPLE_DISTANCES,
         "beta_density": ORACLE_BETA_DENSITY,
         "media_decode_jpeg": ORACLE_MEDIA_DECODE_JPEG,
+        "pca_gram": ORACLE_PCA_GRAM,
         "dedup_components": _oracle_dedup_components(),
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "outer_join_counts": ORACLE_OUTER_JOIN_COUNTS,

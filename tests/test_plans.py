@@ -45,7 +45,7 @@ CLEAN = [
     # (driver-side only the n x n result), streaming drain via memory sink,
     # binned-KDE density grid
     "ols_dmp", "sample_distances", "stream_tumbling", "beta_density",
-    "media_decode_jpeg",
+    "media_decode_jpeg", "pca_gram",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
