@@ -408,11 +408,18 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream_auto,
         run_available_now,
         tumbling_window_counts,
+        wall_clock_window_offset,
     )
 
     stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_window_counts(
-        stream, window_duration="1 hour", watermark="10 minutes"
+        stream,
+        window_duration="1 hour",
+        watermark="10 minutes",
+        # align the window grid to the session wall clock so the hourly
+        # labels match the oracle's date_trunc even under a
+        # fractional-offset session timezone (+05:30 etc.)
+        start_time=wall_clock_window_offset(spark),
     )
     res = run_available_now(agg, output_mode="complete")
     return res.select(
@@ -2953,7 +2960,9 @@ st AS (
   FROM f GROUP BY sample
 ),
 hs AS (
-  SELECT sample, n, 0.9 * LEAST(sd, iqr / 1.34) * POWER(n, -0.2) AS h
+  SELECT sample, n,
+         0.9 * (CASE WHEN iqr > 0 THEN LEAST(sd, iqr / 1.34) ELSE sd END)
+             * POWER(n, -0.2) AS h
   FROM st
 ),
 ctr AS (

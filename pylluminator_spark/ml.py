@@ -886,14 +886,25 @@ def beta_density_grid(
         ).alias("_iqr"),
     )
     if bandwidth is None:
-        h = (
-            F.lit(0.9)
-            * F.least(F.col("_sd"), F.col("_iqr") / 1.34)
-            * F.pow(F.col("_n").cast("double"), F.lit(-0.2))
+        # Silverman with the usual zero-IQR fallback to sd (discrete-heavy
+        # samples can have IQR 0 with nonzero spread). A sample with NO
+        # spread at all (constant values, or a single row where sd is
+        # NULL) has no defined KDE — its density rows come back NULL.
+        spread = F.when(
+            F.col("_iqr") > 0, F.least(F.col("_sd"), F.col("_iqr") / 1.34)
+        ).otherwise(F.col("_sd"))
+        h = F.lit(0.9) * spread * F.pow(
+            F.col("_n").cast("double"), F.lit(-0.2)
         )
     else:
+        if bandwidth <= 0:
+            raise ValueError("bandwidth must be positive")
         h = F.lit(float(bandwidth))
-    stats = stats.select("sample", "_n", h.alias("_h"))
+    # zero-spread samples: make h NULL (not 0) so the kernel division
+    # yields NULL densities instead of an ANSI divide-by-zero error
+    stats = stats.select(
+        "sample", "_n", F.nullif(h, F.lit(0.0)).alias("_h")
+    )
     # 2) fine histogram per sample (THE fact-table reduction)
     bin_idx = F.least(
         F.lit(n_bins - 1),

@@ -50,16 +50,18 @@ def connected_components(
     ``n_nodes / 5M`` (AQE coalescing handles the rest); at driver-default
     None the session's shuffle width is used.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()  # re-read EVERY round: without this the upstream edge
-        # pipeline (which may itself be a join/similarity computation)
-        # re-executes once per iteration
-    )
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
     if num_partitions:
         sym = sym.repartition(num_partitions, "b")
+    # persist AFTER any repartition so the exit-path unpersist() targets the
+    # exact cached plan (persisting earlier would leak the cache: the
+    # repartitioned frame is a different plan and unpersist would miss it).
+    # Re-read EVERY round: without the cache the upstream edge pipeline
+    # (which may itself be a join/similarity computation) re-executes once
+    # per iteration.
+    sym = sym.persist()
     # initial label: min neighbour (including self)
     labels = (
         sym.unionByName(sym.select(F.col("a"), F.col("a").alias("b")))

@@ -245,19 +245,41 @@ class _BitReader:
         raise ValueError("expected restart marker")
 
 
-class _RestartMarker(Exception):
-    pass
+class _RestartMarker(ValueError):
+    """Restart marker hit while bits were still expected. Subclasses
+    ValueError so a corrupt stream surfacing it uncaught still satisfies
+    the dispatch contract (ValueError/NotImplementedError) in
+    multimodal._parse_payload."""
 
 
 # ---------------------------------------------------------------------------
 # Encoder (baseline, grayscale or 4:4:4 YCbCr, Annex K tables)
 # ---------------------------------------------------------------------------
 
+def _to_planes(arr: np.ndarray) -> list[np.ndarray]:
+    """(h,w) -> [gray] / (h,w,3) RGB -> BT.601 [Y, Cb, Cr] float64 planes —
+    the single home of the color constants used by both encoders."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        return [arr.astype(np.float64)]
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        return [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    raise ValueError("expected (h,w) or (h,w,3) uint8 array")
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    multi_scan: bool = False,
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG.
 
@@ -268,18 +290,7 @@ def encode_jpeg(
     every N MCUs (predictor reset + byte alignment), the error-resilience
     structure camera JPEGs carry."""
     arr = np.asarray(arr)
-    if arr.ndim == 2:
-        planes = [arr.astype(np.float64)]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        r = arr[..., 0].astype(np.float64)
-        g = arr[..., 1].astype(np.float64)
-        b = arr[..., 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-    else:
-        raise ValueError("expected (h,w) or (h,w,3) uint8 array")
+    planes = _to_planes(arr)
     h, w = arr.shape[:2]
     n_comp = len(planes)
     if subsampling not in ("4:4:4", "4:2:0"):
@@ -327,11 +338,6 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
-    for ci in range(n_comp):
-        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    out += b"\x00\x3f\x00"
 
     dc_enc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_enc = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -388,6 +394,28 @@ def encode_jpeg(
         padded.append(
             np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
         )
+    if multi_scan:
+        if sub420 or n_comp != 3:
+            raise ValueError("multi_scan requires 3 components and 4:4:4")
+        for ci in range(n_comp):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            out += b"\x00\x3f\x00"
+            bw = _BitWriter()
+            pred[ci] = 0
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    emit_block(ci, padded[ci][by * 8:by * 8 + 8,
+                                              bx * 8:bx * 8 + 8])
+            out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # single interleaved scan
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+    for ci in range(n_comp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
     mcu_count = 0
     rst_idx = 0
     for my in range(mcuy):
@@ -503,23 +531,45 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ah_al = seg[3 + 2 * ns]
             ah, al = ah_al >> 4, ah_al & 0x0F
             pos += seglen
-            if not (frame or {}).get("progressive"):
-                return _decode_scan(
-                    data, pos, frame, scan, qtabs, huff, restart_interval
+            if (frame or {}).get("progressive"):
+                pos = _decode_progressive_scan(
+                    data, pos, frame, scan, ss, se, ah, al, huff,
+                    restart_interval,
                 )
-            pos = _decode_progressive_scan(
-                data, pos, frame, scan, ss, se, ah, al, huff,
-                restart_interval,
-            )
+            else:
+                pos = _decode_scan(
+                    data, pos, frame, scan, huff, restart_interval
+                )
             continue
         # APPn/COM/others: skip
         pos += seglen
-    if (frame or {}).get("progressive") and "coef" in frame:
-        return _finish_progressive(frame, qtabs)
+    if frame and "coef" in frame:
+        return _finish_frame(frame, qtabs)
     raise ValueError("no SOS scan found")
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
+def _ensure_coef(frame):
+    """Allocate the per-component zig-zag coefficient accumulators once
+    (shared by sequential and progressive scans)."""
+    if "coef" in frame:
+        return
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    frame["coef"] = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+
+
+def _decode_scan(data, pos, frame, scan, huff, restart_interval):
+    """One SEQUENTIAL scan: full DC+AC per block, written into the shared
+    coefficient accumulators. Baseline JPEGs are usually a single
+    interleaved scan, but the spec also allows several scans (e.g. one
+    non-interleaved scan per component) — accumulating and assembling at
+    EOI handles both. Returns the position of the next marker."""
     if frame is None:
         raise ValueError("SOS before SOF")
     h, w, comps = frame["h"], frame["w"], frame["comps"]
@@ -527,69 +577,71 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    _ensure_coef(frame)
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["cs"]] for s in scan]
-    for c, s in zip(order, scan):
-        c["dcsel"], c["acsel"] = s["dc"], s["ac"]
-        c["plane"] = np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-        )
+    sel = {s["cs"]: s for s in scan}
     br = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_restart()
-                pred = {c["id"]: 0 for c in comps}
-            for c in order:
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        dc_tab = huff[(0, c["dcsel"])]
-                        ac_tab = huff[(1, c["acsel"])]
-                        cat = br.read_symbol(dc_tab)
-                        diff = _extend(br.read_bits(cat), cat)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_symbol(ac_tab)
-                            r, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.read_bits(ssss), ssss)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * qtabs[c["tq"]][ZIGZAG]
-                        block = _idct(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + hh) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = block
-            mcu_count += 1
-    # upsample to full resolution and crop
-    planes = []
-    for c in order:
-        p = c["plane"]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(
-                np.repeat(p, hmax // c["h"], axis=1), vmax // c["v"], axis=0
-            )
-        planes.append(p[:h, :w])
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    def decode_block(c, by, bx):
+        zz = frame["coef"][c["id"]][by, bx]
+        dc_tab = huff[(0, sel[c["id"]]["dc"])]
+        ac_tab = huff[(1, sel[c["id"]]["ac"])]
+        cat = br.read_symbol(dc_tab)
+        diff = _extend(br.read_bits(cat), cat)
+        pred[c["id"]] += diff
+        zz[0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = br.read_symbol(ac_tab)
+            r, ssss = rs >> 4, rs & 0x0F
+            if ssss == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(br.read_bits(ssss), ssss)
+            k += 1
+
+    unit = 0
+
+    def check_restart():
+        nonlocal pred
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align_restart()
+            pred = {c["id"]: 0 for c in comps}
+
+    if len(order) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart()
+                for c in order:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            decode_block(c, my * c["v"] + v, mx * c["h"] + hh)
+                unit += 1
+    else:
+        # single-component scan: non-interleaved, row-major over the
+        # component's OWN block grid (T.81 A.2.2 — NOT the MCU grid)
+        c = order[0]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        for by in range((ch + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                check_restart()
+                decode_block(c, by, bx)
+                unit += 1
+
+    p = br.pos
+    while p < len(data) - 1 and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -606,14 +658,7 @@ def _decode_progressive_scan(
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    if "coef" not in frame:
-        # zig-zag-order accumulators, one 64-vector per allocated block
-        frame["coef"] = {
-            c["id"]: np.zeros(
-                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
-            )
-            for c in comps
-        }
+    _ensure_coef(frame)
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["cs"]] for s in scan]
     sel = {s["cs"]: s for s in scan}
@@ -750,7 +795,7 @@ def _decode_progressive_scan(
     return p
 
 
-def _finish_progressive(frame, qtabs):
+def _finish_frame(frame, qtabs):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -824,19 +869,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     (SOF2): DC first at Al=1 + DC refinement, spectral-selection AC bands
     at Al=1, then AC refinement scans to Al=0."""
     arr = np.asarray(arr)
-    if arr.ndim == 2:
-        planes = [arr.astype(np.float64)]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        r = arr[..., 0].astype(np.float64)
-        g = arr[..., 1].astype(np.float64)
-        b = arr[..., 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-    else:
-        raise ValueError("expected (h,w) or (h,w,3) uint8 array")
+    planes = _to_planes(arr)
     h, w = arr.shape[:2]
     n_comp = len(planes)
     qluma = _scale_q(STD_LUMA_Q, quality)

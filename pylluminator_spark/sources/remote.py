@@ -85,6 +85,9 @@ def download_from_link(
         try:
             (fetcher or _default_fetcher)(dl_link, str(target))
         except Exception:
+            # remove any partial file: the exists() idempotency checks
+            # would otherwise treat it as a complete download forever
+            target.unlink(missing_ok=True)
             LOGGER.exception(
                 "download from %s failed; fetch it manually into %s",
                 dl_link,

@@ -95,8 +95,12 @@ def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
     microseconds exactly like ``datasets.load_table``, then cast to
     TIMESTAMP (watermarks reject NTZ). The NTZ->LTZ cast interprets the
     wall clock in the session timezone and ``date_format`` renders it back
-    in the same zone, so downstream window labels match the DuckDB naive
-    reading under any session (including the driver's vanilla one)."""
+    in the same zone, so downstream timestamps match the DuckDB naive
+    reading under any session (including the driver's vanilla one).
+    Caveat: Spark aligns ``F.window`` grids to UTC-epoch multiples, so
+    under a fractional-hour-offset session timezone pass
+    ``wall_clock_window_offset(spark)`` as the window startTime to keep
+    hourly labels on wall-clock boundaries."""
     import os
 
     dt = dict(spark.read.parquet(path).dtypes).get("ts")
@@ -112,15 +116,17 @@ def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
             " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         )
         return df.withColumn("ts", ntz.cast("timestamp"))
+    # derive from the canonical schema: only the ts field type varies
     fields = [
-        StructField("event_id", LongType()),
         StructField(
-            "ts", TimestampNTZType() if dt == "timestamp_ntz" else TimestampType()
-        ),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
+            f.name,
+            (
+                TimestampNTZType() if dt == "timestamp_ntz" else TimestampType()
+            )
+            if f.name == "ts"
+            else f.dataType,
+        )
+        for f in EVENTS_SCHEMA.fields
     ]
     df = spark.readStream.schema(StructType(fields)).parquet(path)
     if dt == "timestamp_ntz":
@@ -138,20 +144,48 @@ def read_event_stream_auto(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def wall_clock_window_offset(
+    spark: SparkSession, duration_seconds: int = 3600
+) -> str:
+    """``F.window`` startTime aligning tumbling windows to SESSION-WALL-CLOCK
+    boundaries: Spark aligns windows to UTC-epoch multiples, so a session
+    timezone with a fractional-hour UTC offset (+05:30 and friends) would
+    otherwise label hourly windows at HH:30. Returns the sub-duration
+    remainder of the session offset as a startTime string ('0 seconds' for
+    whole-offset zones, and on any timezone name zoneinfo cannot resolve).
+    DST shifts are whole hours in practice, so the remainder is stable."""
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        tzname = spark.conf.get("spark.sql.session.timeZone")
+        off = ZoneInfo(tzname).utcoffset(datetime(2026, 1, 1))
+        rem = int(off.total_seconds()) % duration_seconds
+    except Exception:
+        rem = 0
+    return f"{(-rem) % duration_seconds} seconds"
+
+
 def tumbling_window_counts(
     events: DataFrame,
     *,
     window_duration: str = "1 hour",
     watermark: str = "10 minutes",
+    start_time: str | None = None,
 ) -> DataFrame:
     """Per (tumbling window, event_type) count + value sum.
 
     Keyed state, watermark-bounded: late rows beyond `watermark` are dropped,
-    closed windows are evicted from the state store.
-    """
+    closed windows are evicted from the state store. ``start_time`` shifts
+    the window grid (see ``wall_clock_window_offset``)."""
+    win = (
+        F.window("ts", window_duration, window_duration, start_time)
+        if start_time
+        else F.window("ts", window_duration)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),

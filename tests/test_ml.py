@@ -348,3 +348,22 @@ def test_beta_density_grid_matches_numpy(spark, betas):
         # densities integrate to ~1 (trapezoid; boundary mass leaks a bit)
         integral = np.trapz(want, xs)
         assert 0.8 < integral < 1.2
+
+
+def test_beta_density_grid_zero_iqr_fallback_and_guards(spark):
+    """Discrete-heavy sample (IQR 0, sd > 0) falls back to sd for the
+    Silverman bandwidth; zero-spread samples yield NULL densities instead
+    of crashing; bandwidth <= 0 is rejected."""
+    rows = (
+        [("sA", f"p{i}", 0.5) for i in range(40)]
+        + [("sA", "q1", 0.1), ("sA", "q2", 0.9)]  # IQR 0, sd > 0
+        + [("sB", f"p{i}", 0.3) for i in range(10)]  # constant: no spread
+    )
+    betas = spark.createDataFrame(rows, "sample string, probe_id string, beta double")
+    out = ml.beta_density_grid(betas, grid_points=11, n_bins=32).toPandas()
+    a = out[out["sample"] == "sA"]["density"]
+    assert a.notna().all() and np.isfinite(a).all() and (a >= 0).all()
+    b = out[out["sample"] == "sB"]["density"]
+    assert b.isna().all()  # documented degenerate behavior
+    with pytest.raises(ValueError, match="bandwidth"):
+        ml.beta_density_grid(betas, bandwidth=0.0)

@@ -399,3 +399,19 @@ def test_jpeg_restart_markers_roundtrip():
     )
     b = decode_jpeg(encode_jpeg(rgb, quality=85, subsampling="4:2:0"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_jpeg_multi_scan_sequential():
+    """Spec-legal multi-scan baseline (one non-interleaved scan per
+    component) must decode identically to the single interleaved scan —
+    exercises the decoder's cross-scan coefficient accumulation and the
+    single-component block-grid traversal."""
+    from pylluminator_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:33, 0:50]
+    rgb = np.stack(
+        [(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    single = decode_jpeg(encode_jpeg(rgb, quality=92))
+    multi = decode_jpeg(encode_jpeg(rgb, quality=92, multi_scan=True))
+    np.testing.assert_array_equal(multi, single)
