@@ -3135,6 +3135,373 @@ WHERE len(text) > 0 AND x.i <= (len(text) - 1) // 150
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering (operators.corpus.gopher_signals, Rae
+    et al. 2021 §A1.1): per-doc signals from ONE token explode + doc-keyed
+    hash aggregate (map-side partial combine), plus the keep/drop decision.
+    The oracle replicates every signal with DuckDB list ops."""
+    from pylluminator_spark.operators.corpus import (
+        gopher_keep_expr,
+        gopher_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = gopher_signals(docs).withColumn(
+        "keep", gopher_keep_expr(min_words=20).cast("int")
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        "stopword_hits",
+        F.round("dup_word_fraction", 6).alias("dup_word_fraction"),
+        F.round("top_word_fraction", 6).alias("top_word_fraction"),
+        "keep",
+    )
+
+
+_GOPHER_SW_SQL = ", ".join(
+    f"'{w}'" for w in ["the", "and", "of", "to", "in", "is", "that", "for",
+                       "with", "on", "a", "an", "it", "as", "at", "by", "be"]
+)
+
+ORACLE_GOPHER_QUALITY = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         len(list_distinct(t)) AS n_distinct,
+         list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
+           AS mean_word_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+           / len(t) AS alpha_ratio,
+         len(list_filter(t, x -> list_contains([{_GOPHER_SW_SQL}], x)))
+           AS stopword_hits,
+         1.0 - len(list_distinct(t)) * 1.0 / len(t) AS dup_word_fraction,
+         list_max(list_transform(list_distinct(t),
+                                 d -> len(list_filter(t, x -> x = d))))
+           * 1.0 / len(t) AS top_word_fraction
+  FROM toks
+)
+SELECT doc_id, n_words, n_distinct,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       stopword_hits,
+       ROUND(dup_word_fraction, 6) AS dup_word_fraction,
+       ROUND(top_word_fraction, 6) AS top_word_fraction,
+       CAST(n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_ratio >= 0.8 AND stopword_hits >= 2
+            AND dup_word_fraction <= 0.63 AS INT) AS keep
+FROM sig
+"""
+
+
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals over word bigrams
+    (operators.corpus.repetition_stats): total bigrams, the top bigram's
+    share, and the duplicate-bigram fraction — explode + doc-keyed
+    aggregation, linear at corpus scale."""
+    from pylluminator_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    st = repetition_stats(docs, n=2)
+    return st.select(
+        "doc_id",
+        "n_ngrams",
+        F.round("top_ngram_fraction", 6).alias("top_ngram_fraction"),
+        F.round("dup_ngram_fraction", 6).alias("dup_ngram_fraction"),
+    )
+
+
+ORACLE_REPETITION_RATIOS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_ngrams,
+       CASE WHEN len(g) = 0 THEN 0.0
+            ELSE ROUND(list_max(list_transform(list_distinct(g),
+                                d -> len(list_filter(g, x -> x = d))))
+                       * 1.0 / len(g), 6) END AS top_ngram_fraction,
+       CASE WHEN len(g) = 0 THEN 0.0
+            ELSE ROUND(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6)
+            END AS dup_ngram_fraction
+FROM grams
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination
+    (operators.corpus.ngram_overlap, Brown et al. 2020 App. C): candidate
+    docs whose distinct word 5-grams overlap a benchmark set (docs with
+    doc_id % 25 == 0 stand in for the benchmark). The benchmark n-gram set
+    is dimension-sized and broadcast; the only shuffle is the doc-keyed
+    count."""
+    from pylluminator_spark.operators.corpus import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 25 == 0
+    res = ngram_overlap(
+        docs.filter(~bench_pred), docs.filter(bench_pred), n=5
+    )
+    return res.select(
+        "doc_id",
+        "n_grams",
+        "n_overlapping",
+        F.round("overlap_fraction", 6).alias("overlap_fraction"),
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(generate_series(1, len(t) - 4),
+                       i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                ELSE [] END)) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
+), cand AS (
+  SELECT * FROM grams WHERE doc_id % 25 <> 0
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM cand GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlapping
+  FROM cand JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT h.doc_id, t.n_grams, h.n_overlapping,
+       ROUND(h.n_overlapping * 1.0 / t.n_grams, 6) AS overlap_fraction
+FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+"""
+
+
+_BM25_TERMS = ["hash", "spark", "window"]  # fixed alphabetical order
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 (operators.corpus.bm25_scores dataflow): tokens
+    exploded once and filtered to the query terms BEFORE aggregation, so the
+    shuffled volume tracks query matches, not corpus size; corpus stats are
+    a broadcast 1-row scalar. Cross-engine float determinism: avgdl is the
+    exact-integer sum/count quotient, each term's contribution is computed
+    from exact integers, and the per-doc score adds the per-term columns in
+    one FIXED order on both engines (no accumulation-order ambiguity); the
+    final order is by the ROUNDED score, doc_id tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    q_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    toks = docs.select(
+        "doc_id", tokens_expr(F.lower(F.col("text"))).alias("_toks")
+    )
+    lengths = toks.select("doc_id", F.size("_toks").alias("dl"))
+    corpus = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    matches = (
+        toks.select("doc_id", F.explode("_toks").alias("term"))
+        .filter(F.array_contains(q_arr, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = matches.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = (
+        matches.join(F.broadcast(df_per_term), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_contrib", contrib)
+    )
+    # exactly one row per (doc, term): the conditional sums pick single
+    # exact values; the fixed-order addition below is bit-reproducible
+    pivoted = per_term.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("term") == t, F.col("_contrib"))
+            ).alias(f"_c_{t}")
+            for t in _BM25_TERMS
+        ],
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    score = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(F.col(f"_c_{t}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        pivoted.select(
+            "doc_id",
+            F.round(score, 6).alias("bm25"),
+            "n_terms_matched",
+        )
+        .orderBy(F.desc("bm25"), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_BM25_CONTRIB_SQL = " + ".join(
+    f"COALESCE(SUM(CASE WHEN term = '{t}' THEN "
+    f"ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * {_BM25_K1 + 1} "
+    f"/ (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) "
+    f"END), 0.0)"
+    for t in _BM25_TERMS
+)
+
+ORACLE_BM25_RANK = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM documents
+), lens AS (
+  SELECT doc_id, len(t) AS dl FROM toks
+), corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl
+  FROM lens
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       ROUND({_BM25_CONTRIB_SQL}, 6) AS bm25,
+       COUNT(*) AS n_terms_matched
+FROM tf
+JOIN dfq USING (term)
+JOIN lens ON lens.doc_id = tf.doc_id
+CROSS JOIN corpus
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id
+LIMIT 20
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling
+    (operators.sampling.stratified_sample, SQL-portable arith-hash variant):
+    re-balance languages by keeping a per-lang fraction of doc keys —
+    map-side predicate, no shuffle for the decision; the gate aggregates the
+    kept set per language with exact-integer checksums."""
+    from pylluminator_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "es": 0.25, "fr": 0.1},
+        "doc_id",
+        default_rate=0.05,
+        portable=True,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE ((doc_id * 2654435761) % 1000003) % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+                WHEN 'fr' THEN 1000 ELSE 500 END
+GROUP BY lang
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (beyond-reference §2.9): the
+    REAL readStream pipeline through streaming.events.sliding_window_counts
+    (1 h window, 30 min slide — every event lands in exactly 2 panes),
+    drained availableNow in complete mode. Counts only: exact integers.
+    The DuckDB twin materializes both panes per event via a
+    generate_series cross join on tz-free epoch arithmetic."""
+    from pylluminator_spark.streaming.events import (
+        read_event_stream_auto,
+        run_available_now,
+        sliding_window_counts,
+        wall_clock_window_offset,
+    )
+
+    stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_window_counts(
+        stream,
+        window_duration="1 hour",
+        slide="30 minutes",
+        watermark="10 minutes",
+        # align the 30-min pane grid to the session wall clock (matters
+        # only for :15/:45-offset zones; '0 seconds' everywhere else)
+        start_time=wall_clock_window_offset(spark, 1800),
+    )
+    res = run_available_now(agg, output_mode="complete")
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+ORACLE_STREAM_SLIDING = """
+WITH panes AS (
+  SELECT event_type,
+         TIMESTAMP '1970-01-01 00:00:00' + to_microseconds(
+           ((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) - i) * 1800000000
+         ) AS pane_start
+  FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS i)
+)
+SELECT strftime(pane_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(pane_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+         AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM panes GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3157,6 +3524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_gram": q_pca_gram,
         "dedup_components": q_dedup_components,  # pair-gen rewrite
         "chunk_documents": q_chunk_documents,  # oracle bound + empty-text
+        "gopher_quality": q_gopher_quality,
+        "repetition_ratios": q_repetition_ratios,
+        "decontaminate": q_decontaminate,
+        "bm25_rank": q_bm25_rank,
+        "stratified_sample": q_stratified_sample,
+        "stream_sliding": q_stream_sliding,
         # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
@@ -3241,6 +3614,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ORACLE_SESSIONIZE,
         "event_windows": ORACLE_EVENT_WINDOWS,
         "stream_tumbling": ORACLE_STREAM_TUMBLING,
+        "stream_sliding": ORACLE_STREAM_SLIDING,
+        "gopher_quality": ORACLE_GOPHER_QUALITY,
+        "repetition_ratios": ORACLE_REPETITION_RATIOS,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "bm25_rank": ORACLE_BM25_RANK,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

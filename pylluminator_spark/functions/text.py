@@ -55,18 +55,28 @@ def bpe_token_count_expr(text: Column) -> Column:
 def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Contiguous n-token shingles joined with a single space.
 
-    Documents shorter than ``n`` tokens yield an empty array.
+    Documents shorter than ``n`` tokens yield an empty array. (The guard is
+    load-bearing: ``sequence(1, 0)`` in Spark is the DESCENDING ``[1, 0]``,
+    not empty, so an unguarded upper bound would emit junk shingles — and
+    ``slice(_, 0, _)`` is a hard error under ANSI mode.)
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams_expr(text: Column, n: int = 3) -> Column:
-    """Character n-grams of a string (for n-gram Jaccard similarity)."""
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.length(text) - F.lit(n - 1), F.lit(0))
-    )
-    return F.transform(idx, lambda i: F.substring(text, i, n))
+    """Character n-grams of a string (for n-gram Jaccard similarity).
+
+    Strings shorter than ``n`` yield an empty array (same descending-
+    ``sequence`` guard as :func:`word_shingles_expr`)."""
+    idx = F.sequence(F.lit(1), F.length(text) - F.lit(n - 1))
+    return F.when(
+        F.length(text) >= n,
+        F.transform(idx, lambda i: F.substring(text, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio_expr(text: Column) -> Column:

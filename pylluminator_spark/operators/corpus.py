@@ -1,0 +1,326 @@
+"""Corpus-level training-data operators: quality-rule filtering, repetition
+signals, benchmark decontamination, and BM25 relevance ranking.
+
+These are beyond-reference operators (driver north star) modeled on the
+published large-corpus pipeline recipes — the Gopher quality rules
+(Rae et al. 2021, "Scaling Language Models", §A1.1), C4's heuristics
+(Raffel et al. 2020), GPT-3-style n-gram decontamination (Brown et al. 2020,
+Appendix C), and BM25 (Robertson & Spärck Jones) — re-expressed as Spark
+DataFrame dataflow.
+
+Scale design: every operator is a single explode -> hash-aggregate keyed by
+(doc_id[, term]) — partial aggregation map-side, one shuffle on the document
+key, no per-row quadratic array ops, no Python in the hot path. The corpus
+scalars BM25 needs (N, avgdl) are a 1-row aggregate broadcast back; the
+benchmark side of decontamination is dimension-sized (benchmarks are MBs
+even when the corpus is 100 TB) and is broadcast-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pylluminator_spark.functions.text import (
+    STOPWORDS_EN,
+    tokens_expr,
+    word_shingles_expr,
+)
+
+# ---------------------------------------------------------------------------
+# Per-document token statistics (one explode + one doc-keyed aggregation)
+# ---------------------------------------------------------------------------
+
+
+def _token_counts(
+    docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, token) -> occurrence count. The shared first stage: explode the
+    token stream once, hash-aggregate with map-side partial combine."""
+    toks = docs.select(
+        doc_col, F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token")
+    )
+    return toks.groupBy(doc_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def gopher_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-rule quality signals per document, from ONE token aggregation:
+
+    - ``n_words``, ``n_distinct`` — vocabulary size vs length
+    - ``mean_word_len`` — Gopher keeps documents with mean word length 3-10
+    - ``alpha_ratio`` — fraction of words containing an alphabetic character
+      (Gopher: >= 0.8 must)
+    - ``stopword_hits`` — count of English stopwords (Gopher: >= 2 distinct)
+    - ``dup_word_fraction`` — 1 - distinct/total (repetition proxy)
+    - ``top_word_fraction`` — most frequent word's share of all words
+
+    All signals derive from (token, count) pairs, so the whole operator is a
+    single shuffle keyed by the document id.
+    """
+    sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    tc = _token_counts(docs, text_col, doc_col)
+    agg = tc.groupBy(doc_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("_top_cnt"),
+        F.sum(F.length("token") * F.col("cnt")).alias("_char_sum"),
+        F.sum(
+            F.when(F.col("token").rlike("[a-zA-Z]"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_alpha_words"),
+        F.sum(
+            F.when(F.array_contains(sw_arr, F.col("token")), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("stopword_hits"),
+    )
+    nw = F.col("n_words").cast("double")
+    return agg.select(
+        doc_col,
+        "n_words",
+        "n_distinct",
+        (F.col("_char_sum") / nw).alias("mean_word_len"),
+        (F.col("_alpha_words") / nw).alias("alpha_ratio"),
+        "stopword_hits",
+        (F.lit(1.0) - F.col("n_distinct") / nw).alias("dup_word_fraction"),
+        (F.col("_top_cnt") / nw).alias("top_word_fraction"),
+    )
+
+
+def gopher_keep_expr(
+    *,
+    n_words: Column | None = None,
+    mean_word_len: Column | None = None,
+    alpha_ratio: Column | None = None,
+    stopword_hits: Column | None = None,
+    dup_word_fraction: Column | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_word_fraction: float = 0.63,
+) -> Column:
+    """The Gopher keep/drop decision over the signal columns (thresholds are
+    the published defaults; word-count band narrowed from 50..100k)."""
+    n_words = n_words if n_words is not None else F.col("n_words")
+    mean_word_len = (
+        mean_word_len if mean_word_len is not None else F.col("mean_word_len")
+    )
+    alpha_ratio = alpha_ratio if alpha_ratio is not None else F.col("alpha_ratio")
+    stopword_hits = (
+        stopword_hits if stopword_hits is not None else F.col("stopword_hits")
+    )
+    dup_word_fraction = (
+        dup_word_fraction
+        if dup_word_fraction is not None
+        else F.col("dup_word_fraction")
+    )
+    return (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stopword_hits >= min_stopword_hits)
+        & (dup_word_fraction <= max_dup_word_fraction)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher repetition signals over word n-grams (default bigrams):
+
+    - ``n_ngrams`` — total n-grams in the document
+    - ``top_ngram_fraction`` — share taken by the single most frequent n-gram
+    - ``dup_ngram_fraction`` — share of n-gram occurrences beyond the first
+      occurrence of each distinct n-gram (1 - distinct/total)
+
+    Explode + doc-keyed aggregate: scales linearly, one shuffle. Documents
+    shorter than ``n`` tokens are reported with zero fractions.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    grams = docs.select(
+        doc_col, F.explode(word_shingles_expr(toks, n)).alias("gram")
+    )
+    per_gram = grams.groupBy(doc_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = per_gram.groupBy(doc_col).agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.max("cnt").alias("_top_cnt"),
+    )
+    total = F.col("n_ngrams").cast("double")
+    stats = agg.select(
+        doc_col,
+        "n_ngrams",
+        (F.col("_top_cnt") / total).alias("top_ngram_fraction"),
+        (F.lit(1.0) - F.col("_n_distinct") / total).alias("dup_ngram_fraction"),
+    )
+    # re-attach docs with < n tokens (they produce no gram rows)
+    base = docs.select(doc_col)
+    return (
+        base.join(stats, doc_col, "left")
+        .select(
+            doc_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("top_ngram_fraction", F.lit(0.0)).alias(
+                "top_ngram_fraction"
+            ),
+            F.coalesce("dup_ngram_fraction", F.lit(0.0)).alias(
+                "dup_ngram_fraction"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3-style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination: for each candidate document, count how
+    many of its DISTINCT word n-grams also appear anywhere in the benchmark
+    set (GPT-3 used 13-grams; ``n`` is a knob because test corpora are
+    shorter). Returns only contaminated docs:
+    ``(doc_id, n_grams, n_overlapping, overlap_fraction)``.
+
+    The benchmark side is collapsed to its distinct n-gram set and
+    broadcast — benchmarks are dimension-sized (MBs) even at a 100 TB
+    training corpus, so the probe is a map-side broadcast semi-join; the
+    only shuffle is the doc-keyed count aggregation.
+    """
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    doc_grams = docs.select(
+        doc_col, F.explode(word_shingles_expr(toks, n)).alias("gram")
+    ).distinct()
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                word_shingles_expr(tokens_expr(F.lower(F.col(text_col))), n)
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    totals = doc_grams.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(doc_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+    return (
+        hits.join(totals, doc_col, "inner")
+        .select(
+            doc_col,
+            "n_grams",
+            "n_overlapping",
+            (F.col("n_overlapping") / F.col("n_grams").cast("double")).alias(
+                "overlap_fraction"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance ranking
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for a bag-of-words query.
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·dl/avgdl))``
+    with the standard smoothed ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Dataflow: tokens are exploded once and filtered to the query terms
+    BEFORE the aggregate, so the shuffled volume is proportional to query
+    matches, not corpus size. Corpus stats (N, avgdl) are one scalar
+    aggregate broadcast back (1-row join — not a data shuffle); per-term
+    document frequencies are a tiny |query|-row aggregate, also broadcast.
+    """
+    q = [t.lower() for t in query_terms]
+    q_arr = F.array(*[F.lit(t) for t in q])
+    toks = docs.select(
+        doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_toks")
+    )
+    lengths = toks.select(doc_col, F.size("_toks").alias("dl"))
+    corpus = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    matches = (
+        toks.select(doc_col, F.explode("_toks").alias("term"))
+        .filter(F.array_contains(q_arr, F.col("term")))
+        .groupBy(doc_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_per_term = matches.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        matches.join(F.broadcast(df_per_term), "term")
+        .join(lengths, doc_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_idf", idf)
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(doc_col).agg(
+        F.sum("_contrib").alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents by BM25, deterministic tie-break on doc_id."""
+    doc_col = kwargs.get("doc_col", "doc_id")
+    scores = bm25_scores(docs, query_terms, **kwargs)
+    return scores.orderBy(
+        F.desc("bm25"), F.col(doc_col).asc()
+    ).limit(k)

@@ -47,6 +47,45 @@ def hash_sample(
     return df.filter(hash_bucket_expr(F.col(key), buckets, salt) < thresh)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key: str,
+    *,
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~``rates[stratum]`` of keys
+    inside each stratum (e.g. re-balance languages in a training corpus).
+
+    Same guarantees as :func:`hash_sample` — reproducible across runs and
+    engines, per-key consistent, shuffle-free (the decision is a map-side
+    column predicate; no per-stratum pass over the data). Strata missing
+    from ``rates`` get ``default_rate``. ``portable=True`` uses the
+    multiplicative arith hash (integral key) so an ANSI-SQL oracle can
+    replicate the decision bit-for-bit.
+    """
+    bucket = (
+        arith_bucket_expr(F.col(key), buckets)
+        if portable
+        else hash_bucket_expr(F.col(key), buckets)
+    )
+    thresh = None
+    for stratum, rate in rates.items():
+        bound = int(round(rate * buckets))
+        cond = F.col(strata_col) == stratum
+        thresh = (
+            F.when(cond, bound) if thresh is None else thresh.when(cond, bound)
+        )
+    default_bound = int(round(default_rate * buckets))
+    thresh = (
+        F.lit(default_bound) if thresh is None else thresh.otherwise(default_bound)
+    )
+    return df.filter(bucket < thresh)
+
+
 def split_assign(
     df: DataFrame,
     key: str,

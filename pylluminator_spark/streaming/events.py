@@ -206,11 +206,18 @@ def sliding_window_counts(
     window_duration: str = "1 hour",
     slide: str = "15 minutes",
     watermark: str = "10 minutes",
+    start_time: str | None = None,
 ) -> DataFrame:
-    """Sliding-window per-type counts; each row lands in window/slide panes."""
+    """Sliding-window per-type counts; each row lands in window/slide panes.
+    ``start_time`` shifts the pane grid (see ``wall_clock_window_offset``)."""
+    win = (
+        F.window("ts", window_duration, slide, start_time)
+        if start_time
+        else F.window("ts", window_duration, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration, slide).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("win.start").alias("window_start"),

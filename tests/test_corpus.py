@@ -1,0 +1,211 @@
+"""Corpus-operator tests: Gopher quality signals, repetition stats,
+n-gram decontamination, BM25 ranking, stratified sampling — each checked
+against an independent pure-Python computation on the same rows."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.datasets import load_table
+from pylluminator_spark.operators.corpus import (
+    bm25_scores,
+    bm25_topk,
+    gopher_keep_expr,
+    gopher_signals,
+    ngram_overlap,
+    repetition_stats,
+)
+from pylluminator_spark.operators.sampling import stratified_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def doc_rows(docs):
+    return {r.doc_id: r.text for r in docs.collect()}
+
+
+def _tokens(text):
+    return [t for t in text.lower().split() if t]
+
+
+def test_gopher_signals_match_python(spark, docs, doc_rows):
+    got = {r.doc_id: r for r in gopher_signals(docs).collect()}
+    assert set(got) == set(doc_rows)
+    for doc_id, text in doc_rows.items():
+        toks = _tokens(text)
+        counts = Counter(toks)
+        r = got[doc_id]
+        assert r.n_words == len(toks)
+        assert r.n_distinct == len(counts)
+        assert r.mean_word_len == pytest.approx(
+            sum(len(t) for t in toks) / len(toks)
+        )
+        assert r.alpha_ratio == pytest.approx(
+            sum(1 for t in toks if any(c.isalpha() for c in t)) / len(toks)
+        )
+        assert r.dup_word_fraction == pytest.approx(
+            1 - len(counts) / len(toks)
+        )
+        assert r.top_word_fraction == pytest.approx(
+            max(counts.values()) / len(toks)
+        )
+
+
+def test_gopher_keep_rules(spark):
+    rows = [
+        # id, text, expected keep under (min_words=3, defaults otherwise)
+        (1, "the cat sat on the mat quietly today", True),
+        (2, "aaa aaa aaa aaa aaa aaa aaa aaa", False),  # no stopwords, dup-heavy
+        (3, "x y", False),  # too short
+        (4, "the 123 456 789 000 111 222 333 444 555", False),  # alpha < 0.8
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    sig = gopher_signals(df).withColumn(
+        "keep", gopher_keep_expr(min_words=3)
+    )
+    got = {r.doc_id: r.keep for r in sig.collect()}
+    for i, _, want in rows:
+        assert got[i] == want, i
+
+
+def test_repetition_stats_match_python(spark, docs, doc_rows):
+    got = {r.doc_id: r for r in repetition_stats(docs, n=2).collect()}
+    assert set(got) == set(doc_rows)
+    for doc_id, text in doc_rows.items():
+        toks = _tokens(text)
+        grams = [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+        r = got[doc_id]
+        assert r.n_ngrams == len(grams)
+        if grams:
+            c = Counter(grams)
+            assert r.top_ngram_fraction == pytest.approx(
+                max(c.values()) / len(grams)
+            )
+            assert r.dup_ngram_fraction == pytest.approx(
+                1 - len(c) / len(grams)
+            )
+
+
+def test_repetition_short_doc_zero_row(spark):
+    df = spark.createDataFrame([(1, "single")], ["doc_id", "text"])
+    r = repetition_stats(df, n=2).collect()[0]
+    assert (r.n_ngrams, r.top_ngram_fraction, r.dup_ngram_fraction) == (0, 0.0, 0.0)
+
+
+def test_ngram_overlap_matches_python(spark, docs, doc_rows):
+    n = 5
+    bench_pred = F.col("doc_id") % 25 == 0
+    bench_ids = {d for d in doc_rows if d % 25 == 0}
+
+    def grams(text):
+        toks = _tokens(text)
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_grams = set().union(*(grams(doc_rows[d]) for d in bench_ids))
+    got = {
+        r.doc_id: r
+        for r in ngram_overlap(
+            docs.filter(~bench_pred), docs.filter(bench_pred), n=n
+        ).collect()
+    }
+    for doc_id, text in doc_rows.items():
+        if doc_id in bench_ids:
+            continue
+        g = grams(text)
+        hits = len(g & bench_grams)
+        if hits == 0:
+            assert doc_id not in got
+        else:
+            r = got[doc_id]
+            assert r.n_grams == len(g)
+            assert r.n_overlapping == hits
+            assert r.overlap_fraction == pytest.approx(hits / len(g))
+
+
+def _py_bm25(doc_rows, terms, k1=1.2, b=0.75):
+    terms = [t.lower() for t in terms]
+    lens = {d: len(_tokens(t)) for d, t in doc_rows.items()}
+    n_docs = len(doc_rows)
+    avgdl = sum(lens.values()) / n_docs
+    tf = {
+        d: Counter(t for t in _tokens(text) if t in terms)
+        for d, text in doc_rows.items()
+    }
+    df = Counter(t for d in tf.values() for t in d)
+    out = {}
+    for d, counts in tf.items():
+        s = 0.0
+        for t, f in counts.items():
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * lens[d] / avgdl))
+        if counts:
+            out[d] = (s, len(counts))
+    return out
+
+
+def test_bm25_matches_python(spark, docs, doc_rows):
+    terms = ["spark", "window", "hash"]
+    want = _py_bm25(doc_rows, terms)
+    got = {r.doc_id: (r.bm25, r.n_terms_matched) for r in bm25_scores(docs, terms).collect()}
+    assert set(got) == set(want)
+    for d, (s, m) in want.items():
+        assert got[d][0] == pytest.approx(s)
+        assert got[d][1] == m
+
+
+def test_bm25_topk_deterministic_order(spark, docs, doc_rows):
+    terms = ["spark", "window", "hash"]
+    want = _py_bm25(doc_rows, terms)
+    order = sorted(want, key=lambda d: (-round(want[d][0], 9), d))[:10]
+    got = [r.doc_id for r in bm25_topk(docs, terms, k=10).collect()]
+    assert got == order
+
+
+def test_stratified_sample_rates_and_consistency(spark, docs):
+    rates = {"en": 0.5, "es": 0.2}
+    kept = stratified_sample(docs, "lang", rates, "doc_id", default_rate=1.0)
+    base = {(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()}
+    got = {(r.doc_id, r.lang) for r in kept.select("doc_id", "lang").collect()}
+    assert got <= base
+    # strata not in rates keep everything (default_rate=1)
+    other = {x for x in base if x[1] not in rates}
+    assert other <= got
+    # per-stratum fraction lands near the requested rate
+    for lang, rate in rates.items():
+        n_all = sum(1 for x in base if x[1] == lang)
+        n_kept = sum(1 for x in got if x[1] == lang)
+        assert abs(n_kept / n_all - rate) < 0.2
+    # determinism: identical second evaluation
+    again = {(r.doc_id, r.lang) for r in kept.select("doc_id", "lang").collect()}
+    assert again == got
+
+
+def test_stratified_sample_portable_matches_arith(spark, docs):
+    rates = {"en": 0.3}
+    kept = stratified_sample(
+        docs, "lang", rates, "doc_id", default_rate=0.0, portable=True
+    )
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in docs.select("doc_id", "lang").collect()
+        if r.lang == "en"
+        and ((r.doc_id * 2654435761) % 1000003) % 10000 < 3000
+    }
+    assert got == want

@@ -46,6 +46,11 @@ CLEAN = [
     # binned-KDE density grid
     "ols_dmp", "sample_distances", "stream_tumbling", "beta_density",
     "media_decode_jpeg", "pca_gram",
+    # round 4 corpus ops: explode -> doc-keyed hash aggregate (gopher /
+    # repetition), broadcast-dim semi-join (decontaminate), map-side
+    # predicate + agg (stratified_sample), streaming drain (sliding)
+    "gopher_quality", "repetition_ratios", "decontaminate",
+    "stratified_sample", "stream_sliding",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -55,6 +60,8 @@ SCALAR_AGG_OK = [
     "agg_equals_max", "filter_scan_revenue", "promo_revenue",
     "disjunctive_pred", "important_parts", "bulk_suppliers",
     "idle_customers",
+    # BM25's corpus stats (N, avgdl) are a broadcast 1-row scalar
+    "bm25_rank",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the

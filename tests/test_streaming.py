@@ -107,6 +107,43 @@ def test_append_mode_emits_closed_windows(spark, event_chunks):
         assert batch[(r.window_start, r.event_type)] == r.n_events
 
 
+def test_sliding_window_parity(spark, event_chunks):
+    """Sliding windows: every event lands in duration/slide panes; complete
+    mode drains to exact batch parity."""
+    from pylluminator_spark.streaming import sliding_window_counts
+
+    res = run_available_now(
+        sliding_window_counts(
+            _stream(spark, event_chunks),
+            window_duration="2 hours",
+            slide="30 minutes",
+        ),
+        output_mode="complete",
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in res.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events for r in batch.collect()
+    }
+    assert got == want
+    # pane multiplicity: total pane memberships = 4x the event count
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(got.values()) == 4 * n_events
+
+
 def test_session_window_parity(spark, event_chunks):
     res = run_available_now(
         session_window_agg(_stream(spark, event_chunks), gap="5 minutes"),
