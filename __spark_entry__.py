@@ -3250,16 +3250,17 @@ FROM grams
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style benchmark decontamination
     (operators.corpus.ngram_overlap, Brown et al. 2020 App. C): candidate
-    docs whose distinct word 5-grams overlap a benchmark set (docs with
-    doc_id % 25 == 0 stand in for the benchmark). The benchmark n-gram set
-    is dimension-sized and broadcast; the only shuffle is the doc-keyed
-    count."""
+    docs whose distinct word 4-grams overlap a benchmark set (docs with
+    doc_id % 25 == 0 stand in for the benchmark; n=4 because the synthetic
+    corpus is short — GPT-3 used 13-grams). The benchmark n-gram set is
+    dimension-sized and broadcast; the only shuffles are the within-doc gram
+    dedup and the doc-keyed count."""
     from pylluminator_spark.operators.corpus import ngram_overlap
 
     docs = _t(spark, sf_dir, "documents")
     bench_pred = F.col("doc_id") % 25 == 0
     res = ngram_overlap(
-        docs.filter(~bench_pred), docs.filter(bench_pred), n=5
+        docs.filter(~bench_pred), docs.filter(bench_pred), n=4
     )
     return res.select(
         "doc_id",
@@ -3277,9 +3278,9 @@ WITH toks AS (
   FROM documents
 ), grams AS (
   SELECT doc_id, UNNEST(list_distinct(
-           CASE WHEN len(t) >= 5
-                THEN list_transform(generate_series(1, len(t) - 4),
-                       i -> array_to_string(list_slice(t, i, i + 4), ' '))
+           CASE WHEN len(t) >= 4
+                THEN list_transform(generate_series(1, len(t) - 3),
+                       i -> array_to_string(list_slice(t, i, i + 3), ' '))
                 ELSE [] END)) AS gram
   FROM toks
 ), bench AS (

@@ -210,6 +210,9 @@ def ngram_overlap(
     only shuffle is the doc-keyed count aggregation.
     """
     toks = tokens_expr(F.lower(F.col(text_col)))
+    # one shuffle dedups grams within each doc; the broadcast left join tags
+    # benchmark hits map-side; one more doc-keyed aggregate produces both
+    # counts at once (no separate totals/hits branches to re-join)
     doc_grams = docs.select(
         doc_col, F.explode(word_shingles_expr(toks, n)).alias("gram")
     ).distinct()
@@ -220,17 +223,16 @@ def ngram_overlap(
             ).alias("gram")
         )
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    totals = doc_grams.groupBy(doc_col).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
-        .groupBy(doc_col)
-        .agg(F.count(F.lit(1)).alias("n_overlapping"))
-    )
+    tagged = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
     return (
-        hits.join(totals, doc_col, "inner")
+        tagged.groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlapping"),
+        )
+        .filter(F.col("n_overlapping") > 0)
         .select(
             doc_col,
             "n_grams",
