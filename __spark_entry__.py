@@ -3503,6 +3503,69 @@ FROM panes GROUP BY 1, 2, 3
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii_expr): the canonical
+    pre-training privacy pass — emails/SSNs/phones/IPv4s replaced by typed
+    placeholders via an RE2-compatible regexp_replace chain (whole-stage
+    codegen, identical pattern strings on both engines). The corpus has no
+    real PII, so each doc gets deterministic synthetic spans injected from
+    doc_id; the gate hash-compares the FULL redacted strings plus per-kind
+    counts."""
+    from pylluminator_spark.functions.text import (
+        pii_count_expr,
+        redact_pii_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.lit("contact u"), d.cast("string"),
+        F.lit("@ex"), (d % 7).cast("string"),
+        F.lit(".com call 555-867-"),
+        F.lpad(((d * 37) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".1 "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_count_expr(injected, "email").cast("long").alias("n_emails"),
+        pii_count_expr(injected, "phone").cast("long").alias("n_phones"),
+        pii_count_expr(injected, "ipv4").cast("long").alias("n_ips"),
+        redact_pii_expr(injected).alias("redacted"),
+    )
+
+
+# the same RE2-safe pattern strings as functions.text.PII_PATTERNS; DuckDB
+# regexp_replace needs the explicit 'g' flag (Spark replaces all by default)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+ORACLE_PII_REDACT = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         'contact u' || CAST(doc_id AS VARCHAR)
+           || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com call 555-867-'
+           || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 '
+           || text AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_SSN}', '<SSN>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IPV4}', '<IPV4>', 'g') AS redacted
+FROM injected
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3531,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "stratified_sample": q_stratified_sample,
         "stream_sliding": q_stream_sliding,
+        "pii_redact": q_pii_redact,
         # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
@@ -3621,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "bm25_rank": ORACLE_BM25_RANK,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "pii_redact": ORACLE_PII_REDACT,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -55,16 +55,25 @@ def bpe_token_count_expr(text: Column) -> Column:
 def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Contiguous n-token shingles joined with a single space.
 
-    Documents shorter than ``n`` tokens yield an empty array. (The guard is
-    load-bearing: ``sequence(1, 0)`` in Spark is the DESCENDING ``[1, 0]``,
-    not empty, so an unguarded upper bound would emit junk shingles — and
-    ``slice(_, 0, _)`` is a hard error under ANSI mode.)
+    Documents shorter than ``n`` tokens yield an empty array (``greatest``
+    guards the slice length — note ``sequence(1, 0)`` in Spark would be the
+    DESCENDING ``[1, 0]``, so index-sequence formulations need care).
+
+    Construction is a zip of ``n`` shifted slices rather than
+    ``transform(sequence(...), i -> slice(tokens, i, n))``: a lambda that
+    references the ``tokens`` subtree re-evaluates it PER ELEMENT (no
+    common-subexpression elimination inside higher-order functions), which
+    turns an expression-valued ``tokens`` (split+filter) into O(L^2) work
+    per document. The zip form evaluates ``tokens`` ``n`` times total —
+    O(n*L) — which is what keeps this viable on 10k-token documents at
+    corpus scale.
     """
-    idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    shifted = [F.slice(tokens, i + 1, cnt).alias(f"w{i}") for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+    )
 
 
 def char_ngrams_expr(text: Column, n: int = 3) -> Column:
@@ -140,6 +149,39 @@ def lang_id_expr(text: Column) -> Column:
         )
     )
     return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+# PII scrubbing patterns. Deliberately RE2-compatible (no lookaround, no
+# backreferences) so the identical pattern string runs in Spark (Java regex)
+# and DuckDB/RE2 engines — the same dual-engine constraint as
+# BPE_ISH_PATTERN. Swap in stricter production patterns as needed.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+# order matters: SSN before phone (both are digit-dash shapes), IP last so
+# already-redacted spans aren't rescanned
+PII_REDACTION_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def redact_pii_expr(text: Column, kinds: tuple[str, ...] = PII_REDACTION_ORDER) -> Column:
+    """Replace PII spans with ``<KIND>`` placeholders — pure
+    ``regexp_replace`` chain, whole-stage codegen, no Python in the hot
+    path. The canonical pre-training scrub pass."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out
+
+
+def pii_count_expr(text: Column, kind: str) -> Column:
+    """Number of spans of one PII kind in the text."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
 
 
 def fingerprint_expr(text: Column) -> Column:

@@ -196,6 +196,39 @@ def test_stratified_sample_rates_and_consistency(spark, docs):
     assert again == got
 
 
+def test_pii_redaction(spark):
+    from pylluminator_spark.functions.text import (
+        pii_count_expr,
+        redact_pii_expr,
+    )
+
+    rows = [
+        (1, "mail a.b+c@mail-host.org now", "mail <EMAIL> now", 1, 0, 0, 0),
+        (2, "call +1 212-555-0101 or 212 555 0101", "call +1 <PHONE> or <PHONE>", 0, 2, 0, 0),
+        (3, "ssn 123-45-6789 phone 555-867-5309", "ssn <SSN> phone <PHONE>", 0, 1, 0, 1),
+        (4, "host 192.168.0.1 up", "host <IPV4> up", 0, 0, 1, 0),
+        (5, "clean text only", "clean text only", 0, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in rows], ["id", "text"]
+    )
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii_expr(F.col("text")).alias("red"),
+            pii_count_expr(F.col("text"), "email").alias("e"),
+            pii_count_expr(F.col("text"), "phone").alias("p"),
+            pii_count_expr(F.col("text"), "ipv4").alias("i"),
+            pii_count_expr(F.col("text"), "ssn").alias("s"),
+        ).collect()
+    }
+    for i, _, want, e, p, ip, s in rows:
+        r = got[i]
+        assert r.red == want, (i, r.red)
+        assert (r.e, r.p, r.i, r.s) == (e, p, ip, s), i
+
+
 def test_stratified_sample_portable_matches_arith(spark, docs):
     rates = {"en": 0.3}
     kept = stratified_sample(
