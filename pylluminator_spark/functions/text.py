@@ -24,6 +24,21 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 STOPWORDS_EN = LANG_STOPWORDS["en"] + ["a", "an", "it", "as", "at", "by", "be"]
 
 
+def let_expr(value: Column, body) -> Column:
+    """Single-evaluation let-binding for expression-valued columns used
+    inside higher-order-function lambdas.
+
+    Spark performs NO common-subexpression elimination inside HOF lambdas:
+    a lambda that references an expression subtree re-evaluates it per
+    array element, turning e.g. ``transform(seq, i -> substring(lower(t),
+    i, n))`` into O(L^2) work. Binding the value to a lambda variable via a
+    one-element-array transform makes every reference O(1)::
+
+        let_expr(expensive, lambda v: F.transform(idx, lambda i: f(v, i)))
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization, empty tokens removed."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
@@ -79,13 +94,19 @@ def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
 def char_ngrams_expr(text: Column, n: int = 3) -> Column:
     """Character n-grams of a string (for n-gram Jaccard similarity).
 
-    Strings shorter than ``n`` yield an empty array (same descending-
-    ``sequence`` guard as :func:`word_shingles_expr`)."""
-    idx = F.sequence(F.lit(1), F.length(text) - F.lit(n - 1))
-    return F.when(
-        F.length(text) >= n,
-        F.transform(idx, lambda i: F.substring(text, i, n)),
-    ).otherwise(F.array().cast("array<string>"))
+    Strings shorter than ``n`` yield an empty array (``sequence(1, 0)``
+    would be the descending ``[1, 0]``, hence the guard). The text is
+    let-bound so an expression-valued input (``lower(col)``) is evaluated
+    once, not once per n-gram index."""
+
+    def _grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(t) - F.lit(n - 1))
+        return F.when(
+            F.length(t) >= n,
+            F.transform(idx, lambda i: F.substring(t, i, n)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_expr(text, _grams)
 
 
 def punct_ratio_expr(text: Column) -> Column:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.functions.text import (
     char_ngrams_expr,
+    let_expr,
     tokens_expr,
     word_shingles_expr,
 )
@@ -205,27 +206,40 @@ def simhash_expr(text_col: str = "text", bits: int = 64):
     math — runs in codegen.
     """
     toks = F.array_distinct(tokens_expr(F.lower(F.col(text_col))))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    # vote for bit k = sum over tokens of (bit set ? 1 : -1)
-    votes = F.transform(
-        bit_idx,
-        lambda k: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+
+    # let-bind the per-token hash array: the votes lambda below references
+    # it once per bit position, and HOF lambdas re-evaluate referenced
+    # subtrees per element — unbound, this would tokenize + hash the whole
+    # document `bits` times per row (text.let_expr rationale)
+    def _fp_from_hashes(hashes) -> "F.Column":
+        bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+        # vote for bit k = sum over tokens of (bit set ? 1 : -1)
+        votes = F.transform(
+            bit_idx,
+            lambda k: F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+        )
+        fp = F.aggregate(
+            F.zip_with(
+                bit_idx, votes, lambda k, v: F.struct(k.alias("k"), v.alias("v"))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, kv: acc
+            + F.when(
+                kv["v"] > 0, F.shiftleft(F.lit(1).cast("long"), kv["k"])
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.when(F.size(hashes) > 0, fp).otherwise(F.lit(None))
+
+    return let_expr(
+        F.transform(toks, lambda t: F.xxhash64(t)), _fp_from_hashes
     )
-    fp = F.aggregate(
-        F.zip_with(bit_idx, votes, lambda k, v: F.struct(k.alias("k"), v.alias("v"))),
-        F.lit(0).cast("long"),
-        lambda acc, kv: acc
-        + F.when(
-            kv["v"] > 0, F.shiftleft(F.lit(1).cast("long"), kv["k"])
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.when(F.size(toks) > 0, fp).otherwise(F.lit(None))
 
 
 def hamming_distance_expr(a, b):
