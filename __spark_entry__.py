@@ -3566,6 +3566,61 @@ FROM injected
 """
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (beyond-reference §2.9): the
+    REAL readStream pipeline through streaming.events.session_window_agg
+    (30-min gap-merged per-user sessions), drained availableNow in complete
+    mode. The DuckDB twin is the gaps-and-islands formulation: new session
+    when the gap to the previous event is >= 30 min (Spark's session window
+    is [start, last_event + gap), so an event landing exactly at the merged
+    window's end starts a NEW session — hence >=, not >); session_end =
+    last event + gap. Counts only: exact integers."""
+    from pylluminator_spark.streaming.events import (
+        read_event_stream_auto,
+        run_available_now,
+        session_window_agg,
+    )
+
+    stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
+    agg = session_window_agg(stream, gap="30 minutes", watermark="10 minutes")
+    res = run_available_now(agg, output_mode="complete")
+    return res.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "user_id",
+        "n_events",
+    )
+
+
+ORACLE_STREAM_SESSION = """
+WITH flagged AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS nts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, nts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY nts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT strftime(MIN(nts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(nts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3595,6 +3650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "stream_sliding": q_stream_sliding,
         "pii_redact": q_pii_redact,
+        "stream_session": q_stream_session,
         # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
@@ -3686,6 +3742,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": ORACLE_BM25_RANK,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "pii_redact": ORACLE_PII_REDACT,
+        "stream_session": ORACLE_STREAM_SESSION,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

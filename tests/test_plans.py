@@ -50,7 +50,7 @@ CLEAN = [
     # repetition), broadcast-dim semi-join (decontaminate), map-side
     # predicate + agg (stratified_sample), streaming drain (sliding)
     "gopher_quality", "repetition_ratios", "decontaminate",
-    "stratified_sample", "stream_sliding", "pii_redact",
+    "stratified_sample", "stream_sliding", "pii_redact", "stream_session",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
