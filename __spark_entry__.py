@@ -3621,6 +3621,38 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup detection (operators.corpus.repeated_spans,
+    Lee et al. 2021): strided 40-char windows, spans recurring in >= 2
+    distinct docs flagged with their offsets. Gate uses the raw-span key
+    (ANSI-replicable); the engine-grade path keys by xxhash64."""
+    from pylluminator_spark.operators.corpus import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    res = repeated_spans(
+        docs, window=40, stride=20, min_docs=2, fingerprint=False
+    )
+    return res.withColumnRenamed("key", "span")
+
+
+ORACLE_REPEATED_SPANS = """
+WITH spans AS (
+  SELECT doc_id, CAST(x.i * 20 AS BIGINT) AS "offset",
+         substr(text, x.i * 20 + 1, 40) AS span
+  FROM documents CROSS JOIN (
+    SELECT UNNEST(range(0,
+      GREATEST(CAST((SELECT MAX(len(text)) FROM documents) // 20 + 1
+               AS BIGINT), 1))) AS i) x
+  WHERE len(text) >= 40 AND x.i <= (len(text) - 40) // 20
+), rep AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, s."offset", s.span, r.n_docs
+FROM spans s JOIN rep r USING (span)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3651,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding": q_stream_sliding,
         "pii_redact": q_pii_redact,
         "stream_session": q_stream_session,
+        "repeated_spans": q_repeated_spans,
         # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
@@ -3743,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "pii_redact": ORACLE_PII_REDACT,
         "stream_session": ORACLE_STREAM_SESSION,
+        "repeated_spans": ORACLE_REPEATED_SPANS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

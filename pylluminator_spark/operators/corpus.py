@@ -245,6 +245,75 @@ def ngram_overlap(
 
 
 # ---------------------------------------------------------------------------
+# Cross-document repeated-substring detection
+# ---------------------------------------------------------------------------
+
+
+def repeated_spans(
+    docs: DataFrame,
+    *,
+    window: int = 40,
+    stride: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    fingerprint: bool = True,
+) -> DataFrame:
+    """Detection stage of exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    ``window``-char window with ``stride`` over every document, key each
+    span, and flag spans whose exact content recurs in >= ``min_docs``
+    distinct documents. Returns ``(doc_id, offset, key, n_docs)`` — the
+    offsets downstream removal would cut.
+
+    The full suffix-array construction is replaced by strided windows: a
+    repeated region of length >= window + stride is guaranteed to produce
+    at least one flagged span, shorter repeats are caught with probability
+    proportional to their length. Dataflow: one explode (L/stride rows per
+    doc) and one key-hashed aggregate + join — linear, no quadratic pair
+    generation. ``fingerprint=True`` keys spans by xxhash64 (8-byte
+    shuffle keys at corpus scale); ``False`` keys by the raw span string
+    (exact, ANSI-SQL-replicable — what the driver gate uses).
+    """
+    text = F.col(text_col)
+
+    def _spans(t: Column) -> Column:
+        idx = F.sequence(
+            F.lit(0),
+            F.floor((F.length(t) - window) / stride).cast("int"),
+        )
+        return F.when(
+            F.length(t) >= window,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    (i.cast("long") * stride).alias("offset"),
+                    F.substring(t, i * stride + 1, window).alias("span"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<offset:bigint,span:string>>")
+        )
+
+    from pylluminator_spark.functions.text import let_expr
+
+    key = (
+        F.xxhash64(F.col("_s.span")) if fingerprint else F.col("_s.span")
+    ).alias("key")
+    spans = docs.select(
+        doc_col, F.explode(let_expr(text, _spans)).alias("_s")
+    ).select(doc_col, F.col("_s.offset").alias("offset"), key)
+    counts = (
+        spans.groupBy("key")
+        .agg(F.countDistinct(doc_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(counts, "key").select(
+        doc_col, "offset", "key", "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 relevance ranking
 # ---------------------------------------------------------------------------
 

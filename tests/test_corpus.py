@@ -196,6 +196,64 @@ def test_stratified_sample_rates_and_consistency(spark, docs):
     assert again == got
 
 
+def test_repeated_spans_planted(spark):
+    from pylluminator_spark.operators.corpus import repeated_spans
+
+    shared = "x" * 25 + "SHARED-REPEATED-CONTENT-BLOCK" + "y" * 25
+    rows = [
+        (1, "unique prefix one " + shared),
+        (2, shared + " unique suffix two"),
+        (3, "entirely different text with no repeats at all " + "z" * 40),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = repeated_spans(
+        df, window=20, stride=5, min_docs=2, fingerprint=False
+    ).collect()
+    flagged_docs = {r.doc_id for r in got}
+    assert flagged_docs == {1, 2}
+    # every flagged span really does occur in >= 2 docs at its offset
+    texts = dict((i, t) for i, t in rows)
+    for r in got:
+        assert texts[r.doc_id][r.offset : r.offset + 20] == r.key
+        assert sum(1 for t in texts.values() if r.key in t) >= r.n_docs
+
+
+def test_repeated_spans_matches_python(spark, docs, doc_rows):
+    from collections import defaultdict
+
+    from pylluminator_spark.operators.corpus import repeated_spans
+
+    w, s = 30, 10
+    spans = defaultdict(set)
+    for d, t in doc_rows.items():
+        for i in range((len(t) - w) // s + 1 if len(t) >= w else 0):
+            spans[t[i * s : i * s + w]].add(d)
+    # flagged (doc, offset) pairs: span content occurs in >= 2 distinct docs
+    want = set()
+    for d, t in doc_rows.items():
+        if len(t) < w:
+            continue
+        for i in range((len(t) - w) // s + 1):
+            sp = t[i * s : i * s + w]
+            if len(spans[sp]) >= 2:
+                want.add((d, i * s))
+    got = {
+        (r.doc_id, r.offset)
+        for r in repeated_spans(
+            docs, window=w, stride=s, min_docs=2, fingerprint=False
+        ).collect()
+    }
+    assert got == want
+    # fingerprint path flags the same (doc, offset) set
+    got_fp = {
+        (r.doc_id, r.offset)
+        for r in repeated_spans(
+            docs, window=w, stride=s, min_docs=2, fingerprint=True
+        ).collect()
+    }
+    assert got_fp == want
+
+
 def test_pii_redaction(spark):
     from pylluminator_spark.functions.text import (
         pii_count_expr,
