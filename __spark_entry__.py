@@ -3653,6 +3653,50 @@ FROM spans s JOIN rep r USING (span)
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means nearest-centroid assignment over embeddings
+    (operators.similarity.kmeans_assign — the clustering stage of
+    SemDeDup-style semantic dedup). Centroids = the 8 vectors with
+    vec_id % 64 == 0, broadcast; assignment is map-side, no shuffle.
+    Cross-engine determinism: the squared distance is a fixed-order fold
+    over dimensions in float64 on both engines (the oracle unrolls the
+    64-term left-associative sum with per-element DOUBLE casts), so the
+    argmin needs no tolerance."""
+    from pylluminator_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    res = kmeans_assign(emb, cents)
+    return res.select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+
+
+_KMEANS_DIST_SQL = " + ".join(
+    f"(CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+    f" * (CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+    for i in range(1, 65)
+)
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+), dists AS (
+  SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d
+  FROM embeddings e CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC)
+           AS rn
+  FROM dists
+)
+SELECT vec_id, cid AS cluster, ROUND(d, 6) AS sq_dist
+FROM ranked WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3684,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stream_session": q_stream_session,
         "repeated_spans": q_repeated_spans,
+        "kmeans_assign": q_kmeans_assign,
         # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
@@ -3777,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": ORACLE_PII_REDACT,
         "stream_session": ORACLE_STREAM_SESSION,
         "repeated_spans": ORACLE_REPEATED_SPANS,
+        "kmeans_assign": ORACLE_KMEANS_ASSIGN,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -289,3 +289,108 @@ def block_cosine_pairs(
             )
 
     return block_pairs.mapInPandas(score, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings (the clustering stage of SemDeDup-style semantic
+# dedup: cluster the corpus, then near-dup search only WITHIN clusters)
+# ---------------------------------------------------------------------------
+
+
+def sq_dist_expr(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as a FIXED-ORDER fold over dimensions,
+    computed entirely in float64: both sides of the cross-engine gate cast
+    each element to double before subtracting, so the left-to-right
+    accumulation is bit-identical to an unrolled ANSI-SQL sum."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment (Lloyd's E-step). ``centroids`` is
+    dimension-sized (k rows) and broadcast; the corpus side streams through
+    map-side with no shuffle — the assignment itself is embarrassingly
+    parallel at any scale. Ties break on the smaller centroid id
+    (deterministic: the argmin is a struct-min over (dist, cid))."""
+    cand = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    dist = sq_dist_expr(F.col(vec_col), F.col(centroid_vec_col))
+    best = (
+        cand.select(
+            id_col,
+            F.struct(
+                dist.alias("dist"), F.col(centroid_id_col).alias("cid")
+            ).alias("_c"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_c").alias("_best"))
+    )
+    return best.select(
+        id_col,
+        F.col("_best.cid").alias("cluster"),
+        F.col("_best.dist").alias("sq_dist"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    *,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means: deterministic key-hash init (the k
+    smallest ``xxhash64(id)`` rows seed the centroids — reproducible, no
+    driver-side randomness), then ``iters`` rounds of broadcast-assign +
+    per-cluster per-dimension mean. Each round is one map-side assignment
+    and one hash aggregate; only the k x dim centroid matrix ever reaches
+    the driver (the same contract as MLlib's implementation).
+
+    Returns the final centroids DataFrame (cid, cvec).
+    """
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(2**31 - 1)), id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, ["cid", "cvec"]).select(
+            "cid", F.col("cvec").cast("array<double>").alias("cvec")
+        )
+        assigned = kmeans_assign(
+            df, cdf, vec_col=vec_col, id_col=id_col
+        ).join(df.select(id_col, vec_col), id_col)
+        new = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cid = {
+            r["cluster"]: [r[f"d{i}"] for i in range(dim)] for r in new
+        }
+        # empty clusters keep their previous centroid
+        cents = [(cid, by_cid.get(cid, vec)) for cid, vec in cents]
+    return spark.createDataFrame(cents, ["cid", "cvec"]).select(
+        "cid", F.col("cvec").cast("array<double>").alias("cvec")
+    )

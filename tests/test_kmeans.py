@@ -1,0 +1,88 @@
+"""K-means over embeddings: assignment parity vs numpy, distributed Lloyd
+convergence + parity with a same-init pure-numpy reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.datasets import load_table
+from pylluminator_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_assign_matches_numpy(spark, emb, emb_np):
+    ids, X = emb_np
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    crows = sorted(
+        ((r.cid, np.array(r.cvec, dtype=np.float64)) for r in cents.collect())
+    )
+    C = np.array([c for _, c in crows])
+    cids = np.array([i for i, _ in crows])
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want_cluster = cids[np.argmin(d, axis=1)]
+    want_dist = d.min(axis=1)
+    got = {r.vec_id: r for r in kmeans_assign(emb, cents).collect()}
+    for i, vid in enumerate(ids):
+        assert got[vid].cluster == want_cluster[i]
+        assert got[vid].sq_dist == pytest.approx(want_dist[i])
+
+
+def test_fit_matches_numpy_lloyd(spark, emb, emb_np):
+    ids, X = emb_np
+    k, iters = 5, 3
+    got = kmeans_fit(emb, k, iters=iters)
+    # replicate the deterministic init: k smallest pmod(xxhash64(id), 2^31-1)
+    hashed = (
+        emb.select(
+            "vec_id",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2**31 - 1)).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    seed_ids = [r.vec_id for r in hashed]
+    idx = {v: i for i, v in enumerate(ids)}
+    C = X[[idx[v] for v in seed_ids]].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d, axis=1)
+        for c in range(k):
+            if (lab == c).any():
+                C[c] = X[lab == c].mean(axis=0)
+    got_c = {r.cid: np.array(r.cvec) for r in got.collect()}
+    assert set(got_c) == set(range(k))
+    for c in range(k):
+        assert np.allclose(got_c[c], C[c], atol=1e-9), c
+
+
+def test_fit_reduces_inertia(spark, emb):
+    c0 = kmeans_fit(emb, 4, iters=0)
+    c3 = kmeans_fit(emb, 4, iters=3)
+
+    def inertia(cdf):
+        return (
+            kmeans_assign(emb, cdf)
+            .agg(F.sum("sq_dist"))
+            .collect()[0][0]
+        )
+
+    assert inertia(c3) <= inertia(c0) + 1e-9

@@ -76,7 +76,7 @@ DISPATCHED = [
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design
 # (8 centroids / block-pair triangle / broadcast query set)
-BNLJ_OK = ["ann_ivf", "cosine_topk", "embedding_near_dup"]
+BNLJ_OK = ["ann_ivf", "cosine_topk", "embedding_near_dup", "kmeans_assign"]
 
 
 def _plan(spark, name: str) -> str:
