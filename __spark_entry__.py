@@ -3697,6 +3697,49 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document quality scoring
+    (operators.corpus.unigram_lm_scores, CCNet-shaped): per-doc average
+    negative log-likelihood under an add-one unigram model fit on the
+    corpus. Determinism: contributions fold in sorted term order on both
+    engines (Spark aggregate over sort_array == DuckDB list_reduce over
+    list(... ORDER BY term); the 0.0-init fold and the no-init reduce
+    agree exactly since 0.0 + x == x)."""
+    from pylluminator_spark.operators.corpus import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    res = unigram_lm_scores(docs)
+    return res.select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
+ORACLE_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), corpus AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM vocab
+), dt AS (
+  SELECT doc_id, term, COUNT(*) AS dcnt FROM toks GROUP BY doc_id, term
+), contrib AS (
+  SELECT doc_id, term, dcnt,
+         dcnt * ln((cnt + 1.0) / (t_total + (v_size + 1.0))) AS c
+  FROM dt JOIN vocab USING (term) CROSS JOIN corpus
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(dcnt) AS BIGINT) AS n_tokens,
+         list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS s
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, ROUND(-s / n_tokens, 6) AS avg_nll FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3729,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session": q_stream_session,
         "repeated_spans": q_repeated_spans,
         "kmeans_assign": q_kmeans_assign,
+        "lm_score": q_lm_score,
         # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
@@ -3823,6 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_session": ORACLE_STREAM_SESSION,
         "repeated_spans": ORACLE_REPEATED_SPANS,
         "kmeans_assign": ORACLE_KMEANS_ASSIGN,
+        "lm_score": ORACLE_LM_SCORE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -245,6 +245,69 @@ def ngram_overlap(
 
 
 # ---------------------------------------------------------------------------
+# Unigram language-model scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    vocab_size: int | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-``alpha``
+    unigram LM fit on the corpus itself — the shape of CCNet's
+    LM-perplexity quality bucket (Wenzek et al. 2020), with the corpus
+    standing in for the clean reference corpus. Low score = typical
+    language; high score = rare-token soup.
+
+    ``p(t) = (cnt(t) + alpha) / (T + alpha * (V + 1))``; tokens beyond the
+    ``vocab_size`` most frequent (when set) share one OOV estimate —
+    that cap is what keeps the broadcast vocabulary dimension-sized on a
+    100 TB corpus. Dataflow: one token explode feeding both the vocab
+    aggregate and the (doc, term) counts; the per-doc score folds the term
+    contributions in SORTED term order, so the float sum is reproducible
+    across engines and partitionings.
+    """
+    toks = docs.select(
+        doc_col, F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    if vocab_size is not None:
+        vocab = vocab.orderBy(F.desc("cnt"), "term").limit(vocab_size)
+    corpus = vocab.agg(
+        F.sum("cnt").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    dt = toks.groupBy(doc_col, "term").agg(F.count(F.lit(1)).alias("dcnt"))
+    denom = F.col("t_total") + alpha * (F.col("v_size") + F.lit(1.0))
+    contrib = (
+        dt.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_c",
+            F.col("dcnt")
+            * F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / denom),
+        )
+    )
+    agg = contrib.groupBy(doc_col).agg(
+        F.sum("dcnt").alias("n_tokens"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("term"), F.col("_c").alias("c")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"],
+        ).alias("_s"),
+    )
+    return agg.select(
+        doc_col,
+        "n_tokens",
+        (-F.col("_s") / F.col("n_tokens")).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-document repeated-substring detection
 # ---------------------------------------------------------------------------
 

@@ -254,6 +254,39 @@ def test_repeated_spans_matches_python(spark, docs, doc_rows):
     assert got_fp == want
 
 
+def test_unigram_lm_scores_match_python(spark, docs, doc_rows):
+    from pylluminator_spark.operators.corpus import unigram_lm_scores
+
+    vocab = Counter(t for text in doc_rows.values() for t in _tokens(text))
+    T, V = sum(vocab.values()), len(vocab)
+    got = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+    assert set(got) == set(doc_rows)
+    for d, text in doc_rows.items():
+        toks = _tokens(text)
+        nll = -sum(
+            math.log((vocab[t] + 1.0) / (T + V + 1.0)) for t in toks
+        ) / len(toks)
+        assert got[d].n_tokens == len(toks)
+        assert got[d].avg_nll == pytest.approx(nll)
+
+
+def test_unigram_lm_vocab_cap_oov(spark):
+    from pylluminator_spark.operators.corpus import unigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "common common common rare"), (2, "common common")],
+        ["doc_id", "text"],
+    )
+    # vocab capped to 1 term: 'rare' falls to the OOV estimate
+    got = {r.doc_id: r for r in unigram_lm_scores(df, vocab_size=1).collect()}
+    T, V = 5, 1  # vocab = {common: 5}... cnt('common')=5, T=5, V=1
+    p_common = (5 + 1.0) / (T + (V + 1.0))
+    p_oov = 1.0 / (T + (V + 1.0))
+    nll1 = -(3 * math.log(p_common) + math.log(p_oov)) / 4
+    assert got[1].avg_nll == pytest.approx(nll1)
+    assert got[2].avg_nll == pytest.approx(-math.log(p_common))
+
+
 def test_pii_redaction(spark):
     from pylluminator_spark.functions.text import (
         pii_count_expr,

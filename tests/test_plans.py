@@ -61,8 +61,8 @@ SCALAR_AGG_OK = [
     "agg_equals_max", "filter_scan_revenue", "promo_revenue",
     "disjunctive_pred", "important_parts", "bulk_suppliers",
     "idle_customers",
-    # BM25's corpus stats (N, avgdl) are a broadcast 1-row scalar
-    "bm25_rank",
+    # BM25's / the unigram LM's corpus stats are a broadcast 1-row scalar
+    "bm25_rank", "lm_score",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
