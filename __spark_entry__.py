@@ -3760,15 +3760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling": q_stream_tumbling,
         "media_decode_jpeg": q_media_decode_jpeg,
         "pca_gram": q_pca_gram,
-        "dedup_components": q_dedup_components,  # pair-gen rewrite
-        "chunk_documents": q_chunk_documents,  # oracle bound + empty-text
         "gopher_quality": q_gopher_quality,
         "repetition_ratios": q_repetition_ratios,
         "decontaminate": q_decontaminate,
         "bm25_rank": q_bm25_rank,
-        "stratified_sample": q_stratified_sample,
         "stream_sliding": q_stream_sliding,
-        "pii_redact": q_pii_redact,
         "stream_session": q_stream_session,
         "repeated_spans": q_repeated_spans,
         "kmeans_assign": q_kmeans_assign,
@@ -3807,7 +3803,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
-        # -- 4. r03-green rotation (fills the 50-slot window) ---------------
+        # -- 4. overflow + r03-green rotation. The 50-slot window is full:
+        # slots 51-54 lead the r5 gate queue — two NEW entries whose
+        # correctness is thoroughly pytest-verified and mechanically close
+        # to already-green twins (stratified_sample ~ hash_split's arith
+        # bucket; pii_redact = regexp_replace chain), then the two
+        # changed-but-r03-green entries (local driver_emu green for all) --
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
+        "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
