@@ -36,17 +36,20 @@ def main() -> None:
         lambda it: it, "x int"
     ).count()
 
-    # Per-query time = MIN over SPARK_GRAFT_BENCH_RUNS repetitions (default
-    # 2). Sub-second queries on a shared 32-core box are dominated by
-    # scheduler/GC noise (observed same-query spreads of 0.2 s vs 6 s across
-    # back-to-back runs); min-of-k is the standard way to measure the query
-    # rather than the neighbor's compile.
+    # Per-query time = MIN over up to SPARK_GRAFT_BENCH_RUNS repetitions
+    # (default 2). Sub-second queries on a shared 32-core box are dominated
+    # by scheduler/GC noise (observed same-query spreads of 0.2 s vs 6 s
+    # across back-to-back runs); min-of-k measures the query, not the
+    # neighbor's compile. Queries slower than RERUN_BELOW seconds run once —
+    # their relative noise is small and skipping the repeat bounds total
+    # harness wall time.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    rerun_below = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BELOW", "2.5"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         best: float | None = None
-        for _ in range(runs):
+        for attempt in range(runs):
             start = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -59,6 +62,8 @@ def main() -> None:
                 break
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
+            if best >= rerun_below:
+                break
         if best is not None:
             timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
