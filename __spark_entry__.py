@@ -3188,6 +3188,9 @@ WITH toks AS (
                                  d -> len(list_filter(t, x -> x = d))))
            * 1.0 / len(t) AS top_word_fraction
   FROM toks
+  -- docs with zero tokens emit no Spark-side aggregate row; the filter
+  -- keeps the twin identical and guards the len(t) divisions
+  WHERE len(t) > 0
 )
 SELECT doc_id, n_words, n_distinct,
        ROUND(mean_word_len, 6) AS mean_word_len,

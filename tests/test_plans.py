@@ -163,6 +163,32 @@ def test_range_join_is_equi_bucketed(spark):
     )
 
 
+def test_corpus_ops_broadcast_their_dimension_sides(spark):
+    # decontaminate: the benchmark n-gram set is broadcast (never a shuffle
+    # of the corpus against it); lm_score: vocab + corpus scalars broadcast
+    for name in ("decontaminate", "lm_score"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    # the k-row centroid side rides a broadcast exchange; the corpus side
+    # is map-side only up to the final per-id argmin aggregate
+    plan = _plan(spark, "kmeans_assign")
+    assert "BroadcastExchange" in plan
+    # partial + final argmin (struct-min plans as SortAggregate)
+    assert plan.count("Aggregate") >= 2 and "partial_min" in plan
+
+
+def test_stratified_sample_filters_before_aggregate(spark):
+    # the keep/drop decision is a map-side predicate under the aggregate —
+    # no join, no extra shuffle beyond the final per-stratum agg
+    plan = _plan(spark, "stratified_sample")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), nothing else
+
+
 def test_windows_are_partitioned(spark):
     # sessionization / per-group running totals keep their windows keyed
     for name in ("sessionize", "running_total", "topk_per_group", "value_segments"):

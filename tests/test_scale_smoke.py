@@ -124,3 +124,67 @@ def test_beta_density_grid_scale(spark):
              * (sub["x"].to_numpy()[1:] - sub["x"].to_numpy()[:-1])).sum()
         )
         assert 0.9 < integral < 1.1
+
+
+def test_corpus_ops_scale(spark):
+    """2M synthetic docs through the corpus quality/dedup stages: the
+    explode -> doc-keyed aggregate dataflows stay linear and distributed
+    (no driver-side corpus data, no single-partition exchange)."""
+    from pylluminator_spark.operators.corpus import (
+        gopher_signals,
+        repeated_spans,
+        unigram_lm_scores,
+    )
+
+    n = 2_000_000
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    # deterministic pseudo-text: 12 words drawn by arithmetic hash, with a
+    # planted shared sentence in every 1000th doc
+    word_arr = F.array(*[F.lit(w) for w in words])
+    docs = (
+        spark.range(0, n, 1, 64)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(11)),
+                    lambda i: F.element_at(
+                        word_arr,
+                        ((F.col("id") * 31 + i * 7) % 10 + 1).cast("int"),
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("id") % 1000 == 0,
+                F.concat(
+                    F.lit("the shared planted duplicate sentence block "),
+                    F.col("text"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumnRenamed("id", "doc_id")
+        .persist()
+    )
+    docs.count()
+    try:
+        sig = gopher_signals(docs)
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        row = sig.agg(
+            F.count(F.lit(1)), F.min("n_words"), F.max("n_words")
+        ).collect()[0]
+        assert row[0] == n and row[1] >= 12
+
+        lm = unigram_lm_scores(docs, vocab_size=50)
+        assert lm.agg(F.count(F.lit(1))).collect()[0][0] == n
+
+        # the planted block recurs in 2000 docs -> its spans must be flagged
+        rep = repeated_spans(docs, window=30, stride=15, min_docs=100)
+        flagged = rep.select("doc_id").distinct().count()
+        assert flagged >= 2000
+    finally:
+        docs.unpersist()
