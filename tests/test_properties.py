@@ -239,3 +239,114 @@ def test_jpeg_randomized_invariants():
                 dc_err = abs(float(a.mean()) - float(b.mean()))
                 # half a DC step (q0/8 in pixel units) + IDCT/clip rounding
                 assert dc_err <= q0 / 16.0 + 1.0, (seed, by, bx, dc_err)
+
+
+# ---------------------------------------------------------------------------
+# Corpus operators: randomized text vs pure-python oracles
+# ---------------------------------------------------------------------------
+
+
+def _random_docs(rng, n_docs=40, vocab=12, min_len=0, max_len=60):
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for d in range(n_docs):
+        ln = int(rng.integers(min_len, max_len + 1))
+        docs.append((d, " ".join(rng.choice(words, ln))))
+    # plant exact duplicates and shared blocks to exercise repeats
+    if n_docs >= 4:
+        docs[1] = (1, docs[0][1])
+        shared = " ".join(rng.choice(words, 12))
+        docs[2] = (2, shared + " " + docs[2][1])
+        docs[3] = (3, docs[3][1] + " " + shared)
+    return docs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gopher_and_repetition_random_docs(spark, seed):
+    from collections import Counter
+
+    from pylluminator_spark.operators.corpus import (
+        gopher_signals,
+        repetition_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    docs = _random_docs(rng)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = {r.doc_id: r for r in gopher_signals(df).collect()}
+    rep = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    for d, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            assert d not in sig  # zero-token docs emit no signal row
+            assert rep[d].n_ngrams == 0
+            continue
+        c = Counter(toks)
+        assert sig[d].n_words == len(toks)
+        assert sig[d].n_distinct == len(c)
+        assert 0.0 <= sig[d].dup_word_fraction < 1.0
+        assert sig[d].top_word_fraction == pytest.approx(
+            max(c.values()) / len(toks)
+        )
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        assert rep[d].n_ngrams == len(grams)
+        if grams:
+            g = Counter(grams)
+            assert rep[d].dup_ngram_fraction == pytest.approx(
+                1 - len(g) / len(grams)
+            )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_repeated_spans_random_docs(spark, seed):
+    from pylluminator_spark.operators.corpus import repeated_spans
+
+    rng = np.random.default_rng(seed)
+    docs = _random_docs(rng, n_docs=30, vocab=6, min_len=10, max_len=50)
+    w, s = 12, 4
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = {}
+    for d, t in docs:
+        for i in range((len(t) - w) // s + 1 if len(t) >= w else 0):
+            spans.setdefault(t[i * s : i * s + w], set()).add(d)
+    want = {
+        (d, i * s)
+        for d, t in docs
+        if len(t) >= w
+        for i in range((len(t) - w) // s + 1)
+        if len(spans[t[i * s : i * s + w]]) >= 2
+    }
+    got = {
+        (r.doc_id, r.offset)
+        for r in repeated_spans(
+            df, window=w, stride=s, min_docs=2, fingerprint=True
+        ).collect()
+    }
+    assert got == want
+    # exact duplicate docs (0 and 1) must have every span flagged
+    t0 = docs[0][1]
+    if len(t0) >= w:
+        n_spans_0 = (len(t0) - w) // s + 1
+        assert sum(1 for d, _ in got if d == 0) == n_spans_0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_unigram_lm_random_docs(spark, seed):
+    import math
+    from collections import Counter
+
+    from pylluminator_spark.operators.corpus import unigram_lm_scores
+
+    rng = np.random.default_rng(seed)
+    docs = [(d, t) for d, t in _random_docs(rng) if t.split()]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    vocab = Counter(t for _, text in docs for t in text.lower().split())
+    T, V = sum(vocab.values()), len(vocab)
+    got = {r.doc_id: r.avg_nll for r in unigram_lm_scores(df).collect()}
+    for d, text in docs:
+        toks = text.lower().split()
+        nll = -sum(
+            math.log((vocab[t] + 1.0) / (T + V + 1.0)) for t in toks
+        ) / len(toks)
+        assert got[d] == pytest.approx(nll)
+        assert got[d] > 0  # probabilities < 1 => NLL strictly positive
