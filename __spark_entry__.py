@@ -3743,6 +3743,39 @@ SELECT doc_id, n_tokens, ROUND(-s / n_tokens, 6) AS avg_nll FROM agg
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches
+    (operators.corpus.pack_sequences): documents in doc_id order assigned
+    to fixed 500-token-budget sequences via the size-dispatched global
+    running sum (integer `div`, exact past 2^53). All-integer output."""
+    from pylluminator_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    res = pack_sequences(docs, budget=500)
+    return res.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "seq_id"
+    )
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM sized
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((c - n_tokens) // 500 AS BIGINT) AS seq_id
+FROM cum
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3814,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed-but-r03-green entries (local driver_emu green for all) --
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,  # mirrors r03-green running_total
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -3876,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans": ORACLE_REPEATED_SPANS,
         "kmeans_assign": ORACLE_KMEANS_ASSIGN,
         "lm_score": ORACLE_LM_SCORE,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

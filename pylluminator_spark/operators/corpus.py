@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.functions.text import (
     STOPWORDS_EN,
+    token_count_expr,
     tokens_expr,
     word_shingles_expr,
 )
@@ -373,6 +374,43 @@ def repeated_spans(
     )
     return spans.join(counts, "key").select(
         doc_col, "offset", "key", "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (pretraining batch prep)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences: documents
+    are taken in ``doc_col`` order and sequence ``seq_id`` starts where the
+    running token total crosses another multiple of ``budget`` (a document
+    belongs to the sequence its first token falls in — the simple
+    deterministic packing rule; no bin-packing search, no split docs).
+
+    The global running total uses operators.ordered.with_running_sum —
+    size-dispatched between a plain window and the range-partitioned
+    two-phase path, so the packing scales past the single-partition window
+    limit. Returns ``(doc_id, n_tokens, seq_id)``.
+    """
+    from pylluminator_spark.operators.ordered import with_running_sum
+
+    sized = docs.select(
+        doc_col, token_count_expr(F.col(text_col)).alias("n_tokens")
+    )
+    cum = with_running_sum(sized, [doc_col], "n_tokens", "_cum")
+    # integer `div`, not float-divide-then-floor: the cumulative total on a
+    # 100 TB corpus exceeds 2^53, where double arithmetic drops bits
+    return cum.select(
+        doc_col,
+        "n_tokens",
+        F.expr(f"(_cum - n_tokens) div {int(budget)}").alias("seq_id"),
     )
 
 

@@ -133,8 +133,18 @@ def with_running_sum(
         )
         .collect()
     )
-    sums = {r[_PID]: float(r["_s"] or 0.0) for r in stats}
-    offsets, acc = {}, 0.0
+    # preserve integral sums exactly: a float offset silently loses bits
+    # past 2^53, which a 100 TB-scale token/byte cumsum exceeds
+    vals = [r["_s"] for r in stats if r["_s"] is not None]
+    integral = vals and all(isinstance(x, int) for x in vals)
+    zero = 0 if integral else 0.0
+    sums = {
+        r[_PID]: (r["_s"] if r["_s"] is not None else zero)
+        if integral
+        else float(r["_s"] or 0.0)
+        for r in stats
+    }
+    offsets, acc = {}, zero
     for pid in _pid_order(stats, order_cols):
         offsets[pid] = acc
         acc += sums[pid]

@@ -287,6 +287,28 @@ def test_unigram_lm_vocab_cap_oov(spark):
     assert got[2].avg_nll == pytest.approx(-math.log(p_common))
 
 
+def test_pack_sequences(spark, docs, doc_rows):
+    from pylluminator_spark.operators.corpus import pack_sequences
+
+    budget = 200
+    got = {r.doc_id: r for r in pack_sequences(docs, budget=budget).collect()}
+    cum = 0
+    for d in sorted(doc_rows):
+        n = len(_tokens(doc_rows[d]))
+        assert got[d].n_tokens == n
+        assert got[d].seq_id == cum // budget
+        cum += n
+    # sequences are contiguous doc ranges and (except possibly the last)
+    # cross the budget boundary exactly once
+    by_seq = {}
+    for d in sorted(doc_rows):
+        by_seq.setdefault(got[d].seq_id, []).append(d)
+    seqs = sorted(by_seq)
+    assert seqs == list(range(len(seqs)))
+    flat = [d for s in seqs for d in by_seq[s]]
+    assert flat == sorted(doc_rows)
+
+
 def test_pii_redaction(spark):
     from pylluminator_spark.functions.text import (
         pii_count_expr,

@@ -72,6 +72,8 @@ DISPATCHED = [
     "quantile_normalize", "simhash",
     # token-vocabulary rank inside _doc_tokens_df is size-dispatched
     "dedup_components",
+    # pack_sequences' global running sum is size-dispatched
+    "pack_sequences",
 ]
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design
