@@ -194,9 +194,17 @@ def with_running_min(
         m = mins[pid]
         if m is not None:
             acc = m if acc is None else min(acc, m)
-    # None offset (first partition / all-null prefix) -> +infinity sentinel
-    inf = float("inf")
-    off_map = {p: (inf if o is None else float(o)) for p, o in offsets.items()}
+    # None offset (first partition / all-null prefix) -> +infinity sentinel.
+    # Integral mins stay int (a float(id) loses bits past 2^53); the
+    # integer sentinel is int64 max, unreachable by real data.
+    integral = all(
+        isinstance(m, int) for m in mins.values() if m is not None
+    )
+    inf = (2**63 - 1) if integral else float("inf")
+    off_map = {
+        p: (inf if o is None else (o if integral else float(o)))
+        for p, o in offsets.items()
+    }
     w = (
         Window.partitionBy(_PID)
         .orderBy(*[F.col(c).asc() for c in order_cols])
