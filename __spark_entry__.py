@@ -3776,6 +3776,60 @@ FROM cum
 """
 
 
+def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (operators.similarity.semantic_near_dups):
+    k-means cluster assignment (vec_id % 64 == 0 seeds, broadcast), then
+    cosine near-dup pairs WITHIN clusters only. Every float op is a
+    fixed-order float64 fold, so the threshold comparison and the rounded
+    cosines match the oracle's unrolled SQL bit-for-bit."""
+    from pylluminator_spark.operators.similarity import semantic_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    res = semantic_near_dups(emb, cents, threshold=0.35)
+    return res.select(
+        "id_a", "id_b", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_SND_DOT = " + ".join(
+    f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+    for i in range(1, 65)
+)
+_SND_NA = " + ".join(
+    f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+    for i in range(1, 65)
+)
+_SND_NB = " + ".join(
+    f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+    for i in range(1, 65)
+)
+
+ORACLE_SEMANTIC_NEAR_DUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+), dists AS (
+  SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) rn
+    FROM dists) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cid AS cluster,
+       ROUND(({_SND_DOT}) / (sqrt({_SND_NA}) * sqrt({_SND_NB})), 6) AS cosine
+FROM embeddings a
+JOIN assign aa ON a.vec_id = aa.vec_id
+JOIN assign bb ON aa.cid = bb.cid
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE a.vec_id < b.vec_id
+  AND ({_SND_DOT}) / (sqrt({_SND_NA}) * sqrt({_SND_NB})) >= 0.35
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3848,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,  # mirrors r03-green running_total
+        "semantic_near_dup": q_semantic_near_dup,  # composes green kmeans_assign
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -3911,6 +3966,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": ORACLE_KMEANS_ASSIGN,
         "lm_score": ORACLE_LM_SCORE,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "semantic_near_dup": ORACLE_SEMANTIC_NEAR_DUP,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -394,3 +394,62 @@ def kmeans_fit(
     return spark.createDataFrame(cents, ["cid", "cvec"]).select(
         "cid", F.col("cvec").cast("array<double>").alias("cvec")
     )
+
+
+def dot_double_expr(a: Column, b: Column) -> Column:
+    """Fixed-order float64 dot product (cross-engine reproducible: each
+    element cast to double, left-to-right fold — see sq_dist_expr)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_double_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity in float64 with fixed accumulation order."""
+    na = F.sqrt(dot_double_expr(a, a))
+    nb = F.sqrt(dot_double_expr(b, b))
+    return dot_double_expr(a, b) / (na * nb)
+
+
+def semantic_near_dups(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    assign every embedding to its nearest centroid, then compare pairs only
+    WITHIN clusters. Near-identical points share a cluster by construction,
+    so recall for true near-dups stays high while the quadratic pair cost
+    drops by ~k (and parallelizes per cluster). Returns
+    ``(id_a, id_b, cluster, cosine)`` for pairs with cosine >= threshold.
+
+    The within-cluster self-join is an equi join on the cluster id; at
+    production scale pick k so clusters stay comparison-sized (SemDeDup
+    used k ~ 10k for 100M+ points) — cluster size, not corpus size, bounds
+    the quadratic term.
+    """
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    emb = df.select(id_col, vec_col).join(
+        assigned.select(id_col, "cluster"), id_col
+    )
+    left = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        "cluster",
+    )
+    right = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        "cluster",
+    )
+    pairs = left.join(right, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_double_expr(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine")
+    )

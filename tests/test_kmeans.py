@@ -86,3 +86,36 @@ def test_fit_reduces_inertia(spark, emb):
         )
 
     assert inertia(c3) <= inertia(c0) + 1e-9
+
+
+def test_semantic_near_dups_matches_numpy(spark, emb, emb_np):
+    from pylluminator_spark.operators.similarity import semantic_near_dups
+
+    ids, X = emb_np
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    crows = sorted(
+        ((r.cid, np.array(r.cvec, dtype=np.float64)) for r in cents.collect())
+    )
+    C = np.array([c for _, c in crows])
+    cids = np.array([i for i, _ in crows])
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    lab = cids[np.argmin(d, axis=1)]
+    by_id = dict(zip(ids, lab))
+    norms = np.sqrt((X * X).sum(1))
+    sim = (X @ X.T) / np.outer(norms, norms)
+    thr = 0.3
+    want = {}
+    for i, a in enumerate(ids):
+        for j, b in enumerate(ids):
+            if a < b and by_id[a] == by_id[b] and sim[i, j] >= thr:
+                want[(a, b)] = (by_id[a], sim[i, j])
+    got = {
+        (r.id_a, r.id_b): (r.cluster, r.cosine)
+        for r in semantic_near_dups(emb, cents, threshold=thr).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cl, s) in want.items():
+        assert got[k][0] == cl
+        assert got[k][1] == pytest.approx(s)

@@ -78,7 +78,12 @@ DISPATCHED = [
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design
 # (8 centroids / block-pair triangle / broadcast query set)
-BNLJ_OK = ["ann_ivf", "cosine_topk", "embedding_near_dup", "kmeans_assign"]
+BNLJ_OK = [
+    "ann_ivf", "cosine_topk", "embedding_near_dup", "kmeans_assign",
+    # semantic_near_dup embeds kmeans_assign's broadcast-centroid BNLJ;
+    # its pair stage is an equi join on the cluster id
+    "semantic_near_dup",
+]
 
 
 def _plan(spark, name: str) -> str:
