@@ -3830,6 +3830,34 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (streaming.events.streaming_dedup, dropDuplicatesWithinWatermark):
+    drained availableNow. The watermark exceeds the dataset's time span, so
+    every key is emitted exactly once and the key set equals batch
+    DISTINCT; which duplicate's payload survives is nondeterministic, so
+    the gate projects the keys only. (Shorter watermarks re-emit keys that
+    recur after eviction — that state-bounding behavior is exercised in
+    test_streaming.)"""
+    from pylluminator_spark.streaming.events import (
+        read_event_stream_auto,
+        run_available_now,
+        streaming_dedup,
+    )
+
+    stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
+    deduped = streaming_dedup(
+        stream, keys=("user_id", "event_type"), watermark="3650 days"
+    )
+    res = run_available_now(deduped, output_mode="append")
+    return res.select("user_id", "event_type")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3903,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,  # mirrors r03-green running_total
         "semantic_near_dup": q_semantic_near_dup,  # composes green kmeans_assign
+        "stream_dedup": q_stream_dedup,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -3967,6 +3996,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": ORACLE_LM_SCORE,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "semantic_near_dup": ORACLE_SEMANTIC_NEAR_DUP,
+        "stream_dedup": ORACLE_STREAM_DEDUP,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,
