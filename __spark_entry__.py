@@ -3846,8 +3846,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
+    # project before dedup: the state store fingerprints and the emitted
+    # rows carry 3 columns, not the full event payload
     deduped = streaming_dedup(
-        stream, keys=("user_id", "event_type"), watermark="3650 days"
+        stream.select("ts", "user_id", "event_type"),
+        keys=("user_id", "event_type"),
+        watermark="3650 days",
     )
     res = run_available_now(deduped, output_mode="append")
     return res.select("user_id", "event_type")

@@ -433,21 +433,32 @@ def semantic_near_dups(
     the quadratic term.
     """
     assigned = kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
-    emb = df.select(id_col, vec_col).join(
-        assigned.select(id_col, "cluster"), id_col
+    # hoist each vector's norm out of the pair loop: computed once per row
+    # instead of once per pair (same fixed-order fold -> same bits as the
+    # inline form, so the cross-engine gate is unaffected)
+    emb = (
+        df.select(id_col, vec_col)
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .withColumn(
+            "_norm", F.sqrt(dot_double_expr(F.col(vec_col), F.col(vec_col)))
+        )
     )
     left = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
         "cluster",
     )
     right = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
         "cluster",
     )
     pairs = left.join(right, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_double_expr(F.col("_va"), F.col("_vb"))
+    cos = dot_double_expr(F.col("_va"), F.col("_vb")) / (
+        F.col("_na") * F.col("_nb")
+    )
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
