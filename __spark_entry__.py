@@ -3162,10 +3162,15 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_SW_SQL = ", ".join(
-    f"'{w}'" for w in ["the", "and", "of", "to", "in", "is", "that", "for",
-                       "with", "on", "a", "an", "it", "as", "at", "by", "be"]
-)
+# derived from the SAME constant gopher_signals defaults to — a hand-typed
+# copy would silently desynchronize the two engines on any future edit
+def _gopher_sw_sql() -> str:
+    from pylluminator_spark.functions.text import STOPWORDS_EN
+
+    return ", ".join(f"'{w.lower()}'" for w in STOPWORDS_EN)
+
+
+_GOPHER_SW_SQL = _gopher_sw_sql()
 
 ORACLE_GOPHER_QUALITY = rf"""
 WITH toks AS (
@@ -3332,13 +3337,16 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_per_term = matches.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # association order mirrors the SQL twin's left-associative
+    # `ln(...) * tf * 2.2 / D` exactly — (log*tf)*k, NOT log*(tf*k)
     contrib = (
         F.log(
             F.lit(1.0)
             + (F.col("n_docs") - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
-        * (F.col("tf") * (_BM25_K1 + 1))
+        * F.col("tf")
+        * (_BM25_K1 + 1)
         / (
             F.col("tf")
             + _BM25_K1

@@ -56,9 +56,10 @@ def main() -> None:
                 n = df.count()
                 _ = n
             except Exception as exc:  # noqa: BLE001 — one bad query must
-                # not zero out the whole benchmark record
-                errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
-                best = None
+                # not zero out the whole benchmark record; and a flaky
+                # REPEAT must not discard a valid first measurement
+                if best is None:
+                    errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
                 break
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)

@@ -271,16 +271,15 @@ def unigram_lm_scores(
     contributions in SORTED term order, so the float sum is reproducible
     across engines and partitionings.
     """
-    toks = docs.select(
-        doc_col, F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("term")
+    dt = _token_counts(docs, text_col, doc_col).select(
+        doc_col, F.col("token").alias("term"), F.col("cnt").alias("dcnt")
     )
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = dt.groupBy("term").agg(F.sum("dcnt").alias("cnt"))
     if vocab_size is not None:
         vocab = vocab.orderBy(F.desc("cnt"), "term").limit(vocab_size)
     corpus = vocab.agg(
         F.sum("cnt").alias("t_total"), F.count(F.lit(1)).alias("v_size")
     )
-    dt = toks.groupBy(doc_col, "term").agg(F.count(F.lit(1)).alias("dcnt"))
     denom = F.col("t_total") + alpha * (F.col("v_size") + F.lit(1.0))
     contrib = (
         dt.join(F.broadcast(vocab), "term", "left")
@@ -404,7 +403,11 @@ def pack_sequences(
     sized = docs.select(
         doc_col, token_count_expr(F.col(text_col)).alias("n_tokens")
     )
-    cum = with_running_sum(sized, [doc_col], "n_tokens", "_cum")
+    # n_rows engages the cheap single-window path below the size threshold;
+    # past it, the range-partitioned two-phase path takes over
+    cum = with_running_sum(
+        sized, [doc_col], "n_tokens", "_cum", n_rows=sized.count()
+    )
     # integer `div`, not float-divide-then-floor: the cumulative total on a
     # 100 TB corpus exceeds 2^53, where double arithmetic drops bits
     return cum.select(

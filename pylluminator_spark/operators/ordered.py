@@ -59,9 +59,21 @@ def _pid_order(stats, order_cols: list[str]):
     return [r[_PID] for r in sorted((s for s in stats if s["_n"] > 0), key=key)]
 
 
-def _offsets_df(df: DataFrame, mapping: dict[int, float], col_name: str):
+def _offsets_df(df: DataFrame, mapping: dict[int, float], col_name: str, dtype=None):
+    """Broadcast (partition-id, offset) table. Pass ``dtype`` when values
+    may be None (schema inference cannot handle all-null columns)."""
     spark = df.sparkSession
     rows = [(int(pid), v) for pid, v in mapping.items()]
+    if dtype is not None:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField(_PID, IntegerType(), False),
+                StructField(col_name, dtype, True),
+            ]
+        )
+        return F.broadcast(spark.createDataFrame(rows, schema))
     return F.broadcast(
         spark.createDataFrame(rows, [_PID, col_name])
     )
@@ -194,17 +206,18 @@ def with_running_min(
         m = mins[pid]
         if m is not None:
             acc = m if acc is None else min(acc, m)
-    # None offset (first partition / all-null prefix) -> +infinity sentinel.
-    # Integral mins stay int (a float(id) loses bits past 2^53); the
-    # integer sentinel is int64 max, unreachable by real data.
+    # None offset (first partition / all-null prefix) stays NULL — `least`
+    # ignores nulls, so no sentinel value can leak into results (a numeric
+    # sentinel would pose as a legitimate running min). Integral mins stay
+    # int: a float(id) loses bits past 2^53.
     integral = all(
         isinstance(m, int) for m in mins.values() if m is not None
     )
-    inf = (2**63 - 1) if integral else float("inf")
     off_map = {
-        p: (inf if o is None else (o if integral else float(o)))
+        p: (o if (o is None or integral) else float(o))
         for p, o in offsets.items()
     }
+    off_dtype = d.schema["_v"].dataType
     w = (
         Window.partitionBy(_PID)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -212,7 +225,7 @@ def with_running_min(
     )
     return (
         d.withColumn("_local", F.min("_v").over(w))
-        .join(_offsets_df(d, off_map, "_off"), _PID)
+        .join(_offsets_df(d, off_map, "_off", dtype=off_dtype), _PID)
         .withColumn(out_col, F.least(F.col("_local"), F.col("_off")))
         .drop(_PID, "_local", "_off", "_v")
     )

@@ -28,10 +28,15 @@ def hash_bucket_expr(key: Column, buckets: int = 10_000, salt: int = 0) -> Colum
 
 
 def arith_bucket_expr(key: Column, buckets: int = 10_000) -> Column:
-    """SQL-portable bucket: ((key * 2654435761) % 1000003) % buckets.
-    Key must be integral. Mirrors ``((k * 2654435761) % 1000003) % b`` in
-    any engine with 64-bit integer arithmetic."""
-    return ((key.cast("long") * _ARITH_MULT) % _ARITH_MOD) % buckets
+    """SQL-portable bucket in [0, buckets): pmod(key * 2654435761, 1000003)
+    % buckets. Key must be integral. ``pmod`` (not ``%``) keeps negative
+    keys in range — a sign-preserving remainder would give negative buckets
+    that pass every ``bucket < threshold`` test, silently keeping 100% of
+    negative keys at any rate. For non-negative keys this equals
+    ``((k * 2654435761) % 1000003) % b``, which is what the ANSI-SQL
+    oracles use; a negative-key-safe SQL twin is
+    ``(((k * m) % p) + p) % p % b``."""
+    return F.pmod(key.cast("long") * _ARITH_MULT, F.lit(_ARITH_MOD)) % buckets
 
 
 def hash_sample(

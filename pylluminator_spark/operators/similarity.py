@@ -361,7 +361,12 @@ def kmeans_fit(
     Returns the final centroids DataFrame (cid, cvec).
     """
     spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            f"kmeans_fit: no non-null '{vec_col}' rows to fit on"
+        )
+    dim = len(probe[0])
     seeds = (
         df.select(id_col, vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(2**31 - 1)), id_col)
