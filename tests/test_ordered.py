@@ -112,3 +112,22 @@ def test_bh_adjust_global_matches_reference(spark):
     got = got.set_index("probe")["p_adj"]
     for k in ref.index:
         assert got[k] == pytest.approx(ref[k], rel=1e-12)
+
+
+def test_running_min_null_prefix_stays_null(spark):
+    """Distributed path: rows before the first non-null value must get a
+    NULL running min, never a numeric sentinel posing as data."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, None if i < 40 else int(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "x"]).withColumn(
+        "x", F.col("x").cast("long")
+    )
+    got = {
+        r.id: r.cm
+        for r in with_running_min(
+            df, ["id"], "x", "cm", num_partitions=8
+        ).collect()
+    }
+    for i in range(200):
+        assert got[i] == (None if i < 40 else 40), i

@@ -60,3 +60,25 @@ def test_split_assign_disjoint_exhaustive_consistent(keyed):
 def test_split_assign_rejects_bad_weights(keyed):
     with pytest.raises(ValueError):
         split_assign(keyed, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_arith_bucket_negative_keys_stay_in_range(spark):
+    from pylluminator_spark.operators.sampling import (
+        arith_bucket_expr,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, "en") for k in range(-50, 50)], ["id", "lang"]
+    )
+    buckets = [
+        r.b
+        for r in df.select(arith_bucket_expr(F.col("id"), 100).alias("b")).collect()
+    ]
+    assert all(0 <= b < 100 for b in buckets)
+    # rate 0 drops EVERYTHING, negative keys included
+    kept = stratified_sample(
+        df, "lang", {"en": 0.0}, "id", default_rate=0.0, portable=True
+    )
+    assert kept.count() == 0
