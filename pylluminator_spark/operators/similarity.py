@@ -412,10 +412,11 @@ def dot_double_expr(a: Column, b: Column) -> Column:
 
 
 def cosine_double_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity in float64 with fixed accumulation order."""
+    """Cosine similarity in float64 with fixed accumulation order.
+    NULL (not an ANSI divide-by-zero error) for zero-norm vectors."""
     na = F.sqrt(dot_double_expr(a, a))
     nb = F.sqrt(dot_double_expr(b, b))
-    return dot_double_expr(a, b) / (na * nb)
+    return dot_double_expr(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
 def semantic_near_dups(
@@ -461,8 +462,10 @@ def semantic_near_dups(
         "cluster",
     )
     pairs = left.join(right, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    cos = dot_double_expr(F.col("_va"), F.col("_vb")) / (
-        F.col("_na") * F.col("_nb")
+    # nullif: a zero-norm vector yields NULL cosine (dropped by the
+    # threshold filter), not an ANSI divide-by-zero task failure
+    cos = dot_double_expr(F.col("_va"), F.col("_vb")) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
     )
     return (
         pairs.withColumn("cosine", cos)

@@ -188,3 +188,64 @@ def test_corpus_ops_scale(spark):
         assert flagged >= 2000
     finally:
         docs.unpersist()
+
+
+def test_kmeans_semantic_dedup_scale(spark):
+    """200k synthetic 16-dim embeddings through kmeans_fit + semantic
+    near-dup: assignment is map-side (no shuffle before the argmin
+    aggregate), only the k x dim matrix hits the driver, and planted
+    duplicate pairs are recovered within clusters. (Interpreted HOF folds
+    cost ~1us/element; n*k is the budget knob.)"""
+    from pylluminator_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_near_dups,
+    )
+
+    n, dim, k = 200_000, 16, 16
+    base = spark.range(0, n, 1, 64).withColumn(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.sin(F.col("id") % 97 * i.cast("double"))
+                + (F.col("id") % 11).cast("double") * 0.3
+            ),
+        ),
+    ).withColumnRenamed("id", "vec_id")
+    # plant exact duplicates: every 10000th vector duplicates its neighbor
+    emb = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2_000 == 1,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    F.sin((F.col("vec_id") - 1) % 97 * i.cast("double"))
+                    + ((F.col("vec_id") - 1) % 11).cast("double") * 0.3
+                ),
+            ),
+        ).otherwise(F.col("embedding")),
+    ).persist()
+    emb.count()
+    try:
+        cents = kmeans_fit(emb, k, iters=1)
+        assert cents.count() == k
+        assigned = kmeans_assign(emb, cents)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert assigned.count() == n
+        # planted duplicate pairs land in the same cluster and are found
+        pairs = semantic_near_dups(
+            emb.filter(F.col("vec_id") < 20_000), cents, threshold=0.999999
+        )
+        found = {
+            (r.id_a, r.id_b)
+            for r in pairs.filter(
+                (F.col("id_b") - F.col("id_a")) == 1
+            ).collect()
+        }
+        planted = {(i, i + 1) for i in range(2_000, 20_000, 2_000)}
+        assert planted <= found
+    finally:
+        emb.unpersist()
