@@ -318,12 +318,61 @@ def kmeans_assign(
     id_col: str = "vec_id",
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cvec",
+    method: str = "expr",
 ) -> DataFrame:
     """Nearest-centroid assignment (Lloyd's E-step). ``centroids`` is
     dimension-sized (k rows) and broadcast; the corpus side streams through
     map-side with no shuffle — the assignment itself is embarrassingly
-    parallel at any scale. Ties break on the smaller centroid id
-    (deterministic: the argmin is a struct-min over (dist, cid))."""
+    parallel at any scale. Ties break on the smaller centroid id.
+
+    ``method``:
+
+    - ``"expr"`` — pure column expressions with a FIXED-ORDER float64 fold:
+      bit-reproducible across engines (what the cross-engine gate checks),
+      but interpreted HOF lambdas cost ~1 us/element — fine for moderate
+      n*k*dim, not for a corpus-scale E-step.
+    - ``"arrow"`` — Arrow-batched ``mapInPandas`` with one vectorized numpy
+      ``X @ C.T`` per batch: ~100x the throughput, same argmin (numpy's
+      SIMD/pairwise summation may differ from the fold in the last ulp, so
+      equal-distance ties could theoretically differ; exact-duplicate
+      centroids are the only realistic case). The production path.
+    """
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        crows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(
+                centroid_id_col, centroid_vec_col
+            ).collect()
+        )
+        cids = np.array([c for c, _ in crows], dtype=np.int64)
+        C = np.array([v for _, v in crows], dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+
+        def assign(batches):
+            for pdf in batches:
+                X = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq
+                best = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "cluster": cids[best],
+                        "sq_dist": np.maximum(
+                            d[np.arange(len(best)), best], 0.0
+                        ),
+                    }
+                )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.select(id_col, vec_col).mapInPandas(
+            assign,
+            schema=f"{id_col} {id_type}, cluster long, sq_dist double",
+        )
     cand = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
     dist = sq_dist_expr(F.col(vec_col), F.col(centroid_vec_col))
     best = (
@@ -378,8 +427,9 @@ def kmeans_fit(
         cdf = spark.createDataFrame(cents, ["cid", "cvec"]).select(
             "cid", F.col("cvec").cast("array<double>").alias("cvec")
         )
+        # arrow: the fit loop needs throughput, not cross-engine bit parity
         assigned = kmeans_assign(
-            df, cdf, vec_col=vec_col, id_col=id_col
+            df, cdf, vec_col=vec_col, id_col=id_col, method="arrow"
         ).join(df.select(id_col, vec_col), id_col)
         new = (
             assigned.groupBy("cluster")
@@ -425,6 +475,7 @@ def semantic_near_dups(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_method: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     assign every embedding to its nearest centroid, then compare pairs only
@@ -438,7 +489,9 @@ def semantic_near_dups(
     used k ~ 10k for 100M+ points) — cluster size, not corpus size, bounds
     the quadratic term.
     """
-    assigned = kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(
+        df, centroids, vec_col=vec_col, id_col=id_col, method=assign_method
+    )
     # hoist each vector's norm out of the pair loop: computed once per row
     # instead of once per pair (same fixed-order fold -> same bits as the
     # inline form, so the cross-engine gate is unaffected)

@@ -119,3 +119,18 @@ def test_semantic_near_dups_matches_numpy(spark, emb, emb_np):
     for k, (cl, s) in want.items():
         assert got[k][0] == cl
         assert got[k][1] == pytest.approx(s)
+
+
+def test_assign_arrow_matches_expr(spark, emb):
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a = {r.vec_id: r for r in kmeans_assign(emb, cents).collect()}
+    b = {
+        r.vec_id: r
+        for r in kmeans_assign(emb, cents, method="arrow").collect()
+    }
+    assert set(a) == set(b)
+    for vid in a:
+        assert a[vid].cluster == b[vid].cluster, vid
+        assert b[vid].sq_dist == pytest.approx(a[vid].sq_dist, abs=1e-9)

@@ -229,15 +229,18 @@ def test_kmeans_semantic_dedup_scale(spark):
     ).persist()
     emb.count()
     try:
-        cents = kmeans_fit(emb, k, iters=1)
+        cents = kmeans_fit(emb, k, iters=1)  # fit uses the arrow E-step
         assert cents.count() == k
-        assigned = kmeans_assign(emb, cents)
+        assigned = kmeans_assign(emb, cents, method="arrow")
         plan = assigned._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert assigned.count() == n
         # planted duplicate pairs land in the same cluster and are found
         pairs = semantic_near_dups(
-            emb.filter(F.col("vec_id") < 20_000), cents, threshold=0.999999
+            emb.filter(F.col("vec_id") < 20_000),
+            cents,
+            threshold=0.999999,
+            assign_method="arrow",
         )
         found = {
             (r.id_a, r.id_b)
