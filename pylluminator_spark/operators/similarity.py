@@ -476,6 +476,7 @@ def semantic_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_method: str = "expr",
+    pair_method: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     assign every embedding to its nearest centroid, then compare pairs only
@@ -488,10 +489,54 @@ def semantic_near_dups(
     production scale pick k so clusters stay comparison-sized (SemDeDup
     used k ~ 10k for 100M+ points) — cluster size, not corpus size, bounds
     the quadratic term.
+
+    ``pair_method="arrow"`` replaces the expr self-join with one
+    ``applyInPandas`` per cluster computing the cosine matrix as a numpy
+    block matmul — the production path when clusters hold thousands of
+    vectors (the expr fold costs ~1 us/element x dim per pair).
     """
     assigned = kmeans_assign(
         df, centroids, vec_col=vec_col, id_col=id_col, method=assign_method
     )
+    if pair_method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        emb_a = df.select(id_col, vec_col).join(
+            assigned.select(id_col, "cluster"), id_col
+        )
+
+        def pairs_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf[id_col].to_numpy()
+            cluster = int(pdf["cluster"].iloc[0])
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = np.sqrt((X * X).sum(axis=1))
+            n[n == 0.0] = np.nan  # zero-norm -> NaN cosine -> dropped
+            sim = (X @ X.T) / np.outer(n, n)
+            # id-order mask (NOT positional triu: rows are unsorted) emits
+            # each unordered pair exactly once, as (smaller, larger)
+            ia, ib = np.nonzero(
+                (sim >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia],
+                    "id_b": ids[ib],
+                    "cluster": cluster,
+                    "cosine": sim[ia, ib],
+                }
+            )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        return emb_a.groupBy("cluster").applyInPandas(
+            pairs_fn,
+            schema=(
+                f"id_a {id_type}, id_b {id_type},"
+                " cluster long, cosine double"
+            ),
+        )
     # hoist each vector's norm out of the pair loop: computed once per row
     # instead of once per pair (same fixed-order fold -> same bits as the
     # inline form, so the cross-engine gate is unaffected)

@@ -134,3 +134,29 @@ def test_assign_arrow_matches_expr(spark, emb):
     for vid in a:
         assert a[vid].cluster == b[vid].cluster, vid
         assert b[vid].sq_dist == pytest.approx(a[vid].sq_dist, abs=1e-9)
+
+
+def test_semantic_near_dups_arrow_matches_expr(spark, emb):
+    from pylluminator_spark.operators.similarity import semantic_near_dups
+
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a = {
+        (r.id_a, r.id_b): (r.cluster, r.cosine)
+        for r in semantic_near_dups(emb, cents, threshold=0.3).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): (r.cluster, r.cosine)
+        for r in semantic_near_dups(
+            emb,
+            cents,
+            threshold=0.3,
+            assign_method="arrow",
+            pair_method="arrow",
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert b[k][1] == pytest.approx(a[k][1], abs=1e-9)
