@@ -3870,6 +3870,50 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling (operators.profile.column_profile): row
+    count, null count, exact cardinality, and min/max per column of the
+    documents table from a single aggregation. Profiled columns are
+    bigint/string only, so the string-rendered min/max format identically
+    on both engines."""
+    from pylluminator_spark.operators.profile import column_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return column_profile(docs)
+
+
+ORACLE_TABLE_PROFILE = """
+SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT text), MIN(text), MAX(text)
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT source), MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3946,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,  # mirrors r03-green running_total
         "semantic_near_dup": q_semantic_near_dup,  # composes green kmeans_assign
         "stream_dedup": q_stream_dedup,
+        "table_profile": q_table_profile,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4011,6 +4056,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "semantic_near_dup": ORACLE_SEMANTIC_NEAR_DUP,
         "stream_dedup": ORACLE_STREAM_DEDUP,
+        "table_profile": ORACLE_TABLE_PROFILE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -355,3 +355,26 @@ def test_stratified_sample_portable_matches_arith(spark, docs):
         and ((r.doc_id * 2654435761) % 1000003) % 10000 < 3000
     }
     assert got == want
+
+
+def test_column_profile_matches_python(spark, docs, doc_rows):
+    from pylluminator_spark.operators.profile import column_profile
+
+    rows = docs.collect()
+    got = {r.col_name: r for r in column_profile(docs).collect()}
+    assert set(got) == {"doc_id", "text", "lang", "source", "n_chars"}
+    for c in got:
+        vals = [getattr(r, c) for r in rows]
+        nn = [v for v in vals if v is not None]
+        p = got[c]
+        assert p.n_rows == len(vals)
+        assert p.n_nulls == len(vals) - len(nn)
+        assert p.n_distinct == len(set(nn))
+        assert p.min_value == str(min(nn))
+        assert p.max_value == str(max(nn))
+    # approx path: same shape, cardinalities within HLL tolerance
+    ap = {r.col_name: r for r in column_profile(docs, approx=True).collect()}
+    for c in got:
+        assert abs(ap[c].n_distinct - got[c].n_distinct) <= max(
+            5, 0.05 * got[c].n_distinct
+        )

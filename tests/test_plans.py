@@ -63,6 +63,8 @@ SCALAR_AGG_OK = [
     "idle_customers",
     # BM25's / the unigram LM's corpus stats are a broadcast 1-row scalar
     "bm25_rank", "lm_score",
+    # the profiler's whole output IS one global aggregate row
+    "table_profile",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
