@@ -3914,6 +3914,95 @@ FROM documents
 """
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (operators.corpus.top_ngrams):
+    explode -> hash aggregate -> top-k, deterministic (count desc, gram
+    asc) order."""
+    from pylluminator_spark.operators.corpus import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=50)
+
+
+ORACLE_TOP_NGRAMS = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM documents
+), grams AS (
+  SELECT UNNEST(CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS gram
+  FROM toks
+)
+SELECT gram, COUNT(*) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT 50
+"""
+
+
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing toward target source weights
+    (operators.corpus.source_mixing, The Pile / DoReMi shape): target
+    weight for src<i> is (i+1)/210 (sums to 1 over the 20 sources), rates
+    from the closed-form downsample-only feasibility scalar, kept set via
+    the deterministic arith key hash. Gate aggregates the kept set per
+    source with exact-integer token checksums."""
+    from pylluminator_spark.operators.corpus import source_mixing
+
+    docs = _t(spark, sf_dir, "documents")
+    weight = (
+        F.substring(F.col("source"), 4, 10).cast("int") + 1
+    ) / F.lit(210.0)
+    kept, rates = source_mixing(docs, weight)
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("_n_tokens").alias("tokens_kept"),
+    )
+    return rates.join(agg, "source", "left").select(
+        "source",
+        "tokens_total",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+    )
+
+
+ORACLE_SOURCE_MIXING = r"""
+WITH sized AS (
+  SELECT doc_id, source,
+         (CAST(substr(source, 4, 10) AS INT) + 1) / 210.0 AS w,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT source, w, CAST(SUM(n_tokens) AS BIGINT) AS T
+  FROM sized GROUP BY source, w
+), c AS (
+  SELECT MIN(T / w) AS C FROM stats
+), rates AS (
+  SELECT source, T, LEAST(1.0, w * (SELECT C FROM c) / NULLIF(T, 0)) AS rate
+  FROM stats
+), thr AS (
+  SELECT source, T, rate, FLOOR(rate * 10000) AS thr FROM rates
+), kept AS (
+  SELECT s.source, s.n_tokens
+  FROM sized s JOIN thr ON s.source = thr.source
+  WHERE ((s.doc_id * 2654435761) % 1000003) % 10000 < thr.thr
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+  FROM kept GROUP BY source
+)
+SELECT t.source, t.T AS tokens_total, ROUND(t.rate, 6) AS rate,
+       COALESCE(a.n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(a.tokens_kept, 0) AS tokens_kept
+FROM thr t LEFT JOIN agg a ON t.source = a.source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -3991,6 +4080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_near_dup": q_semantic_near_dup,  # composes green kmeans_assign
         "stream_dedup": q_stream_dedup,
         "table_profile": q_table_profile,
+        "top_ngrams": q_top_ngrams,
+        "source_mixing": q_source_mixing,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4057,6 +4148,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_near_dup": ORACLE_SEMANTIC_NEAR_DUP,
         "stream_dedup": ORACLE_STREAM_DEDUP,
         "table_profile": ORACLE_TABLE_PROFILE,
+        "top_ngrams": ORACLE_TOP_NGRAMS,
+        "source_mixing": ORACLE_SOURCE_MIXING,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -377,6 +377,85 @@ def repeated_spans(
 
 
 # ---------------------------------------------------------------------------
+# Corpus n-gram statistics and source mixing
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count (the Zipf-curve /
+    vocabulary-inspection primitive). Explode + hash aggregate + top-k;
+    deterministic order: count descending, gram ascending."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    grams = docs.select(F.explode(word_shingles_expr(toks, n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def source_mixing(
+    docs: DataFrame,
+    weight_expr: Column,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    key: str = "doc_id",
+    buckets: int = 10_000,
+):
+    """Deterministic corpus re-mixing toward target source weights — the
+    data-mixing stage of a pretraining pipeline (cf. The Pile's per-source
+    epochs, DoReMi's domain weights): given ``weight_expr`` (target weight
+    per source, summing to ~1 over observed sources), compute per-source
+    token masses ``T_s``, the feasibility scalar ``C = min_s T_s / w_s``
+    (the largest total achieving the target mix by DOWNSAMPLING only),
+    per-source keep rates ``r_s = min(1, w_s * C / T_s)``, and keep
+    documents via the per-key deterministic arith hash.
+
+    Returns ``(kept_df, rates_df)`` where ``rates_df`` is dimension-sized
+    ``(source, tokens_total, rate)`` and ``kept_df`` is ``docs`` plus a
+    ``_n_tokens`` column, filtered. All arithmetic is closed-form and
+    reproducible across engines; a zero-token source yields a NULL rate and
+    keeps nothing.
+    """
+    sized = docs.withColumn("_w", weight_expr).withColumn(
+        "_n_tokens", token_count_expr(F.col(text_col))
+    )
+    stats = sized.groupBy(source_col, "_w").agg(
+        F.sum("_n_tokens").alias("_T")
+    )
+    c = stats.agg(F.min(F.col("_T") / F.col("_w")).alias("_C"))
+    rates = (
+        stats.crossJoin(F.broadcast(c))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("_w") * F.col("_C") / F.nullif(F.col("_T"), F.lit(0)),
+            ),
+        )
+        .withColumn("_thr", F.floor(F.col("rate") * buckets))
+    )
+    from pylluminator_spark.operators.sampling import arith_bucket_expr
+
+    kept = sized.join(
+        F.broadcast(rates.select(source_col, "_thr")), source_col
+    ).filter(arith_bucket_expr(F.col(key), buckets) < F.col("_thr"))
+    return (
+        kept.drop("_w", "_thr"),
+        rates.select(
+            source_col, F.col("_T").alias("tokens_total"), "rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (pretraining batch prep)
 # ---------------------------------------------------------------------------
 

@@ -378,3 +378,40 @@ def test_column_profile_matches_python(spark, docs, doc_rows):
         assert abs(ap[c].n_distinct - got[c].n_distinct) <= max(
             5, 0.05 * got[c].n_distinct
         )
+
+
+def test_top_ngrams_matches_python(spark, docs, doc_rows):
+    from pylluminator_spark.operators.corpus import top_ngrams
+
+    c = Counter()
+    for text in doc_rows.values():
+        toks = _tokens(text)
+        c.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.gram, r.n_occurrences) for r in top_ngrams(docs, n=2, k=20).collect()]
+    assert got == want
+
+
+def test_source_mixing_hits_target_proportions(spark, docs, doc_rows):
+    from pylluminator_spark.operators.corpus import source_mixing
+
+    weight = (
+        F.substring(F.col("source"), 4, 10).cast("int") + 1
+    ) / F.lit(210.0)
+    kept, rates = source_mixing(docs, weight)
+    r = {x.source: x for x in rates.collect()}
+    # rates in (0, 1]; the binding source is exactly 1
+    assert all(0 < x.rate <= 1 + 1e-12 for x in r.values())
+    assert any(abs(x.rate - 1.0) < 1e-12 for x in r.values())
+    # expected kept token mass per source = rate * tokens_total, i.e.
+    # proportional to the target weight w_s for every non-capped source
+    ratios = {
+        s: r[s].rate * r[s].tokens_total / ((int(s[3:]) + 1) / 210.0)
+        for s in r
+    }
+    vals = list(ratios.values())
+    assert max(vals) - min(vals) < 1e-6 * max(vals)
+    # the kept set is a subset with per-source determinism
+    k1 = {x.doc_id for x in kept.select("doc_id").collect()}
+    k2 = {x.doc_id for x in kept.select("doc_id").collect()}
+    assert k1 == k2 and k1 <= set(doc_rows)

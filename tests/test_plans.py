@@ -51,7 +51,7 @@ CLEAN = [
     # predicate + agg (stratified_sample), streaming drain (sliding)
     "gopher_quality", "repetition_ratios", "decontaminate",
     "stratified_sample", "stream_sliding", "pii_redact", "stream_session",
-    "repeated_spans", "stream_dedup",
+    "repeated_spans", "stream_dedup", "top_ngrams",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -65,6 +65,8 @@ SCALAR_AGG_OK = [
     "bm25_rank", "lm_score",
     # the profiler's whole output IS one global aggregate row
     "table_profile",
+    # source_mixing's feasibility scalar C is a broadcast 1-row aggregate
+    "source_mixing",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
