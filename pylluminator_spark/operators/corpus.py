@@ -430,7 +430,17 @@ def source_mixing(
     stats = sized.groupBy(source_col, "_w").agg(
         F.sum("_n_tokens").alias("_T")
     )
-    c = stats.agg(F.min(F.col("_T") / F.col("_w")).alias("_C"))
+    # zero-token sources are excluded from the feasibility min (they would
+    # drag C to 0 and silently drop the whole corpus) and a zero weight is
+    # nullif-guarded (ANSI divide-by-zero is a task failure, not NULL)
+    c = stats.agg(
+        F.min(
+            F.when(
+                F.col("_T") > 0,
+                F.col("_T") / F.nullif(F.col("_w"), F.lit(0.0)),
+            )
+        ).alias("_C")
+    )
     rates = (
         stats.crossJoin(F.broadcast(c))
         .withColumn(

@@ -35,7 +35,11 @@ def column_profile(
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            # coalesce: SUM over zero rows is NULL, but "no rows" means
+            # zero nulls, not unknown
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_nulls_{c}"),
             distinct(c).alias(f"_dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),

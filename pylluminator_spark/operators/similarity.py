@@ -311,6 +311,46 @@ def sq_dist_expr(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _assign_arrow_local(df, cids, C, vec_col: str, id_col: str) -> DataFrame:
+    """Arrow E-step against DRIVER-LOCAL centroid arrays (cids sorted
+    ascending, C the matching k x dim float64 matrix). NULL-embedding rows
+    are excluded up front — they have no nearest centroid and would
+    otherwise break the batch np.array stacking."""
+    import numpy as np
+    import pandas as pd
+
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq
+            best = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": cids[best],
+                    "sq_dist": np.maximum(
+                        d[np.arange(len(best)), best], 0.0
+                    ),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            assign,
+            schema=f"{id_col} {id_type}, cluster long, sq_dist double",
+        )
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -339,7 +379,6 @@ def kmeans_assign(
     """
     if method == "arrow":
         import numpy as np
-        import pandas as pd
 
         crows = sorted(
             (int(r[0]), [float(x) for x in r[1]])
@@ -349,30 +388,7 @@ def kmeans_assign(
         )
         cids = np.array([c for c, _ in crows], dtype=np.int64)
         C = np.array([v for _, v in crows], dtype=np.float64)
-        c_sq = (C * C).sum(axis=1)
-
-        def assign(batches):
-            for pdf in batches:
-                X = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq
-                best = d.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        "cluster": cids[best],
-                        "sq_dist": np.maximum(
-                            d[np.arange(len(best)), best], 0.0
-                        ),
-                    }
-                )
-
-        id_type = df.schema[id_col].dataType.simpleString()
-        return df.select(id_col, vec_col).mapInPandas(
-            assign,
-            schema=f"{id_col} {id_type}, cluster long, sq_dist double",
-        )
+        return _assign_arrow_local(df, cids, C, vec_col, id_col)
     cand = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
     dist = sq_dist_expr(F.col(vec_col), F.col(centroid_vec_col))
     best = (
@@ -418,19 +434,23 @@ def kmeans_fit(
     dim = len(probe[0])
     seeds = (
         df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(2**31 - 1)), id_col)
         .limit(k)
         .collect()
     )
+    import numpy as np
+
     cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, ["cid", "cvec"]).select(
-            "cid", F.col("cvec").cast("array<double>").alias("cvec")
+        # arrow E-step straight from the driver-local centroid list — no
+        # createDataFrame/collect round trip per Lloyd iteration (the fit
+        # loop needs throughput, not cross-engine bit parity)
+        cids = np.array([c for c, _ in cents], dtype=np.int64)
+        C = np.array([v for _, v in cents], dtype=np.float64)
+        assigned = _assign_arrow_local(df, cids, C, vec_col, id_col).join(
+            df.select(id_col, vec_col), id_col
         )
-        # arrow: the fit loop needs throughput, not cross-engine bit parity
-        assigned = kmeans_assign(
-            df, cdf, vec_col=vec_col, id_col=id_col, method="arrow"
-        ).join(df.select(id_col, vec_col), id_col)
         new = (
             assigned.groupBy("cluster")
             .agg(
@@ -502,8 +522,10 @@ def semantic_near_dups(
         import numpy as np
         import pandas as pd
 
-        emb_a = df.select(id_col, vec_col).join(
-            assigned.select(id_col, "cluster"), id_col
+        emb_a = (
+            df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .join(assigned.select(id_col, "cluster"), id_col)
         )
 
         def pairs_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":

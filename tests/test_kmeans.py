@@ -160,3 +160,36 @@ def test_semantic_near_dups_arrow_matches_expr(spark, emb):
     for k in a:
         assert a[k][0] == b[k][0]
         assert b[k][1] == pytest.approx(a[k][1], abs=1e-9)
+
+
+def test_null_embeddings_are_excluded_not_fatal(spark, emb):
+    """NULL embedding rows must be skipped by the arrow paths and fit, not
+    crash the batch stacking."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+    from pylluminator_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_near_dups,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    nulls = spark.createDataFrame([(10_000_000, None)], schema)
+    noisy = emb.select("vec_id", "embedding").unionByName(nulls)
+    cents = kmeans_fit(noisy, 3, iters=1)
+    assert cents.count() == 3
+    got = kmeans_assign(noisy, cents, method="arrow")
+    ids = {r.vec_id for r in got.collect()}
+    assert 10_000_000 not in ids and len(ids) == emb.count()
+    pairs = semantic_near_dups(
+        noisy, cents, threshold=0.3,
+        assign_method="arrow", pair_method="arrow",
+    )
+    assert pairs.filter(
+        (F.col("id_a") == 10_000_000) | (F.col("id_b") == 10_000_000)
+    ).count() == 0

@@ -213,7 +213,7 @@ def test_kmeans_semantic_dedup_scale(spark):
             ),
         ),
     ).withColumnRenamed("id", "vec_id")
-    # plant exact duplicates: every 10000th vector duplicates its neighbor
+    # plant exact duplicates: every 2000th vector duplicates its neighbor
     emb = base.withColumn(
         "embedding",
         F.when(
