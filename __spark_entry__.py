@@ -4067,13 +4067,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
         # -- 4. overflow + r03-green rotation. The 50-slot window is full:
-        # slots 51-55 lead the r5 gate queue — five NEW entries whose
+        # slots 51-58 lead the r5 gate queue — eight NEW entries whose
         # correctness is pytest-verified and locally driver_emu-green
         # (stratified_sample mirrors hash_split's arith bucket; pii_redact
         # is a regexp chain; pack_sequences mirrors running_total;
         # semantic_near_dup composes in-window kmeans_assign; stream_dedup
-        # is keys-only DISTINCT) — then the two changed-but-r03-green
-        # entries --
+        # is keys-only DISTINCT; table_profile / top_ngrams / source_mixing
+        # are exact-integer aggregates) — then the two
+        # changed-but-r03-green entries --
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,  # mirrors r03-green running_total
