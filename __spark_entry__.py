@@ -4003,6 +4003,73 @@ FROM thr t LEFT JOIN agg a ON t.source = a.source
 """
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order event funnel (operators.funnel): users completing
+    signup -> view (strictly after) -> purchase (strictly after), counts
+    per step plus an exact epoch-second checksum of the per-user step
+    times. One shuffle + an O(n) sorted fold per user; the oracle is the
+    classic chained-MIN SQL formulation."""
+    from pylluminator_spark.operators.funnel import funnel_user_steps
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = funnel_user_steps(ev, _FUNNEL_STEPS)
+    names = [f"t_{i + 1}_{s}" for i, s in enumerate(_FUNNEL_STEPS)]
+    aggs = []
+    for i, n in enumerate(names):
+        aggs.append(F.count(F.col(n)).alias(f"n_{i}"))
+        aggs.append(
+            F.sum(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                    f" CAST({n} AS TIMESTAMP_NTZ)) div 1000000"
+                )
+            ).alias(f"c_{i}")
+        )
+    row = per_user.agg(*aggs)
+    parts = [
+        F.struct(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"n_{i}").alias("n_users"),
+            F.col(f"c_{i}").alias("ts_checksum"),
+        )
+        for i, s in enumerate(_FUNNEL_STEPS)
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'signup' AS step, COUNT(*) AS n_users,
+       CAST(SUM(epoch_us(CAST(t AS TIMESTAMP)) // 1000000) AS BIGINT)
+         AS ts_checksum
+FROM t1
+UNION ALL
+SELECT 2, 'view', COUNT(*),
+       CAST(SUM(epoch_us(CAST(t AS TIMESTAMP)) // 1000000) AS BIGINT)
+FROM t2
+UNION ALL
+SELECT 3, 'purchase', COUNT(*),
+       CAST(SUM(epoch_us(CAST(t AS TIMESTAMP)) // 1000000) AS BIGINT)
+FROM t3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4083,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "top_ngrams": q_top_ngrams,
         "source_mixing": q_source_mixing,
+        "event_funnel": q_event_funnel,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4151,6 +4219,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": ORACLE_TABLE_PROFILE,
         "top_ngrams": ORACLE_TOP_NGRAMS,
         "source_mixing": ORACLE_SOURCE_MIXING,
+        "event_funnel": ORACLE_EVENT_FUNNEL,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -1,0 +1,85 @@
+"""Sequential funnel analysis over an event stream: how many users reach
+step 1, then step 2 strictly after their step-1 time, and so on — the
+standard product-analytics conversion query.
+
+Semantics (strict-order, earliest-entry funnel): a user completes step i
+at the first event of that type with a timestamp strictly greater than
+the earliest time they completed step i-1. Ties at identical timestamps do
+not advance the funnel.
+
+Scale design: one shuffle (groupBy user), then a single O(n) fold over
+each user's time-sorted event array — the fold's lambda references only
+its accumulator and element variables, so there is no per-element
+re-evaluation of outer expressions (the HOF no-CSE trap let_expr exists
+for). Per-user event counts bound the array size, which is the standard
+product-analytics assumption; the funnel depth only widens the
+accumulator struct. The final counts are a second k-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_user_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user earliest completion time of each funnel step (NULL once a
+    step is not reached): ``(user, t_1_<s1>, t_2_<s2>, ...)``."""
+    ts_type = events.schema[ts_col].dataType
+    names = [f"t_{i + 1}_{s}" for i, s in enumerate(steps)]
+    grouped = events.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                    F.col(type_col).alias("tp")))
+        ).alias("_ev")
+    )
+    null_ts = F.lit(None).cast(ts_type)
+    acc0 = F.struct(*[null_ts.alias(n) for n in names])
+
+    def step_fn(acc, e):
+        fields = []
+        for i, (s, n) in enumerate(zip(steps, names)):
+            cur = acc[n]
+            cond = cur.isNull() & (e["tp"] == s)
+            if i > 0:
+                prev = acc[names[i - 1]]
+                cond = cond & prev.isNotNull() & (e["ts"] > prev)
+            fields.append(F.when(cond, e["ts"]).otherwise(cur).alias(n))
+        return F.struct(*fields)
+
+    folded = grouped.select(
+        user_col, F.aggregate(F.col("_ev"), acc0, step_fn).alias("_t")
+    )
+    return folded.select(user_col, *[F.col(f"_t.{n}").alias(n) for n in names])
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel conversion table: one row per step with the number of users
+    who reached it (monotone non-increasing) — ``(step_idx, step,
+    n_users)``."""
+    per_user = funnel_user_steps(events, steps, user_col, type_col, ts_col)
+    names = [f"t_{i + 1}_{s}" for i, s in enumerate(steps)]
+    row = per_user.agg(
+        *[F.count(F.col(n)).alias(f"n_{i}") for i, n in enumerate(names)]
+    )
+    parts = [
+        F.struct(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col(f"n_{i}").alias("n_users"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")

@@ -67,6 +67,8 @@ SCALAR_AGG_OK = [
     "table_profile",
     # source_mixing's feasibility scalar C is a broadcast 1-row aggregate
     "source_mixing",
+    # the funnel's final counts are one global aggregate row
+    "event_funnel",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
