@@ -4070,6 +4070,39 @@ FROM t3
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators.funnel.cohort_retention): users
+    bucketed by first-activity week, counted in each later week they
+    return. Two shuffles (distinct user-weeks, cohort counts); the oracle
+    is the plain first-week self-join formulation."""
+    from pylluminator_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    res = cohort_retention(ev, period="week", max_offset=8)
+    return res.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset",
+        "n_users",
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH per AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+  FROM events
+), first AS (
+  SELECT user_id, MIN(p) AS cohort FROM per GROUP BY user_id
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch_us(per.p) - epoch_us(f.cohort)) // 604800000000 AS BIGINT)
+         AS "offset",
+       COUNT(DISTINCT per.user_id) AS n_users
+FROM per JOIN first f ON per.user_id = f.user_id
+WHERE (epoch_us(per.p) - epoch_us(f.cohort)) // 604800000000 <= 8
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4151,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "source_mixing": q_source_mixing,
         "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4220,6 +4254,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": ORACLE_TOP_NGRAMS,
         "source_mixing": ORACLE_SOURCE_MIXING,
         "event_funnel": ORACLE_EVENT_FUNNEL,
+        "cohort_retention": ORACLE_COHORT_RETENTION,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -83,3 +83,45 @@ def funnel_counts(
         for i, step in enumerate(steps)
     ]
     return row.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    period: str = "week",
+    max_offset: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), counted again in each later period they return —
+    ``(cohort, offset, n_users)`` with offset 0 = the cohort size itself.
+
+    Dataflow: distinct (user, period) pairs -> per-user min period (the
+    cohort) -> one join back keyed by user -> count per (cohort, offset).
+    Two shuffles total, both keyed by user/cohort; no windows, no
+    cross-period self-join of the activity table.
+    """
+    per = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("_p")
+    ).distinct()
+    first = per.groupBy(user_col).agg(F.min("_p").alias("_cohort"))
+    joined = per.join(first, user_col)
+    # integer period offset; weeks are fixed-length so a floor-div of the
+    # second delta is exact (month periods would need months_between)
+    seconds = {"week": 7 * 86400, "day": 86400, "hour": 3600}
+    if period not in seconds:
+        raise ValueError(f"unsupported period: {period}")
+    # integer `div` (not float divide + cast): truncation semantics match
+    # ANSI SQL `//` exactly, and both periods are date_trunc-aligned so the
+    # quotient is an exact integer anyway
+    off = F.expr(
+        "timestampdiff(SECOND, CAST(_cohort AS TIMESTAMP_NTZ),"
+        f" CAST(_p AS TIMESTAMP_NTZ)) div {seconds[period]}"
+    )
+    return (
+        joined.withColumn("_off", off)
+        .filter(F.col("_off") <= max_offset)
+        .groupBy(F.col("_cohort").alias("cohort"), F.col("_off").alias("offset"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

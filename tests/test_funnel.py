@@ -69,3 +69,34 @@ def test_same_timestamp_does_not_advance(spark):
     assert got[1].t_2_view == t0 + dt.timedelta(minutes=1)
     assert got[2].t_1_signup == t0 + dt.timedelta(minutes=1)
     assert got[2].t_2_view is None
+
+
+def test_cohort_retention_matches_python(spark, ev):
+    import datetime as dt
+
+    from pylluminator_spark.operators.funnel import cohort_retention
+
+    rows = ev.select("user_id", "ts").collect()
+
+    def week(ts):
+        d = ts.date() - dt.timedelta(days=ts.weekday())
+        return dt.datetime(d.year, d.month, d.day)
+
+    per = {(r.user_id, week(r.ts)) for r in rows}
+    first = {}
+    for u, w in per:
+        if u not in first or w < first[u]:
+            first[u] = w
+    want = {}
+    for u, w in per:
+        off = (w - first[u]).days // 7
+        if off <= 8:
+            want.setdefault((first[u], off), set()).add(u)
+    got = {
+        (r.cohort, r.offset): r.n_users
+        for r in cohort_retention(ev, period="week", max_offset=8).collect()
+    }
+    assert got == {k: len(v) for k, v in want.items()}
+    # offset-0 count is the full cohort; retention never exceeds it
+    for (c, off), n in got.items():
+        assert n <= got[(c, 0)]

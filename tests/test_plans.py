@@ -51,7 +51,7 @@ CLEAN = [
     # predicate + agg (stratified_sample), streaming drain (sliding)
     "gopher_quality", "repetition_ratios", "decontaminate",
     "stratified_sample", "stream_sliding", "pii_redact", "stream_session",
-    "repeated_spans", "stream_dedup", "top_ngrams",
+    "repeated_spans", "stream_dedup", "top_ngrams", "cohort_retention",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
