@@ -4103,6 +4103,297 @@ GROUP BY 1, 2
 """
 
 
+def q_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML stripping / boilerplate removal (functions.text.strip_html_expr):
+    the web-crawl front door — script/style/comment blocks dropped, tags
+    replaced by spaces, common entities decoded, whitespace collapsed. Pure
+    regexp_replace/replace chain in whole-stage codegen. The corpus is plain
+    text, so each doc gets a deterministic HTML wrapper injected from doc_id;
+    the gate hash-compares the FULL cleaned strings."""
+    from pylluminator_spark.functions.text import strip_html_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.lit("<html><head><title>D"), d.cast("string"),
+        F.lit("</title><style>.x{color:red}</style><script>var d="),
+        d.cast("string"), F.lit(";\nalert(d)</script></head>"),
+        F.lit("<body><h1 class=\"t\">Doc "), d.cast("string"),
+        F.lit("</h1><!-- hidden\ncomment --><p>"), F.col("text"),
+        F.lit("</p>&amp; &lt;raw&gt;&nbsp;tail</body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        strip_html_expr(injected).alias("clean"),
+        F.length(strip_html_expr(injected)).cast("long").alias("n_chars_clean"),
+    )
+
+
+# identical RE2-safe pattern strings as functions.text (DuckDB needs the
+# explicit 'g' flag; Spark replaces all by default)
+_HTML_BLOCK = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?s)</?[A-Za-z!][^>]*>"
+
+ORACLE_CLEAN_HTML = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+           || '</title><style>.x{{color:red}}</style><script>var d='
+           || CAST(doc_id AS VARCHAR) || ';' || chr(10)
+           || 'alert(d)</script></head><body><h1 class="t">Doc '
+           || CAST(doc_id AS VARCHAR) || '</h1><!-- hidden' || chr(10)
+           || 'comment --><p>' || text
+           || '</p>&amp; &lt;raw&gt;&nbsp;tail</body></html>' AS t
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_HTML_BLOCK}', ' ', 'g'),
+               '{_HTML_COMMENT}', ' ', 'g'),
+               '{_HTML_TAG}', ' ', 'g'),
+             '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
+             '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean
+  FROM injected
+)
+SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_chars_clean
+FROM stripped
+"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization (functions.urls): scheme/host/port/
+    path extraction, naive eTLD+1 registered domain (multi-label public-
+    suffix aware), and dedup-key normalization (lowercase scheme+host, strip
+    fragment/tracking params/default ports/trailing slash). RE2-safe regexp
+    chain, codegen end to end — the corpus has no URL column, so each doc
+    gets a deterministic URL built from doc_id covering every branch
+    (mixed case, multi-label suffixes, default/explicit ports, utm strips,
+    fragments)."""
+    from pylluminator_spark.functions.urls import (
+        normalize_url_expr,
+        url_domain_expr,
+        url_host_expr,
+        url_path_expr,
+        url_port_expr,
+        url_scheme_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    suffix = (
+        F.when(d % 4 == 0, F.lit("com"))
+        .when(d % 4 == 1, F.lit("co.uk"))
+        .when(d % 4 == 2, F.lit("org"))
+        .otherwise(F.lit("com.au"))
+    )
+    port = (
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    trail = F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    frag = F.when(d % 2 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://News.Site"), (d % 20).cast("string"), F.lit("."),
+        suffix, port, F.lit("/Art/"), (d % 7).cast("string"), trail,
+        F.lit("?utm_source=tw&q="), (d % 13).cast("string"),
+        F.lit("&gclid=g"), frag,
+    )
+    return docs.select(
+        "doc_id",
+        url_scheme_expr(url).alias("scheme"),
+        url_host_expr(url).alias("host"),
+        url_port_expr(url).alias("port"),
+        url_path_expr(url).alias("path"),
+        url_domain_expr(url).alias("domain"),
+        normalize_url_expr(url).alias("norm_url"),
+    )
+
+
+# the same RE2-safe component patterns as functions.urls; DuckDB replacement
+# backrefs are \1, Spark's are $1
+_URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)"
+_URL_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)"
+_URL_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_URL_TRACK = r"(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref_src)=[^&#]*"
+
+ORACLE_URL_NORMALIZE = rf"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+           || '://News.Site' || CAST(doc_id % 20 AS VARCHAR) || '.'
+           || (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+               WHEN 2 THEN 'org' ELSE 'com.au' END)
+           || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080'
+               ELSE '' END)
+           || '/Art/' || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+           || '?utm_source=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
+           || '&gclid=g'
+           || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{_URL_SCHEME}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_URL_HOST}', 2)) AS host,
+         regexp_extract(url, '{_URL_HOST}', 2) AS host_raw,
+         regexp_extract(url, '{_URL_PORT}', 1) AS port_s,
+         regexp_extract(url, '{_URL_PATH}', 1) AS path_s
+  FROM u
+), dom AS (
+  SELECT *, string_split(host, '.') AS labels FROM parts
+), dom2 AS (
+  SELECT *,
+         array_to_string(labels[GREATEST(len(labels) - 1, 1):len(labels)],
+                         '.') AS last2,
+         array_to_string(labels[GREATEST(len(labels) - 2, 1):len(labels)],
+                         '.') AS last3
+  FROM dom
+)
+SELECT doc_id, scheme, host,
+       CAST(NULLIF(port_s, '') AS INTEGER) AS port,
+       CASE WHEN path_s = '' THEN '/' ELSE path_s END AS path,
+       CASE WHEN len(labels) >= 3 AND last2 IN
+                 ('co.uk', 'ac.uk', 'gov.uk', 'org.uk', 'com.au', 'net.au',
+                  'org.au', 'co.jp', 'ne.jp', 'or.jp', 'com.br', 'com.cn',
+                  'com.mx', 'co.in', 'co.kr', 'co.nz')
+            THEN last3 ELSE last2 END AS domain,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(
+           scheme || '://'
+             || replace(regexp_replace(url, '{_URL_SCHEME}', ''),
+                        host_raw, host),
+           '#(.*)$', ''),
+           '{_URL_TRACK}', '', 'g'),
+         '[?&]&+', '?'), '[?&]+$', ''),
+         '(://[^/?#:]+):(80|443)([/?#]|$)', '\1\3'),
+         '(://[^/?#]+/[^?#]*[^/?#])/+(\?|$)', '\1\2') AS norm_url
+FROM dom2
+"""
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (operators.cleanup.dedup_paragraphs): the
+    boilerplate-removal granularity between whole-doc exact dedup and
+    substring span detection — each paragraph's globally-first occurrence
+    (by doc_id, position) is kept, repeats are dropped, and documents are
+    reassembled. Two high-cardinality shuffles (8-byte fingerprint, then
+    doc_id); the winner table never carries text. The corpus has no
+    paragraph breaks, so deterministic HEADER/FOOTER boilerplate paragraphs
+    are injected per source; the gate hash-compares the FULL reassembled
+    documents."""
+    from pylluminator_spark.operators.cleanup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    ptext = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("HEADER "), F.col("source")),
+        F.substring("text", 1, 60),
+        F.lit("FOOTER common to all documents"),
+        F.substring("text", 61, 100000),
+    )
+    res = dedup_paragraphs(docs.select("doc_id", ptext.alias("text")))
+    return res.select(
+        "doc_id", "clean_text", "n_paras_kept", "n_paras_dropped"
+    )
+
+
+ORACLE_DEDUP_PARAGRAPHS = r"""
+WITH base AS (
+  SELECT doc_id,
+         'HEADER ' || source || chr(10) || chr(10)
+           || substr(text, 1, 60) || chr(10) || chr(10)
+           || 'FOOTER common to all documents' || chr(10) || chr(10)
+           || substr(text, 61, 100000) AS t
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split_regex(t, '\n{2,}') AS lst FROM base
+), paras AS (
+  SELECT doc_id, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM split, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+), rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                    FILTER (WHERE rn = 1), '') AS clean_text,
+         COUNT(*) FILTER (WHERE rn = 1) AS n_paras_kept,
+         COUNT(*) FILTER (WHERE rn > 1) AS n_paras_dropped
+  FROM ranked GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(COALESCE(r.n_paras_dropped, 0) AS BIGINT) AS n_paras_dropped
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap + blocklist (operators.cleanup.cap_per_domain /
+    blocklist_filter): the C4/Gopher crawl-diversity controls — drop
+    blocklisted domains (broadcast anti-join, corpus never shuffles for
+    the policy check), keep at most 20 docs per domain (one hash-
+    partitioned streaming row_number window; explicit doc_id order so the
+    oracle can mirror it). Gate compares exact per-domain survivor counts
+    and integer checksums."""
+    from pylluminator_spark.operators.cleanup import (
+        blocklist_filter,
+        cap_per_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dom = F.concat(
+        F.lit("d"), ((d * 7919) % 11).cast("string"), F.lit(".example."),
+        F.when(d % 3 == 0, F.lit("com"))
+        .when(d % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net")),
+    )
+    corpus = docs.select("doc_id", "n_chars", dom.alias("domain"))
+    kept = cap_per_domain(
+        blocklist_filter(corpus, ["d3.example.com", "d5.example.org"]),
+        cap=20,
+        order_by=[F.col("doc_id")],
+    )
+    return kept.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_DOMAIN_CAP = """
+WITH corpus AS (
+  SELECT doc_id, n_chars,
+         'd' || CAST((doc_id * 7919) % 11 AS VARCHAR) || '.example.'
+           || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               ELSE 'net' END) AS domain
+  FROM documents
+), allowed AS (
+  SELECT * FROM corpus
+  WHERE domain NOT IN ('d3.example.com', 'd5.example.org')
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM allowed
+)
+SELECT domain, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked WHERE rn <= 20 GROUP BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4185,6 +4476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing": q_source_mixing,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "clean_html": q_clean_html,
+        "url_normalize": q_url_normalize,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "domain_cap": q_domain_cap,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4255,6 +4550,10 @@ def oracle_sql() -> dict[str, str]:
         "source_mixing": ORACLE_SOURCE_MIXING,
         "event_funnel": ORACLE_EVENT_FUNNEL,
         "cohort_retention": ORACLE_COHORT_RETENTION,
+        "clean_html": ORACLE_CLEAN_HTML,
+        "url_normalize": ORACLE_URL_NORMALIZE,
+        "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
+        "domain_cap": ORACLE_DOMAIN_CAP,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -205,6 +205,77 @@ def pii_count_expr(text: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
 
 
+# --- HTML stripping / text normalization (pre-training cleanup pass) ------
+#
+# All patterns are RE2-compatible (no lookaround/backreferences) so the same
+# strings run in Spark's Java regex and DuckDB's RE2 — the dual-engine
+# constraint every gated regexp in this module obeys. `(?is)` (case-fold +
+# dot-matches-newline) and non-greedy `.*?` are supported by both engines.
+
+HTML_BLOCK_PATTERN = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+HTML_COMMENT_PATTERN = r"(?s)<!--.*?-->"
+HTML_TAG_PATTERN = r"(?s)</?[A-Za-z!][^>]*>"
+
+# common-entity decode order: longest-name entities before '&amp;' so
+# '&amp;lt;' decodes to '&lt;' (literal), not '<'
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+# 1:1 unicode-punctuation fold (curly quotes, en/em dash, NBSP) — a single
+# codegen `translate`; the one non-1:1 fold (ellipsis) is a regexp_replace
+_PUNCT_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+_PUNCT_TO = "''\"\"-- "
+
+
+def normalize_ws_expr(text: Column) -> Column:
+    """Collapse whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def strip_control_chars_expr(text: Column) -> Column:
+    """Remove C0/DEL control characters (tab/newline/CR are kept — they are
+    whitespace, handled by :func:`normalize_ws_expr`)."""
+    return F.regexp_replace(text, CONTROL_CHAR_PATTERN, "")
+
+
+def strip_html_expr(text: Column) -> Column:
+    """Strip HTML to visible text: drop script/style blocks and comments,
+    replace tags with spaces (so adjacent words don't fuse), decode the
+    common entities, collapse whitespace. Pure ``regexp_replace``/
+    ``replace`` chain — whole-stage codegen, no Python in the hot path.
+
+    This is the boilerplate-removal front door of a web-crawl pipeline
+    (the heuristic core of trafilatura/jusText-style extraction, without
+    the DOM scoring — per-tag structure never leaves the executor).
+    """
+    out = F.regexp_replace(text, HTML_BLOCK_PATTERN, " ")
+    out = F.regexp_replace(out, HTML_COMMENT_PATTERN, " ")
+    out = F.regexp_replace(out, HTML_TAG_PATTERN, " ")
+    for ent, repl in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    return normalize_ws_expr(out)
+
+
+def normalize_text_expr(text: Column, lowercase: bool = False) -> Column:
+    """Canonical text normalization: strip control chars, fold common
+    unicode punctuation to ASCII (curly quotes, dashes, NBSP, ellipsis),
+    collapse whitespace; optionally lowercase. One codegen chain."""
+    out = strip_control_chars_expr(text)
+    out = F.translate(out, _PUNCT_FROM, _PUNCT_TO)
+    out = F.regexp_replace(out, "…", "...")
+    out = normalize_ws_expr(out)
+    return F.lower(out) if lowercase else out
+
+
 def fingerprint_expr(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token stream.
 

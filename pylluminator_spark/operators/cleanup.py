@@ -1,0 +1,171 @@
+"""Corpus-cleanup relational operators: paragraph-level dedup, per-domain
+caps, and domain blocklist filtering.
+
+Beyond-reference operators (driver north star). Paragraph dedup is the
+granularity between exact doc-dedup (operators/dedup.py) and exact-substring
+span detection (operators/corpus.repeated_spans): boilerplate paragraphs
+(navigation, license headers, cookie banners) repeat across millions of
+crawled pages while the surrounding documents are unique. Domain caps and
+blocklists are the standard crawl-diversity and policy controls (C4 and
+Gopher both cap per-domain contributions).
+
+Scale design:
+- ``dedup_paragraphs`` shuffles (fingerprint -> min owner) + (doc_id ->
+  reassemble); both keys are high-cardinality, no skew hot spot. The
+  winner table carries only (fingerprint, owner) — 16 bytes a paragraph —
+  never the text.
+- ``cap_per_domain`` is ONE hash-partitioned window (row_number streams —
+  no per-group materialization beyond sort spill, which is disk-backed).
+- ``blocklist_filter`` broadcasts the blocklist (dimension-sized by
+  definition) — never a shuffle of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PARAGRAPH_SPLIT_PATTERN = r"\n{2,}"
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = PARAGRAPH_SPLIT_PATTERN,
+) -> DataFrame:
+    """Explode documents into ordered paragraphs.
+
+    Output: ``id_col``, ``para_idx`` (0-based position), ``para`` (trimmed).
+    Blank paragraphs (whitespace-only) are dropped; ``para_idx`` still
+    reflects the original split position so reassembly preserves order.
+    """
+    return (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), pattern)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = PARAGRAPH_SPLIT_PATTERN,
+    min_chars: int = 0,
+) -> DataFrame:
+    """Remove duplicate paragraphs corpus-wide, keeping each paragraph's
+    globally-first occurrence (ordered by ``(id_col, para_idx)``), then
+    reassemble the surviving paragraphs into cleaned documents.
+
+    Paragraphs shorter than ``min_chars`` are exempt from dedup (kept
+    everywhere) — short strings ("Introduction") repeat legitimately.
+
+    Returns: ``id_col``, ``clean_text``, ``n_paras_kept``,
+    ``n_paras_dropped``. Documents whose every paragraph was dropped
+    still appear, with an empty ``clean_text``.
+
+    The dedup key shuffled is the 8-byte xxhash64 fingerprint of the
+    paragraph, not the text (the join back to the exploded side is on the
+    same fingerprint, so a hash collision could at worst drop a false-
+    duplicate paragraph — the standard exact-dedup trade, same as
+    operators/dedup.dedup_exact).
+    """
+    paras = split_paragraphs(df, text_col, id_col, pattern)
+    paras = paras.withColumn("fp", F.xxhash64("para"))
+
+    eligible = paras.filter(F.length("para") >= min_chars) if min_chars else paras
+    winners = eligible.groupBy("fp").agg(
+        F.min(F.struct(id_col, "para_idx")).alias("first_at")
+    )
+
+    joined = paras.join(winners, "fp", "left")
+    kept_flag = (
+        F.col("first_at").isNull()  # exempt short paragraphs
+        | (
+            (F.col(f"first_at.{id_col}") == F.col(id_col))
+            & (F.col("first_at.para_idx") == F.col("para_idx"))
+        )
+    ).alias("kept")
+    flagged = joined.select(id_col, "para_idx", "para", kept_flag)
+
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kept"),
+                    F.struct(F.col("para_idx").alias("i"), F.col("para").alias("p")),
+                )
+            )
+        ).alias("kept_paras"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_paras_dropped"),
+    )
+    out = rebuilt.select(
+        id_col,
+        F.concat_ws(
+            "\n\n", F.transform("kept_paras", lambda s: s["p"])
+        ).alias("clean_text"),
+        F.size("kept_paras").cast("long").alias("n_paras_kept"),
+        F.col("n_paras_dropped").cast("long").alias("n_paras_dropped"),
+    )
+    # left join back so fully-empty documents (no paragraphs at all) survive
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .fillna({"clean_text": "", "n_paras_kept": 0, "n_paras_dropped": 0})
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str = "domain",
+    cap: int = 1000,
+    order_by: Sequence[Column | str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain (C4/Gopher-style crawl-diversity
+    control). Deterministic: rows are ranked by ``order_by`` (default: the
+    keyed hash of ``id_col`` then ``id_col`` — an unbiased, reproducible
+    per-domain sample), and rank > cap is dropped.
+
+    One hash-partitioned window; ``row_number`` streams through the sorted
+    partition, so a mega-domain costs a disk-backed sort, never memory.
+    """
+    order = list(order_by) if order_by is not None else [
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    ]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame | Sequence[str],
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose domain is on a blocklist. The blocklist side is
+    broadcast (policy lists are dimension-sized); the corpus never
+    shuffles."""
+    if isinstance(blocked, DataFrame):
+        bl = blocked
+        bcol = bl.columns[0]
+    else:
+        spark = df.sparkSession
+        bl = spark.createDataFrame([(d,) for d in blocked], ["_blocked_domain"])
+        bcol = "_blocked_domain"
+    return df.join(
+        F.broadcast(bl.withColumnRenamed(bcol, domain_col).distinct()),
+        domain_col,
+        "left_anti",
+    )

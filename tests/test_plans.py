@@ -52,6 +52,11 @@ CLEAN = [
     "gopher_quality", "repetition_ratios", "decontaminate",
     "stratified_sample", "stream_sliding", "pii_redact", "stream_session",
     "repeated_spans", "stream_dedup", "top_ngrams", "cohort_retention",
+    # round 4 cleanup ops: codegen regexp chains (clean_html/url_normalize:
+    # no shuffle at all), fingerprint-keyed dedup + doc-keyed reassembly
+    # (dedup_paragraphs), broadcast blocklist anti-join + hash-partitioned
+    # streaming row_number window (domain_cap)
+    "clean_html", "url_normalize", "dedup_paragraphs", "domain_cap",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
