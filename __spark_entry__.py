@@ -4394,6 +4394,46 @@ FROM ranked WHERE rn <= 20 GROUP BY domain
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators.sampling.weighted_sample — Efraimidis-Spirakis A-ES):
+    top-15 docs per source with probability proportional to n_chars, the
+    keyed-hash u making the draw reproducible across runs and engines.
+    Per-stratum streaming row_number window; priority rounded to 9 dp so
+    sub-ulp libm ln() differences can't flip the cross-engine ordering.
+    The gate compares the exact selected rows."""
+    from pylluminator_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        15,
+        "n_chars",
+        "doc_id",
+        strata_col="source",
+        portable=True,
+        priority_digits=9,
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(
+           ln((((doc_id * 2654435761) % 1000003 + 1000003) % 1000003
+               % 10000 + 0.5) / 10000.0)
+           / CAST(n_chars AS DOUBLE), 9) AS p
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY p DESC, doc_id) AS rn
+  FROM pri
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4480,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "dedup_paragraphs": q_dedup_paragraphs,
         "domain_cap": q_domain_cap,
+        "weighted_sample": q_weighted_sample,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4554,6 +4595,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": ORACLE_URL_NORMALIZE,
         "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
         "domain_cap": ORACLE_DOMAIN_CAP,
+        "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

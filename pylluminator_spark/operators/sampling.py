@@ -91,6 +91,63 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str,
+    strata_col: str | None = None,
+    *,
+    buckets: int = 10_000,
+    salt: int = 0,
+    portable: bool = False,
+    priority_digits: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: take ``k`` rows
+    (per stratum, if ``strata_col`` is given) with inclusion probability
+    proportional to ``weight_col``.
+
+    Efraimidis-Spirakis A-ES: each row gets priority ``ln(u) / w`` with
+    ``u ~ U(0,1)``; the top-k priorities are exactly a weighted sample
+    without replacement. ``u`` here is the keyed hash bucket mapped to
+    ``(bucket + 0.5) / buckets`` — so the sample is reproducible across
+    runs, engines, and partitionings (same key + salt -> same draw),
+    unlike ``rand()``.
+
+    Scale shape: global top-k is ``orderBy().limit(k)`` (Spark's
+    distributed TakeOrdered — per-partition heaps, only k rows to the
+    driver stage); per-stratum top-k is one hash-partitioned streaming
+    ``row_number`` window. Rows with non-positive weight are excluded
+    (they have zero sampling mass).
+
+    ``portable=True`` uses the SQL-expressible arith hash (integral key)
+    so an ANSI-SQL oracle replicates the draw; ``priority_digits`` rounds
+    the priority before ordering (ties broken by key), absorbing the
+    sub-ulp libm differences between engines' ``ln`` — set it (e.g. 9)
+    for any cross-engine-checked sample.
+    """
+    bucket = (
+        arith_bucket_expr(F.col(key), buckets)
+        if portable
+        else hash_bucket_expr(F.col(key), buckets, salt)
+    )
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(buckets))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    if priority_digits is not None:
+        pri = F.round(pri, priority_digits)
+    filtered = df.filter(F.col(weight_col) > 0)
+    if strata_col is None:
+        return filtered.orderBy(pri.desc(), F.col(key)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(pri.desc(), F.col(key))
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key: str,

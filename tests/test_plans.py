@@ -57,6 +57,8 @@ CLEAN = [
     # (dedup_paragraphs), broadcast blocklist anti-join + hash-partitioned
     # streaming row_number window (domain_cap)
     "clean_html", "url_normalize", "dedup_paragraphs", "domain_cap",
+    # per-stratum A-ES draw: one hash-partitioned row_number window
+    "weighted_sample",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)

@@ -82,3 +82,82 @@ def test_arith_bucket_negative_keys_stay_in_range(spark):
         df, "lang", {"en": 0.0}, "id", default_rate=0.0, portable=True
     )
     assert kept.count() == 0
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES)
+# --------------------------------------------------------------------------
+
+import math
+
+from pylluminator_spark.operators.sampling import weighted_sample
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # ids 0..999; weight 100 for ids < 50, weight 1 otherwise
+    return spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, 100).otherwise(1).alias("w"),
+        (F.col("id") % 4).cast("string").alias("stratum"),
+    )
+
+
+def test_weighted_global_topk_exact_size_and_determinism(weighted):
+    a = weighted_sample(weighted, 100, "w", "doc_id")
+    b = weighted_sample(weighted, 100, "w", "doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == 100 and ids_a == ids_b
+
+
+def test_weighted_favors_heavy_rows(weighted):
+    s = weighted_sample(weighted, 100, "w", "doc_id")
+    heavy = s.filter(F.col("doc_id") < 50).count()
+    # 50 heavy rows carry 100x the weight of each of 950 light rows:
+    # nearly all of them should be drawn (expected ~48)
+    assert heavy >= 40
+
+
+def test_weighted_matches_reference_aes(spark, weighted):
+    # replicate the exact draw in plain Python: same hash -> same sample
+    rows = weighted.collect()
+    buckets = 10_000
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            weighted, 30, "w", "doc_id", portable=True, buckets=buckets
+        ).collect()
+    )
+    mult, mod = 2654435761, 1000003
+    pri = []
+    for r in rows:
+        b = ((r["doc_id"] * mult) % mod + mod) % mod % buckets
+        u = (b + 0.5) / buckets
+        pri.append((math.log(u) / r["w"], -r["doc_id"], r["doc_id"]))
+    want = sorted(d for _, _, d in sorted(pri, reverse=True)[:30])
+    assert got == want
+
+
+def test_weighted_per_stratum_counts(weighted):
+    s = weighted_sample(weighted, 10, "w", "doc_id", strata_col="stratum")
+    counts = {
+        r["stratum"]: r["n"]
+        for r in s.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 10, "1": 10, "2": 10, "3": 10}
+
+
+def test_weighted_excludes_nonpositive_weights(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 90, 0).otherwise(5).alias("w"),
+    )
+    s = weighted_sample(df, 50, "w", "doc_id")
+    ids = sorted(r["doc_id"] for r in s.collect())
+    assert ids == list(range(90, 100))
+
+
+def test_weighted_k_larger_than_population(weighted):
+    small = weighted.filter(F.col("doc_id") < 7)
+    assert weighted_sample(small, 100, "w", "doc_id").count() == 7
