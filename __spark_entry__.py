@@ -4434,6 +4434,95 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 15
 """
 
 
+def q_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference (operators.classifier
+    .logreg_predict_expr): sigmoid of a fixed published weight vector over
+    SQL-expressible text features — chars/100, whitespace-token count,
+    punctuation ratio. Pure codegen, no shuffle: the shape every CCNet/
+    GPT-3-style corpus filter runs over 100 TB. Scores rounded to 6 dp
+    (identical feature arithmetic both engines; only exp() can differ by
+    an ulp)."""
+    from pylluminator_spark.operators.classifier import logreg_predict_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    x1 = F.col("n_chars").cast("double") / F.lit(100.0)
+    x2 = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast(
+        "double"
+    )
+    x3 = (
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    ).cast("double")
+    p = logreg_predict_expr([x1, x2, x3], [0.5, 0.05, -2.0], -3.0)
+    return docs.select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        (p > 0.5).alias("keep"),
+    )
+
+
+ORACLE_LOGREG_PREDICT = r"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS x2,
+         CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+           / GREATEST(len(text), 1) AS x3
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-((((-3.0) + x1 * 0.5) + x2 * 0.05)
+                            + x3 * (-2.0)))) AS p
+  FROM feats
+)
+SELECT doc_id, ROUND(p, 6) AS score, p > 0.5 AS keep FROM scored
+"""
+
+
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier TRAINING stage (operators.classifier
+    .newton_step): one distributed IRLS iteration from beta=0 — the
+    fact-table-scale part is the single sufficient-statistics aggregation
+    (O(d^2) running sums, map-side partial); the driver solves the tiny
+    system. From beta=0 the update has the closed form
+    4 * (X'X)^-1 X'(y - 1/2), which the DuckDB twin evaluates by Cramer on
+    the same EXACT integer/half-integer sums (x = n_chars, w = 1/4,
+    z = 4y-2 — every running sum is exactly representable, so the
+    aggregation is order-independent). Same suffstats-then-driver-solve
+    split as ols_dmp / pca_gram."""
+    from pylluminator_spark.operators.classifier import newton_step
+
+    docs = _t(spark, sf_dir, "documents")
+    fdf = docs.select(
+        F.col("n_chars").cast("double").alias("x"),
+        (F.col("doc_id") % 3 == 0).cast("double").alias("y"),
+    )
+    beta, _, n = newton_step(fdf, ["x"], "y", [0.0, 0.0], ridge=0.0)
+    return spark.createDataFrame(
+        [(round(beta[0], 6), round(beta[1], 6), n)],
+        "b0 double, b1 double, n bigint",
+    )
+
+
+ORACLE_LOGREG_STEP = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS sx,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx,
+         SUM(CASE WHEN doc_id % 3 = 0 THEN 0.5 ELSE -0.5 END) AS syp,
+         SUM(n_chars * (CASE WHEN doc_id % 3 = 0 THEN 0.5 ELSE -0.5 END))
+           AS sxyp
+  FROM documents
+)
+SELECT ROUND(4.0 * (sxx * syp - sx * sxyp)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS b0,
+       ROUND(4.0 * (CAST(n AS DOUBLE) * sxyp - sx * syp)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS b1,
+       n
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4521,6 +4610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "domain_cap": q_domain_cap,
         "weighted_sample": q_weighted_sample,
+        "logreg_predict": q_logreg_predict,
+        "logreg_step": q_logreg_step,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4596,6 +4687,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
         "domain_cap": ORACLE_DOMAIN_CAP,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+        "logreg_predict": ORACLE_LOGREG_PREDICT,
+        "logreg_step": ORACLE_LOGREG_STEP,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

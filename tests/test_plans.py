@@ -59,6 +59,8 @@ CLEAN = [
     "clean_html", "url_normalize", "dedup_paragraphs", "domain_cap",
     # per-stratum A-ES draw: one hash-partitioned row_number window
     "weighted_sample",
+    # classifier inference: pure codegen sigmoid projection, no shuffle
+    "logreg_predict",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -76,6 +78,9 @@ SCALAR_AGG_OK = [
     "source_mixing",
     # the funnel's final counts are one global aggregate row
     "event_funnel",
+    # the IRLS step's distributed stage is one global suffstats aggregate;
+    # the returned 1-row frame is a local scan of the driver solve
+    "logreg_step",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
