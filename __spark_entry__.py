@@ -4523,6 +4523,72 @@ FROM s
 """
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators.quantize.pq_encode):
+    m=2 subspaces of 32 dims, codebooks = the vec_id % 64 == 0 vectors'
+    subvectors (data-derived, like the kmeans_assign gate). Encoding is
+    map-side only — codebooks broadcast as literals, no shuffle at any
+    corpus size. Cross-engine determinism: per-subspace distances are
+    fixed-order float64 folds; the oracle unrolls the same left-
+    associative 32-term sums, so the per-subspace argmin and the summed
+    reconstruction error match bit-for-bit (rounded at the edge only)."""
+    from pylluminator_spark.operators.quantize import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 64 == 0)
+    books = None
+    for s in (0, 1):
+        b = cents.select(
+            F.lit(s).alias("sub_id"),
+            F.col("vec_id").alias("cid"),
+            F.slice("embedding", s * 32 + 1, 32)
+            .cast("array<double>")
+            .alias("cvec"),
+        )
+        books = b if books is None else books.union(b)
+    res = pq_encode(emb, books, method="expr")
+    return res.select(
+        "vec_id",
+        res["codes"][0].alias("code_0"),
+        res["codes"][1].alias("code_1"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+def _pq_dist_sql(lo: int) -> str:
+    return " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+        for i in range(lo, lo + 32)
+    )
+
+
+ORACLE_PQ_ENCODE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+), d0 AS (
+  SELECT e.vec_id, c.cid, {_pq_dist_sql(1)} AS d
+  FROM embeddings e CROSS JOIN cents c
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_pq_dist_sql(33)} AS d
+  FROM embeddings e CROSS JOIN cents c
+), b0 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM d0
+  ) WHERE rn = 1
+), b1 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM d1
+  ) WHERE rn = 1
+)
+SELECT b0.vec_id, b0.cid AS code_0, b1.cid AS code_1,
+       ROUND(b0.d + b1.d, 6) AS recon_err
+FROM b0 JOIN b1 ON b0.vec_id = b1.vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4612,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "logreg_predict": q_logreg_predict,
         "logreg_step": q_logreg_step,
+        "pq_encode": q_pq_encode,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4689,6 +4756,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "logreg_predict": ORACLE_LOGREG_PREDICT,
         "logreg_step": ORACLE_LOGREG_STEP,
+        "pq_encode": ORACLE_PQ_ENCODE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -61,6 +61,8 @@ CLEAN = [
     "weighted_sample",
     # classifier inference: pure codegen sigmoid projection, no shuffle
     "logreg_predict",
+    # PQ encoding: broadcast-literal codebooks, map-side only
+    "pq_encode",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
