@@ -4589,6 +4589,38 @@ FROM b0 JOIN b1 ON b0.vec_id = b1.vec_id
 """
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-training pair statistics (operators.bpe
+    .bpe_pair_counts): the first merge step of tokenizer training as a
+    pure DataFrame aggregation — word-type counts first (the Zipf trick:
+    the pair explode runs over types weighted by frequency, not raw
+    tokens), then adjacent character-pair weighted sums. Exact integer
+    counts; the driver-side merge loop over the bounded type table is
+    pytest-verified against the hand-computed Sennrich et al. example."""
+    from pylluminator_spark.operators.bpe import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, min_count=5)
+
+
+ORACLE_BPE_PAIRS = r"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wcnt FROM (
+    SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '')) AS word
+    FROM documents
+  ) GROUP BY word
+), pairs AS (
+  SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair, wcnt
+  FROM words,
+       LATERAL (SELECT UNNEST(generate_series(1, len(word) - 1)) AS i) g
+  WHERE len(word) >= 2
+)
+SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair HAVING SUM(wcnt) >= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4679,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_predict": q_logreg_predict,
         "logreg_step": q_logreg_step,
         "pq_encode": q_pq_encode,
+        "bpe_pairs": q_bpe_pairs,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4757,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_predict": ORACLE_LOGREG_PREDICT,
         "logreg_step": ORACLE_LOGREG_STEP,
         "pq_encode": ORACLE_PQ_ENCODE,
+        "bpe_pairs": ORACLE_BPE_PAIRS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

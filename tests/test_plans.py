@@ -63,6 +63,8 @@ CLEAN = [
     "logreg_predict",
     # PQ encoding: broadcast-literal codebooks, map-side only
     "pq_encode",
+    # BPE pair stats: two hash aggregates (word types, then pairs)
+    "bpe_pairs",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
