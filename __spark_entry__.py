@@ -4621,6 +4621,127 @@ FROM pairs GROUP BY pair HAVING SUM(wcnt) >= 5
 """
 
 
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/SSL-prototype diversity pruning (operators.similarity
+    .prototype_prune, Sorscher et al. 2022 / Tirumala et al. 2023): within
+    each k-means cluster drop the most prototypical (closest-to-centroid)
+    points, keep the farthest 50%. Broadcast-centroid map-side assignment
+    + one streaming window per cluster. Distances are the fixed-order
+    float64 fold, rounded to 6 dp BEFORE ranking so both engines order
+    ties identically."""
+    from pylluminator_spark.operators.similarity import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    kept = prototype_prune(emb, cents, 0.5, round_digits=6)
+    return kept.select(
+        "vec_id", "cluster", "sq_dist",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+ORACLE_PROTOTYPE_PRUNE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+), dists AS (
+  SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cid AS cluster, ROUND(d, 6) AS sq_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC)
+      AS rn
+    FROM dists
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster ORDER BY sq_dist DESC, vec_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM assigned
+)
+SELECT vec_id, cluster, sq_dist, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk <= CEIL(cluster_size * 0.5)
+"""
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (operators.quantize
+    .pq_adc_topk): the query's m x k distance lookup table is built once
+    driver-side and shipped as literals; scoring touches ONLY the 8-byte
+    codes (map-side), and the top-50 is a distributed TakeOrdered. LUT
+    entries use the same left-associative float64 accumulation as the
+    encode fold, so the oracle's unrolled sums match bit-for-bit and the
+    top-k cut needs no tolerance."""
+    from pylluminator_spark.operators.quantize import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 64 == 0)
+    books = None
+    for s in (0, 1):
+        b = cents.select(
+            F.lit(s).alias("sub_id"),
+            F.col("vec_id").alias("cid"),
+            F.slice("embedding", s * 32 + 1, 32)
+            .cast("array<double>")
+            .alias("cvec"),
+        )
+        books = b if books is None else books.union(b)
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    ]
+    codes = pq_encode(emb, books, method="expr").select("vec_id", "codes")
+    top = pq_adc_topk(codes, books, query, 50)
+    return top.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+def _pq_qdist_sql(lo: int) -> str:
+    return " + ".join(
+        f"(CAST(q.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+        f" * (CAST(q.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE))"
+        for i in range(lo, lo + 32)
+    )
+
+
+ORACLE_PQ_ADC = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+), q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 1
+), d0 AS (
+  SELECT e.vec_id, c.cid, {_pq_dist_sql(1)} AS d
+  FROM embeddings e CROSS JOIN cents c
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_pq_dist_sql(33)} AS d
+  FROM embeddings e CROSS JOIN cents c
+), b0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM d0
+  ) WHERE rn = 1
+), b1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn FROM d1
+  ) WHERE rn = 1
+), qd0 AS (
+  SELECT c.cid, {_pq_qdist_sql(1)} AS d FROM q CROSS JOIN cents c
+), qd1 AS (
+  SELECT c.cid, {_pq_qdist_sql(33)} AS d FROM q CROSS JOIN cents c
+), scored AS (
+  SELECT b0.vec_id, qd0.d + qd1.d AS adc
+  FROM b0
+  JOIN b1 ON b0.vec_id = b1.vec_id
+  JOIN qd0 ON qd0.cid = b0.cid
+  JOIN qd1 ON qd1.cid = b1.cid
+)
+SELECT vec_id, ROUND(adc, 6) AS adc_dist
+FROM scored ORDER BY adc ASC, vec_id ASC LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4712,6 +4833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_step": q_logreg_step,
         "pq_encode": q_pq_encode,
         "bpe_pairs": q_bpe_pairs,
+        "prototype_prune": q_prototype_prune,
+        "pq_adc": q_pq_adc,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4791,6 +4914,8 @@ def oracle_sql() -> dict[str, str]:
         "logreg_step": ORACLE_LOGREG_STEP,
         "pq_encode": ORACLE_PQ_ENCODE,
         "bpe_pairs": ORACLE_BPE_PAIRS,
+        "prototype_prune": ORACLE_PROTOTYPE_PRUNE,
+        "pq_adc": ORACLE_PQ_ADC,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

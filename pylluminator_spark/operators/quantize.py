@@ -292,3 +292,69 @@ def pq_decode_expr(codes: Column, codebooks: DataFrame) -> Column:
         )
         parts.append(lut[codes[s]])
     return F.concat(*parts)
+
+
+def pq_adc_scores(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC, Jegou et al. 2011 §IV): the
+    approximate distance between a query vector and every PQ-ENCODED corpus
+    row is the sum over subspaces of d(query_subvec, centroid[code]) —
+    looked up from an m x k table built ONCE per query on the driver and
+    shipped as literals. Scoring is a pure map-side expression over the
+    8-byte codes: the corpus's float vectors are never touched, which is
+    the entire point of PQ search at 100 TB.
+
+    The LUT distances are computed with the same left-associative float64
+    accumulation as sq_dist_expr, so a SQL twin that unrolls the identical
+    sums reproduces every score bit-for-bit."""
+    books = _collect_codebooks(codebooks)
+    subs = sorted(books)
+    if not subs:
+        raise ValueError("pq_adc_scores: empty codebooks")
+    dsub = len(books[subs[0]][0][1])
+    if len(query) != len(subs) * dsub:
+        raise ValueError(
+            f"query dim {len(query)} != m*dsub {len(subs) * dsub}"
+        )
+    score = None
+    for s in subs:
+        qs = [float(x) for x in query[s * dsub : (s + 1) * dsub]]
+        keys, vals = [], []
+        for cid, cvec in books[s]:
+            d = 0.0
+            for a, b in zip(qs, cvec):
+                diff = a - b
+                d += diff * diff
+            keys.append(cid)
+            vals.append(d)
+        lut = F.map_from_arrays(
+            F.array(*[F.lit(c).cast("long") for c in keys]),
+            F.array(*[F.lit(v) for v in vals]),
+        )
+        term = lut[F.col(codes_col)[s]]
+        score = term if score is None else score + term
+    return codes_df.select(id_col, score.alias("adc_dist"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Top-k nearest PQ codes to a query by ADC distance (ties to the
+    smaller id). Distributed TakeOrdered — per-partition heaps, only k
+    rows cross to the final stage."""
+    scores = pq_adc_scores(
+        codes_df, codebooks, query, id_col=id_col, codes_col=codes_col
+    )
+    return scores.orderBy("adc_dist", id_col).limit(k)

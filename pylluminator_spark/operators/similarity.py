@@ -592,3 +592,55 @@ def semantic_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cluster", "cosine")
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: DataFrame,
+    keep_frac: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign_method: str = "expr",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """D4/SSL-prototype data pruning (Sorscher et al. 2022 "Beyond neural
+    scaling laws"; Tirumala et al. 2023 D4): within each k-means cluster,
+    DROP the most prototypical points (closest to the centroid — the
+    easy, redundant examples) and keep the ``keep_frac`` farthest. The
+    standard diversity-pruning stage after SemDeDup in an LLM data
+    pipeline.
+
+    One broadcast-centroid assignment (map-side) + one hash-partitioned
+    streaming window per cluster — same scale shape as cap_per_domain.
+    Per-cluster quota is ``ceil(keep_frac * cluster_size)``, so every
+    non-empty cluster keeps at least one row. Ordering is
+    (sq_dist DESC, id ASC); ``round_digits`` rounds the distance first so
+    a cross-engine twin ranks identical values identically.
+
+    Returns the kept rows: (id, cluster, sq_dist, cluster_size).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(
+        df, centroids, vec_col=vec_col, id_col=id_col, method=assign_method
+    )
+    dist = (
+        F.round("sq_dist", round_digits)
+        if round_digits is not None
+        else F.col("sq_dist")
+    )
+    w = Window.partitionBy("cluster")
+    w_rank = w.orderBy(dist.desc(), F.col(id_col))
+    ranked = assigned.select(
+        id_col,
+        "cluster",
+        dist.alias("sq_dist"),
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.filter(
+        F.col("_rn") <= F.ceil(F.col("cluster_size") * F.lit(keep_frac))
+    ).drop("_rn")

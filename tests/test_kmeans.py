@@ -193,3 +193,74 @@ def test_null_embeddings_are_excluded_not_fatal(spark, emb):
     assert pairs.filter(
         (F.col("id_a") == 10_000_000) | (F.col("id_b") == 10_000_000)
     ).count() == 0
+
+
+# --------------------------------------------------------------------------
+# D4-style prototype pruning
+# --------------------------------------------------------------------------
+
+from pylluminator_spark.operators.similarity import prototype_prune
+
+
+def _cents(emb):
+    return emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def test_prune_quota_per_cluster(spark, emb):
+    kept = prototype_prune(emb, _cents(emb), 0.5).persist()
+    sizes = {
+        r["cluster"]: (r["kept"], r["size"])
+        for r in kept.groupBy("cluster")
+        .agg(
+            F.count("*").alias("kept"),
+            F.first("cluster_size").alias("size"),
+        )
+        .collect()
+    }
+    import math
+
+    for cl, (k, n) in sizes.items():
+        assert k == math.ceil(0.5 * n), (cl, k, n)
+    kept.unpersist()
+
+
+def test_prune_keeps_farthest(spark, emb, emb_np):
+    import numpy as np
+
+    kept = {
+        r["vec_id"]: r["sq_dist"]
+        for r in prototype_prune(emb, _cents(emb), 0.4).collect()
+    }
+    # recompute assignment + distances in numpy; per cluster the kept set
+    # must be exactly the top-40% by (distance desc, id asc)
+    ids, X = emb_np
+    vecs = {int(i): X[n] for n, i in enumerate(ids)}
+    cids = sorted(i for i in vecs if i % 64 == 0)
+    C = np.array([vecs[c] for c in cids])
+    by_cluster = {}
+    for i in sorted(vecs):
+        d = ((C - vecs[i]) ** 2).sum(axis=1)
+        j = int(d.argmin())
+        by_cluster.setdefault(cids[j], []).append((-d[j], i))
+    import math
+
+    want = set()
+    for cl, rows in by_cluster.items():
+        rows.sort()
+        q = math.ceil(0.4 * len(rows))
+        want.update(i for _, i in rows[:q])
+    assert set(kept) == want
+
+
+def test_prune_full_keep_is_identity(spark, emb):
+    kept = prototype_prune(emb, _cents(emb), 1.0)
+    assert kept.count() == emb.count()
+
+
+def test_prune_rejects_bad_frac(spark, emb):
+    with pytest.raises(ValueError):
+        prototype_prune(emb, _cents(emb), 0.0)
+    with pytest.raises(ValueError):
+        prototype_prune(emb, _cents(emb), 1.5)

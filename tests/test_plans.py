@@ -65,6 +65,8 @@ CLEAN = [
     "pq_encode",
     # BPE pair stats: two hash aggregates (word types, then pairs)
     "bpe_pairs",
+    # ADC search: literal LUT projection + distributed TakeOrdered
+    "pq_adc",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -105,6 +107,8 @@ BNLJ_OK = [
     # semantic_near_dup embeds kmeans_assign's broadcast-centroid BNLJ;
     # its pair stage is an equi join on the cluster id
     "semantic_near_dup",
+    # prototype_prune embeds the same broadcast-centroid BNLJ assignment
+    "prototype_prune",
 ]
 
 

@@ -124,3 +124,54 @@ def test_encode_plan_is_mapside_no_shuffle(emb, books):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# ADC search over codes
+# --------------------------------------------------------------------------
+
+from pylluminator_spark.operators.quantize import pq_adc_scores, pq_adc_topk
+
+
+def test_adc_matches_numpy(spark, emb, books):
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    ]
+    codes = pq_encode(emb, books, method="arrow").persist()
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_scores(codes, books, query).collect()
+    }
+    B = {}
+    for r in books.collect():
+        B.setdefault(r["sub_id"], {})[r["cid"]] = np.asarray(r["cvec"])
+    q = np.asarray(query)
+    code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, cs in list(code_map.items())[:80]:
+        want = sum(
+            ((q[s * 16 : (s + 1) * 16] - B[s][cs[s]]) ** 2).sum()
+            for s in range(4)
+        )
+        assert abs(got[vid] - want) < 1e-9, vid
+    codes.unpersist()
+
+
+def test_adc_topk_orders_and_limits(spark, emb, books):
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    ]
+    codes = pq_encode(emb, books, method="arrow")
+    top = pq_adc_topk(codes, books, query, 10).collect()
+    assert len(top) == 10
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
+    # the query's own code cell should be among the nearest
+    assert top[0]["adc_dist"] <= dists[-1]
+
+
+def test_adc_validates_query_dim(spark, emb, books):
+    codes = pq_encode(emb, books, method="arrow")
+    with pytest.raises(ValueError, match="query dim"):
+        pq_adc_scores(codes, books, [0.0] * 10)
