@@ -4742,6 +4742,119 @@ FROM scored ORDER BY adc ASC, vec_id ASC LIMIT 50
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive user events
+    (operators.funnel.event_transitions): one user-keyed window (lag) + one
+    hash aggregate; ties on ts rank by event_id so both engines order
+    identically. Exact integer counts."""
+    from pylluminator_spark.operators.funnel import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT COALESCE(
+           LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id),
+           '<start>') AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the events value column
+    (operators.profile.numeric_histogram): min/max scan + one bucketed
+    hash aggregate (width_bucket semantics, edge bins clamp). Bin edges
+    are identical IEEE arithmetic on both engines (same min/max doubles,
+    same width division), so no tolerance is needed."""
+    from pylluminator_spark.operators.profile import numeric_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return numeric_histogram(ev, "value", bins=20)
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), binned AS (
+  SELECT LEAST(GREATEST(
+           CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT),
+           0), 19) AS bin,
+         lo, hi
+  FROM events, rng WHERE value IS NOT NULL
+)
+SELECT bin,
+       lo + bin * ((hi - lo) / 20) AS lo_edge,
+       lo + (bin + 1) * ((hi - lo) / 20) AS hi_edge,
+       COUNT(*) AS n_rows
+FROM binned GROUP BY 1, 2, 3
+"""
+
+
+def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality checks (operators.validate): six contract
+    rules over the documents table — null/unique/range/regex/set/positive —
+    ALL compiled into ONE aggregation pass (conditional counts +
+    count-minus-countDistinct), the only shape that survives a 100 TB
+    scan-per-stage budget. Exact integer violation counts."""
+    from pylluminator_spark.operators.validate import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        positive,
+        unique,
+        validate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return validate(
+        docs,
+        [
+            not_null("text"),
+            unique("doc_id"),
+            in_range("n_chars", 0, 10000),
+            matches("lang", "[a-z]{2}"),
+            in_set("lang", ["en", "es", "fr", "de"]),
+            positive("n_chars"),
+        ],
+    )
+
+
+ORACLE_VALIDATE_RULES = r"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN n_chars IS NOT NULL
+              AND (n_chars < 0 OR n_chars > 10000)
+              THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN lang IS NOT NULL
+              AND NOT regexp_matches(lang, '^(?:[a-z]{2})$')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN lang IS NOT NULL
+              AND lang NOT IN ('en', 'es', 'fr', 'de')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(SUM(CASE WHEN n_chars IS NOT NULL AND n_chars <= 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS v5
+  FROM documents
+)
+SELECT 'not_null(text)' AS rule, 'text' AS "column",
+       n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM s
+UNION ALL SELECT 'unique(doc_id)', 'doc_id', n, v1, v1 = 0 FROM s
+UNION ALL SELECT 'in_range(n_chars,0,10000)', 'n_chars', n, v2, v2 = 0 FROM s
+UNION ALL SELECT 'matches(lang)', 'lang', n, v3, v3 = 0 FROM s
+UNION ALL SELECT 'in_set(lang)', 'lang', n, v4, v4 = 0 FROM s
+UNION ALL SELECT 'positive(n_chars)', 'n_chars', n, v5, v5 = 0 FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4806,13 +4919,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
         # -- 4. overflow + r03-green rotation. The 50-slot window is full:
-        # slots 51-58 lead the r5 gate queue — eight NEW entries whose
-        # correctness is pytest-verified and locally driver_emu-green
+        # slots 51+ lead the r5 gate queue — NEW entries whose correctness
+        # is pytest-verified and locally driver_emu-green at sf0.01
         # (stratified_sample mirrors hash_split's arith bucket; pii_redact
         # is a regexp chain; pack_sequences mirrors running_total;
         # semantic_near_dup composes in-window kmeans_assign; stream_dedup
         # is keys-only DISTINCT; table_profile / top_ngrams / source_mixing
-        # are exact-integer aggregates) — then the two
+        # are exact-integer aggregates; clean_html / url_normalize /
+        # pii-style regexp chains; dedup_paragraphs / domain_cap /
+        # weighted_sample / logreg_* / pq_* / bpe_pairs / prototype_prune
+        # follow the same dual-engine determinism recipes) — then the two
         # changed-but-r03-green entries --
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -4835,6 +4951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "prototype_prune": q_prototype_prune,
         "pq_adc": q_pq_adc,
+        "event_transitions": q_event_transitions,
+        "value_histogram": q_value_histogram,
+        "validate_rules": q_validate_rules,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -4916,6 +5035,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": ORACLE_BPE_PAIRS,
         "prototype_prune": ORACLE_PROTOTYPE_PRUNE,
         "pq_adc": ORACLE_PQ_ADC,
+        "event_transitions": ORACLE_EVENT_TRANSITIONS,
+        "value_histogram": ORACLE_VALUE_HISTOGRAM,
+        "validate_rules": ORACLE_VALIDATE_RULES,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

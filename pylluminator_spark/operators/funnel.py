@@ -125,3 +125,35 @@ def cohort_retention(
         .groupBy(F.col("_cohort").alias("cohort"), F.col("_off").alias("offset"))
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive events of
+    each user — the "what do users do next" matrix behind journey analysis
+    and next-step prediction features.
+
+    One user-keyed shuffle: a per-user ordered window takes lag(type), then
+    a hash aggregate counts (prev_type, event_type) pairs. The window's
+    order includes the event id so simultaneous timestamps rank
+    deterministically. Rows with no predecessor (each user's first event)
+    are counted under prev_type = '<start>'.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = df.select(
+        F.coalesce(
+            F.lag(type_col).over(w), F.lit("<start>")
+        ).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    )
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )

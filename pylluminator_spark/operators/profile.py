@@ -62,3 +62,49 @@ def column_profile(
     return row.select(
         F.explode(F.array(*parts)).alias("_p")
     ).select("_p.*")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 20,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bin, lo_edge, hi_edge,
+    n_rows). Two scans when the range is not given (one min/max aggregate,
+    then the bucketed count) or ONE when ``lo``/``hi`` are passed — both
+    are plain hash aggregates with map-side combine, no sort, no collect
+    of values.
+
+    Bucketing matches ANSI ``width_bucket`` semantics: ``bins`` equal
+    intervals over [lo, hi); values equal to ``hi`` fall in the last bin,
+    values outside [lo, hi] are clamped to the edge bins (so the counts
+    always sum to the row count). NULLs are excluded.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate single-value column: one bin holds all
+    width = (hi - lo) / bins
+    raw = F.floor((col - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(bin_.cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+            "n_rows",
+        )
+    )

@@ -67,6 +67,9 @@ CLEAN = [
     "bpe_pairs",
     # ADC search: literal LUT projection + distributed TakeOrdered
     "pq_adc",
+    # transition matrix: one keyed window + one hash aggregate; histogram:
+    # min/max scan + bucketed hash aggregate
+    "event_transitions", "value_histogram",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -87,6 +90,8 @@ SCALAR_AGG_OK = [
     # the IRLS step's distributed stage is one global suffstats aggregate;
     # the returned 1-row frame is a local scan of the driver solve
     "logreg_step",
+    # the whole rule report IS one global aggregate row, unpivoted
+    "validate_rules",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
