@@ -4855,6 +4855,136 @@ UNION ALL SELECT 'positive(n_chars)', 'n_chars', n, v5, v5 = 0 FROM s
 """
 
 
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval resampling with gap-fill + forward fill
+    (operators.timeseries.resample / forward_fill): per-user 6-hour buckets
+    of purchase values, densified to each user's min..max bucket with a
+    distributed sequence+explode grid, then the last non-NULL bucket sum
+    carried forward over one partitioned window. Counts and integer-scaled
+    sums are exact; gap rows have n_rows = 0 and NULL sum_value."""
+    from pylluminator_spark.operators.timeseries import forward_fill, resample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = resample(
+        ev, "ts", "value", every_us=21_600_000_000, group_cols=["user_id"]
+    )
+    out = forward_fill(
+        out.withColumn("ffill_sum", F.col("sum_value")),
+        ["ffill_sum"],
+        order_col="bucket",
+        group_cols=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "bucket",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_rows",
+        "sum_value",
+        "ffill_sum",
+    )
+
+
+ORACLE_TS_RESAMPLE = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+         COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(range(lo, hi + 1)) AS bucket FROM r
+)
+SELECT g.user_id, g.bucket,
+       strftime(make_timestamp(g.bucket * 21600000000),
+                '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       COALESCE(b.n, 0) AS n_rows,
+       ROUND(b.s / 100, 2) AS sum_value,
+       LAST_VALUE(ROUND(b.s / 100, 2) IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+"""
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing (operators.timeseries.ewma,
+    adjust=False): deterministic left fold over the time-sorted value array,
+    seeded with the first element — bit-identical to DuckDB's list_reduce
+    over list(value ORDER BY ts, event_id) because both engines execute the
+    same float64 op sequence. alpha = 0.25 so both weight literals (0.25,
+    0.75) are exactly representable."""
+    from pylluminator_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = ewma(
+        ev,
+        "value",
+        alpha=0.25,
+        order_cols=["ts", "event_id"],
+        group_cols=["user_id"],
+    )
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"))
+
+
+ORACLE_TS_EWMA = """
+SELECT user_id,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+def q_ts_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (operators.timeseries.rolling_zscore):
+    each purchase against its user's trailing 10 events. The windowed
+    moments are EXACT integer sums of cents and squared cents over a ROWS
+    frame, so the derived mean/var/z floats are identical cross-engine;
+    both engines then apply the same |z| > 2 cut."""
+    from pylluminator_spark.operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = rolling_zscore(
+        ev,
+        "value",
+        order_cols=["ts", "event_id"],
+        group_cols=["user_id"],
+        window_rows=10,
+        min_rows=3,
+    )
+    return out.filter(F.abs(F.col("zscore")) > 2).select(
+        "event_id", "user_id", "roll_n", "roll_mean", "zscore"
+    )
+
+
+ORACLE_TS_ANOMALIES = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT event_id, user_id, v,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(v) OVER w AS BIGINT) AS s,
+         CAST(SUM(v * v) OVER w AS BIGINT) AS q
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT event_id, user_id, n AS roll_n,
+         ROUND((s / n) / 100, 6) AS roll_mean,
+         CASE WHEN n >= 3 AND (q / n - (s / n) * (s / n)) > 0
+              THEN ROUND((v - s / n)
+                         / sqrt(q / n - (s / n) * (s / n)), 6)
+         END AS zscore
+  FROM m
+)
+SELECT event_id, user_id, roll_n, roll_mean, zscore
+FROM z WHERE ABS(zscore) > 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -4954,6 +5084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "value_histogram": q_value_histogram,
         "validate_rules": q_validate_rules,
+        "ts_resample": q_ts_resample,
+        "ts_ewma": q_ts_ewma,
+        "ts_anomalies": q_ts_anomalies,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5038,6 +5171,9 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": ORACLE_EVENT_TRANSITIONS,
         "value_histogram": ORACLE_VALUE_HISTOGRAM,
         "validate_rules": ORACLE_VALIDATE_RULES,
+        "ts_resample": ORACLE_TS_RESAMPLE,
+        "ts_ewma": ORACLE_TS_EWMA,
+        "ts_anomalies": ORACLE_TS_ANOMALIES,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

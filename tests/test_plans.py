@@ -70,6 +70,10 @@ CLEAN = [
     # transition matrix: one keyed window + one hash aggregate; histogram:
     # min/max scan + bucketed hash aggregate
     "event_transitions", "value_histogram",
+    # resample: keyed agg + distributed sequence grid + keyed left join +
+    # partitioned ffill window; ewma: per-group sorted fold (hash agg);
+    # anomalies: one partitioned ROWS window over exact integer sums
+    "ts_resample", "ts_ewma", "ts_anomalies",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
