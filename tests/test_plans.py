@@ -74,6 +74,9 @@ CLEAN = [
     # partitioned ffill window; ewma: per-group sorted fold (hash agg);
     # anomalies: one partitioned ROWS window over exact integer sums
     "ts_resample", "ts_ewma", "ts_anomalies",
+    # FastSS: explode deletion variants -> variant equi-join -> distinct ->
+    # codegen levenshtein verify; no cartesian at any stage
+    "fuzzy_pairs",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
