@@ -5017,6 +5017,112 @@ FROM codes a JOIN codes b
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase graph: parts appearing in the same order.
+    Derived identically in both engines (self-join on l_orderkey with
+    l_partkey < l_partkey, distinct)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.withColumnRenamed("l_partkey", "u")
+    l2 = li.withColumnRenamed("l_partkey", "v")
+    return (
+        l1.join(l2, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators.graph.triangles): degree-ordered
+    orientation caps every wedge center's out-degree at O(sqrt(m)) — the
+    classic O(m^1.5)-work plan — then one equi-join closes wedges against
+    the canonical edge set. Gated as the one-row (n_nodes, n_edges,
+    n_triangles) summary of the co-purchase graph; the oracle counts
+    triangles by the direct three-way join, so a match verifies the
+    oriented enumeration is exact (each triangle once)."""
+    from pylluminator_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_copurchase_edges(spark, sf_dir), "u", "v")
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
+     (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e e1
+     JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators.graph.pagerank): 3 power iterations
+    with ALL arithmetic in scaled integers (units of 1e-12), so the ranks
+    are bit-identical under any shuffle order or engine — the oracle
+    unrolls the same three integer iterations in SQL and must match
+    exactly, no tolerance. Top-20 hubs of the symmetric co-purchase
+    graph."""
+    from pylluminator_spark.operators.graph import pagerank
+
+    und = _copurchase_edges(spark, sf_dir)
+    sym = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank(sym, iters=3)
+    return pr.orderBy(F.col("rank_int").desc(), F.col("node").asc()).limit(20)
+
+
+ORACLE_GRAPH_PAGERANK = """
+WITH und AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), e AS (
+  SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT s, COUNT(*) AS c FROM e GROUP BY s
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), r0 AS (
+  SELECT deg.s AS node, 1000000000000 // nn.n AS r FROM deg, nn
+), i1 AS (
+  SELECT e.d AS node, SUM(r.r // g.c) AS ins
+  FROM e JOIN r0 r ON r.node = e.s JOIN deg g ON g.s = e.s GROUP BY e.d
+), r1 AS (
+  SELECT r0.node,
+         (15 * (1000000000000 // nn.n) + 85 * COALESCE(i1.ins, 0)) // 100
+           AS r
+  FROM r0 CROSS JOIN nn LEFT JOIN i1 ON i1.node = r0.node
+), i2 AS (
+  SELECT e.d AS node, SUM(r.r // g.c) AS ins
+  FROM e JOIN r1 r ON r.node = e.s JOIN deg g ON g.s = e.s GROUP BY e.d
+), r2 AS (
+  SELECT r1.node,
+         (15 * (1000000000000 // nn.n) + 85 * COALESCE(i2.ins, 0)) // 100
+           AS r
+  FROM r1 CROSS JOIN nn LEFT JOIN i2 ON i2.node = r1.node
+), i3 AS (
+  SELECT e.d AS node, SUM(r.r // g.c) AS ins
+  FROM e JOIN r2 r ON r.node = e.s JOIN deg g ON g.s = e.s GROUP BY e.d
+), r3 AS (
+  SELECT r2.node,
+         (15 * (1000000000000 // nn.n) + 85 * COALESCE(i3.ins, 0)) // 100
+           AS r
+  FROM r2 CROSS JOIN nn LEFT JOIN i3 ON i3.node = r2.node
+)
+SELECT node, CAST(r AS BIGINT) AS rank_int
+FROM r3 ORDER BY rank_int DESC, node ASC LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -5120,6 +5226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": q_ts_ewma,
         "ts_anomalies": q_ts_anomalies,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5208,6 +5316,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_ewma": ORACLE_TS_EWMA,
         "ts_anomalies": ORACLE_TS_ANOMALIES,
         "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
+        "graph_triangles": ORACLE_GRAPH_TRIANGLES,
+        "graph_pagerank": ORACLE_GRAPH_PAGERANK,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -159,3 +159,174 @@ def dedup_components(
             .withColumn("component", F.coalesce("component", F.col(id_col)))
         )
     return comp
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate every triangle of the undirected graph once, as
+    (a, b, c) with a < b < c.
+
+    Degree-ordered orientation (the classic O(m^1.5)-work scheme behind
+    every large-scale triangle counter): each undirected edge is directed
+    from its lower-(degree, id) endpoint to the higher one, so every
+    node's out-degree is O(sqrt(m)); wedges are pairs of out-neighbours
+    (one self-join keyed on the center), closed by one equi-join back to
+    the canonical edge set. All joins are hash equi-joins on node keys —
+    no cartesian — and AQE's skew handling splits any residual hot center.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    o1 = o.select(F.col("s"), F.col("d").alias("b"))
+    o2 = o.select(F.col("s"), F.col("d").alias("c"))
+    wedges = o1.join(o2, "s").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        und, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v"))
+    )
+    # relabel each triangle to sorted (a, b, c): center s may sit anywhere
+    arr = F.array_sort(F.array("s", "b", "c"))
+    return closed.select(
+        arr[0].alias("a"), arr[1].alias("b"), arr[2].alias("c")
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row graph summary: (n_nodes, n_edges, n_triangles) over the
+    undirected simple graph."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    tri = triangles(edges, src, dst)
+    nodes = und.select(F.col("u").alias("n")).unionByName(
+        und.select(F.col("v").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank: ``iters`` synchronous power iterations with
+    ALL arithmetic in scaled integers (ranks are multiples of 1/scale), so
+    results are bit-identical under any partitioning, shuffle order, or
+    engine — the floating-point sum-order nondeterminism that plagues
+    distributed PageRank is designed out. ``damping_pct`` is the damping
+    factor in percent (integer, default 85 = the canonical 0.85).
+
+    Per iteration: contrib = rank div out_degree per edge (one keyed
+    join), in-sums by destination (one keyed integer aggregate), then
+    ``new = (100-d) * (scale div n) + d * (insum + dangling div n)) div
+    100`` — dangling mass (nodes without out-edges) is redistributed
+    uniformly via a 1-row broadcast aggregate. State per round is one
+    (node, rank) table; no driver-side graph.
+
+    Returns (node, rank_int); rank_int / scale approximates the PageRank
+    probability (truncation loses < iters * n ulps of mass).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("odeg")
+    ).persist()
+    n = nodes.count()  # one scalar; the only driver-side value
+    # graphs built symmetric (undirected) have no dangling nodes at all —
+    # detect once and drop the per-iteration dangling aggregate + its
+    # broadcast stage entirely (saves 2 stages/round on the common case)
+    has_dangling = (
+        nodes.join(outdeg, "node", "left_anti").limit(1).count() > 0
+    )
+    base = scale // n
+    teleport = (100 - damping_pct) * base
+    ranks = nodes.withColumn("rank_int", F.lit(base).cast("long"))
+    for _ in range(iters):
+        state = ranks.join(outdeg, "node", "left")
+        if has_dangling:
+            # two consumers (contrib + dangling aggregate) — cache one pass
+            state = state.persist()
+        contrib = (
+            state.where(F.col("odeg").isNotNull())
+            .join(e, state["node"] == e["s"])
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_int div odeg").alias("_c"),
+            )
+        )
+        insum = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
+        joined = nodes.join(insum, "node", "left")
+        if has_dangling:
+            dangling = state.where(F.col("odeg").isNull()).agg(
+                F.coalesce(F.sum("rank_int"), F.lit(0)).alias("_dm")
+            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+            dang_share = F.expr(f"_dm div {n}")
+        else:
+            dang_share = F.lit(0)
+        new_ranks = joined.select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping_pct)
+                * (F.coalesce(F.col("_in"), F.lit(0)) + dang_share)
+            ).alias("_num"),
+        ).select(
+            "node", F.expr("_num div 100").cast("long").alias("rank_int")
+        )
+        # materialize BEFORE dropping the cached state (the new ranks read
+        # it lazily) and truncate lineage so iteration plans stay flat
+        ranks = new_ranks.localCheckpoint(eager=True)
+        if has_dangling:
+            state.unpersist()
+    for frame in (e, nodes, outdeg):
+        frame.unpersist()
+    return ranks

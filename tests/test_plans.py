@@ -99,6 +99,8 @@ SCALAR_AGG_OK = [
     "logreg_step",
     # the whole rule report IS one global aggregate row, unpivoted
     "validate_rules",
+    # the graph summary is three 1-row aggregates cross-joined
+    "graph_triangles",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
@@ -121,6 +123,8 @@ BNLJ_OK = [
     "semantic_near_dup",
     # prototype_prune embeds the same broadcast-centroid BNLJ assignment
     "prototype_prune",
+    # pagerank broadcasts the 1-row dangling-mass aggregate each iteration
+    "graph_pagerank",
 ]
 
 
