@@ -5123,6 +5123,56 @@ FROM r3 ORDER BY rank_int DESC, node ASC LIMIT 20
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key computation (operators.layout.morton_key): the
+    bit-interleave that drives multi-dimensional file clustering, computed
+    as pure shift/and/or codegen over (l_partkey % 256, l_suppkey % 256)
+    at 8 bits, summarized per 64-key block. The oracle re-derives every
+    bit term with the same integer arithmetic, so a hash match proves the
+    interleave is exact."""
+    from pylluminator_spark.operators.layout import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = morton_key(
+        [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
+    )
+    return (
+        li.select(z.alias("zkey"))
+        .select(F.expr("zkey div 64").alias("zblock"), "zkey")
+        .groupBy("zblock")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("zkey").alias("sum_zkey"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+    )
+
+
+def _gen_oracle_zorder() -> str:
+    terms = []
+    for i in range(8):
+        for j, c in enumerate(("l_partkey % 256", "l_suppkey % 256")):
+            # full parens: DuckDB's | binds TIGHTER than <<, so an
+            # unparenthesized shift term absorbs the whole OR chain
+            terms.append(f"(((({c}) >> {i}) & 1) << {i * 2 + j})")
+    expr = " | ".join(terms)
+    return f"""
+WITH z AS (
+  SELECT ({expr}) AS zkey FROM lineitem
+)
+SELECT zkey // 64 AS zblock,
+       COUNT(*) AS n_rows,
+       CAST(SUM(zkey) AS BIGINT) AS sum_zkey,
+       MIN(zkey) AS min_zkey,
+       MAX(zkey) AS max_zkey
+FROM z GROUP BY 1
+"""
+
+
+ORACLE_ZORDER_KEY = _gen_oracle_zorder()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -5228,6 +5278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
+        "zorder_key": q_zorder_key,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5318,6 +5369,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
         "graph_triangles": ORACLE_GRAPH_TRIANGLES,
         "graph_pagerank": ORACLE_GRAPH_PAGERANK,
+        "zorder_key": ORACLE_ZORDER_KEY,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -77,6 +77,8 @@ CLEAN = [
     # FastSS: explode deletion variants -> variant equi-join -> distinct ->
     # codegen levenshtein verify; no cartesian at any stage
     "fuzzy_pairs",
+    # Morton key: pure shift/and/or codegen + one hash aggregate
+    "zorder_key",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
