@@ -5173,6 +5173,73 @@ FROM z GROUP BY 1
 ORACLE_ZORDER_KEY = _gen_oracle_zorder()
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (operators.sketch.hll_registers_arith):
+    per-event-type distinct-user sketches with the SQL-replicable
+    multiply-mod hash (engine-grade variant uses xxhash64). The register
+    table is integer-exact — bucket from the low 8 hash bits, rho from the
+    leading-zero rank of the remaining 23 computed via indicator terms,
+    not float log — so the driver gate hashes the sketch itself."""
+    from pylluminator_spark.operators.sketch import hll_registers_arith
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_registers_arith(
+        ev, "user_id", group_cols=["event_type"], p=8
+    )
+
+
+def _gen_oracle_hll() -> str:
+    a, b, p = 1_103_515_245, 12_345, 2_147_483_647
+    m, wbits = 256, 23
+    bitlen = " + ".join(
+        f"(CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END)" for k in range(wbits)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ({a} * CAST(user_id AS BIGINT) + {b}) % {p} AS hv
+  FROM events WHERE user_id IS NOT NULL
+), parts AS (
+  SELECT event_type,
+         CAST(hv % {m} AS INT) AS bucket,
+         hv // {m} AS w
+  FROM h
+)
+SELECT event_type, bucket,
+       CAST(MAX({wbits} - ({bitlen}) + 1) AS INT) AS rho
+FROM parts GROUP BY event_type, bucket
+"""
+
+
+ORACLE_HLL_REGISTERS = _gen_oracle_hll()
+
+
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch counter matrix (operators.sketch.cms_build_arith):
+    3 x 64 exact integer counters over event user ids, mergeable by
+    addition — gated as the full data structure (the estimates' one-sided
+    guarantee is pytest-verified in test_sketch)."""
+    from pylluminator_spark.operators.sketch import cms_build_arith
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_build_arith(ev, "user_id", width=64)
+
+
+def _gen_oracle_cms() -> str:
+    p = 2_147_483_647
+    selects = [
+        f"SELECT {r} AS row, CAST((({a} * CAST(user_id AS BIGINT) + {b})"
+        f" % {p}) % 64 AS INT) AS col"
+        " FROM events WHERE user_id IS NOT NULL"
+        for r, (a, b) in enumerate(((421, 7), (1031, 19), (2017, 41)))
+    ]
+    union = " UNION ALL ".join(selects)
+    return f"SELECT row, col, COUNT(*) AS cnt FROM ({union}) GROUP BY 1, 2"
+
+
+ORACLE_CMS_COUNTERS = _gen_oracle_cms()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -5279,6 +5346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "zorder_key": q_zorder_key,
+        "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5370,6 +5439,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": ORACLE_GRAPH_TRIANGLES,
         "graph_pagerank": ORACLE_GRAPH_PAGERANK,
         "zorder_key": ORACLE_ZORDER_KEY,
+        "hll_registers": ORACLE_HLL_REGISTERS,
+        "cms_counters": ORACLE_CMS_COUNTERS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -1,0 +1,213 @@
+"""Mergeable sketches: HyperLogLog distinct counts and count-min frequency
+estimation.
+
+Beyond-reference operators (driver north star): at 100 TB, exact
+`COUNT(DISTINCT)` and exact per-item frequencies force full shuffles of
+the key space; production pipelines keep SKETCHES instead — tiny,
+mergeable summaries that are computed with one keyed aggregation, stored
+per partition/day/source, and combined later without touching the data
+again. Both sketches here are register TABLES (DataFrames), so merging is
+a union + groupBy and everything stays distributed:
+
+- **HyperLogLog** (Flajolet et al. 2007): per group, ``m = 2^p``
+  registers holding the max leading-zero rank of hashed keys. The
+  register table is (group, bucket, rho); ``hll_merge`` is
+  groupBy-max; ``hll_estimate`` applies the standard alpha_m bias
+  correction + linear-counting small-range correction. Standard error
+  ~= 1.04 / sqrt(m).
+- **Count-min** (Cormode & Muthukrishnan 2005): a depth x width counter
+  matrix from pairwise-independent hashes; point frequency = min over
+  rows (one-sided overestimate by <= e*n/width with prob 1-e^-depth).
+  The counter table is exact integers — fully deterministic and
+  mergeable by plain addition.
+
+Hashing: the engine-grade entry points use ``xxhash64`` (JVM codegen).
+The ``*_arith`` variants use multiply-mod hashes over integer keys whose
+bit-rank math is replicated term-for-term in ANSI SQL — that is what the
+driver gate checks, following the repo's minhash/simhash recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-adjacent 31-bit prime for the arithmetic hash family
+_P31 = 2_147_483_647
+
+
+def _bit_length(col: Column, max_bits: int) -> Column:
+    """bit_length(w) for 0 <= w < 2^max_bits via integer indicator terms
+    (no float log — exact in any engine)."""
+    out = F.lit(0)
+    for k in range(max_bits):
+        out = out + (col >= F.lit(1 << k)).cast("int")
+    return out
+
+
+def hll_registers_arith(
+    df: DataFrame,
+    key_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+    a: int = 1_103_515_245,
+    b: int = 12_345,
+) -> DataFrame:
+    """HLL register table from the SQL-replicable hash
+    ``h = (a * key + b) mod (2^31 - 1)``: bucket = h mod 2^p, and rho =
+    leading-zero rank of the remaining ``31 - p`` bits. Returns (group...,
+    bucket, rho) with one row per non-empty register — integer-exact, so
+    the driver gate hashes it directly."""
+    m = 1 << p
+    wbits = 31 - p
+    h = (F.lit(a) * F.col(key_col).cast("long") + F.lit(b)) % F.lit(_P31)
+    bucket = h % m
+    w = F.expr(f"(({a} * CAST({key_col} AS BIGINT) + {b}) % {_P31}) div {m}")
+    rho = F.lit(wbits) - _bit_length(w, wbits) + F.lit(1)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            bucket.cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Engine-grade HLL register table using xxhash64: bucket from the low
+    ``p`` bits, rho from the leading-zero rank of the next 64 - p bits.
+    One keyed shuffle; at most 2^p rows per group."""
+    m = 1 << p
+    wbits = 64 - p
+    h = F.xxhash64(F.col(key_col))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftrightunsigned(h, p)
+    rho = F.lit(wbits) - _bit_length(w, wbits) + F.lit(1)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            bucket.cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge register tables (same p) by register-wise max — the HLL merge
+    is lossless: merge(sketch(A), sketch(B)) == sketch(A union B)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, *, p: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table: the
+    standard raw estimator ``alpha_m * m^2 / (sum 2^-rho + zeros)`` with
+    linear-counting correction below 2.5m. One aggregation; empty
+    registers are accounted for arithmetically (m - count(rows))."""
+    m = 1 << p
+    alpha = (
+        0.673 if p == 4 else 0.697 if p == 5 else 0.709 if p == 6
+        else 0.7213 / (1 + 1.079 / m)
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_hsum"),
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_hsum") + zeros.cast("double"))
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("ndv_estimate")
+    )
+
+
+def cms_build_arith(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 64,
+    seeds: Sequence[tuple[int, int]] = ((421, 7), (1031, 19), (2017, 41)),
+) -> DataFrame:
+    """Count-min counter table from SQL-replicable hashes: for each depth
+    ``r`` with seed (a, b), col = ((a * key + b) mod p31) mod width.
+    Returns (row, col, cnt) — exact integers, mergeable by addition.
+    Rows with NULL keys are skipped."""
+    keyed = df.where(F.col(key_col).isNotNull())
+    parts = []
+    for r, (a, b) in enumerate(seeds):
+        colx = (
+            (F.lit(a) * F.col(key_col).cast("long") + F.lit(b)) % F.lit(_P31)
+        ) % F.lit(width)
+        parts.append(
+            keyed.select(
+                F.lit(r).alias("row"), colx.cast("int").alias("col")
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Merge count-min tables by cell-wise addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    width: int = 64,
+    seeds: Sequence[tuple[int, int]] = ((421, 7), (1031, 19), (2017, 41)),
+) -> DataFrame:
+    """Point-frequency estimates for ``probes``: each probe key maps to
+    one cell per depth; the estimate is the MIN cell count (0 if a cell is
+    empty). The counter table is broadcast — it is at most depth x width
+    rows by construction."""
+    keys = probes.select(F.col(key_col).alias("key")).distinct()
+    cells = []
+    for r, (a, b) in enumerate(seeds):
+        colx = (
+            (F.lit(a) * F.col("key").cast("long") + F.lit(b)) % F.lit(_P31)
+        ) % F.lit(width)
+        cells.append(
+            keys.select(
+                "key", F.lit(r).alias("row"), colx.cast("int").alias("col")
+            )
+        )
+    probe_cells = cells[0]
+    for x in cells[1:]:
+        probe_cells = probe_cells.unionByName(x)
+    joined = probe_cells.join(F.broadcast(counters), ["row", "col"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_estimate")
+    )

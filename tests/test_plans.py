@@ -79,6 +79,8 @@ CLEAN = [
     "fuzzy_pairs",
     # Morton key: pure shift/and/or codegen + one hash aggregate
     "zorder_key",
+    # sketches: pure integer hash exprs + one keyed aggregate each
+    "hll_registers", "cms_counters",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
