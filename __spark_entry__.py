@@ -5240,6 +5240,88 @@ def _gen_oracle_cms() -> str:
 ORACLE_CMS_COUNTERS = _gen_oracle_cms()
 
 
+def q_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (operators.stats_tests.chi_square) of
+    document language vs source: one contingency aggregate, the FULL
+    marginal grid (zero-observed cells contribute e_ij), and a sorted-fold
+    chi2 sum — delta*delta, never libm pow — so the statistic is
+    bit-identical cross-engine from the exact integer cell counts."""
+    from pylluminator_spark.operators.stats_tests import chi_square
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square(docs, "lang", "source")
+
+
+ORACLE_CHI_SQUARE_ASSOC = """
+WITH cells AS (
+  SELECT lang AS x, source AS y, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+), rx AS (
+  SELECT x, CAST(SUM(n) AS BIGINT) AS rx FROM cells GROUP BY x
+), cy AS (
+  SELECT y, CAST(SUM(n) AS BIGINT) AS cy FROM cells GROUP BY y
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells
+), grid AS (
+  SELECT rx.x, cy.y, rx.rx, cy.cy, tot.t,
+         COALESCE(cells.n, 0) AS n
+  FROM rx CROSS JOIN cy CROSS JOIN tot
+  LEFT JOIN cells ON cells.x = rx.x AND cells.y = cy.y
+), terms AS (
+  SELECT x, y, t,
+         (CAST(n AS DOUBLE) - rx * cy / t)
+           * (CAST(n AS DOUBLE) - rx * cy / t)
+           / (rx * cy / t) AS term
+  FROM grid
+), folded AS (
+  SELECT MAX(t) AS n,
+         (SELECT COUNT(*) FROM rx) AS n_x,
+         (SELECT COUNT(*) FROM cy) AS n_y,
+         list_reduce(list(term ORDER BY x, y), (a, b) -> a + b) AS chi2
+  FROM terms
+)
+SELECT n, n_x, n_y,
+       (n_x - 1) * (n_y - 1) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (n * (LEAST(n_x, n_y) - 1))), 6) AS cramers_v
+FROM folded
+"""
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source)
+    (operators.stats_tests.mutual_information, natural log): observed
+    cells only (zero cells contribute 0), sorted-fold sum of
+    p_xy * ln(n * t / (rx * cy)) — natural log matches the repo's
+    lm_score precedent for cross-engine libm agreement."""
+    from pylluminator_spark.operators.stats_tests import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source", base2=False)
+
+
+ORACLE_MUTUAL_INFO = """
+WITH cells AS (
+  SELECT lang AS x, source AS y, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+), marg AS (
+  SELECT x, y, n,
+         CAST(SUM(n) OVER (PARTITION BY x) AS BIGINT) AS rx,
+         CAST(SUM(n) OVER (PARTITION BY y) AS BIGINT) AS cy,
+         CAST(SUM(n) OVER () AS BIGINT) AS t
+  FROM cells
+), terms AS (
+  SELECT x, y, t,
+         (n / t) * ln(CAST(n AS DOUBLE) * t / (rx * cy)) AS term
+  FROM marg
+)
+SELECT MAX(t) AS n,
+       ROUND(list_reduce(list(term ORDER BY x, y), (a, b) -> a + b), 6)
+         AS mi
+FROM terms
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -5348,6 +5430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
+        "chi_square_assoc": q_chi_square_assoc,
+        "mutual_info": q_mutual_info,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5441,6 +5525,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": ORACLE_ZORDER_KEY,
         "hll_registers": ORACLE_HLL_REGISTERS,
         "cms_counters": ORACLE_CMS_COUNTERS,
+        "chi_square_assoc": ORACLE_CHI_SQUARE_ASSOC,
+        "mutual_info": ORACLE_MUTUAL_INFO,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

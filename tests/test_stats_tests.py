@@ -1,0 +1,109 @@
+"""Association statistics vs pure-python/numpy references."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from pylluminator_spark.operators.stats_tests import (
+    chi_square,
+    crosstab_counts,
+    entropy,
+    mutual_information,
+)
+
+
+@pytest.fixture(scope="module")
+def cat_df(spark):
+    rng = random.Random(13)
+    # dependent pair: y correlates with x
+    rows = []
+    for _ in range(5000):
+        x = rng.choice("abcd")
+        y = rng.choice("uv") if x in "ab" else rng.choice("uvw")
+        rows.append((x, y))
+    return spark.createDataFrame(rows, "x string, y string"), rows
+
+
+def _cells(rows):
+    c = {}
+    for x, y in rows:
+        c[(x, y)] = c.get((x, y), 0) + 1
+    return c
+
+
+def test_crosstab_counts(spark, cat_df):
+    df, rows = cat_df
+    got = {(r.x, r.y): r.n for r in crosstab_counts(df, "x", "y").collect()}
+    assert got == _cells(rows)
+
+
+def test_chi_square_matches_numpy(spark, cat_df):
+    df, rows = cat_df
+    c = _cells(rows)
+    xs = sorted({x for x, _ in c})
+    ys = sorted({y for _, y in c})
+    obs = np.array([[c.get((x, y), 0) for y in ys] for x in xs], float)
+    n = obs.sum()
+    e = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+    want_chi2 = float(((obs - e) ** 2 / e)[obs + e > 0].sum())
+    out = chi_square(df, "x", "y").collect()[0]
+    assert out.n == int(n) and out.n_x == 4 and out.n_y == 3
+    assert out.dof == 6
+    assert out.chi2 == pytest.approx(want_chi2, abs=5e-6)
+    want_v = math.sqrt(want_chi2 / (n * (min(4, 3) - 1)))
+    assert out.cramers_v == pytest.approx(want_v, rel=1e-6)
+    # the dependence is real and detected
+    assert out.chi2 > 100
+
+
+def test_chi_square_independent_near_zero(spark):
+    rows = [(str(i % 4), str((i // 4) % 3)) for i in range(1200)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = chi_square(df, "x", "y").collect()[0]
+    assert out.chi2 == pytest.approx(0.0, abs=1e-9)  # perfectly balanced
+
+
+def test_entropy_matches_python(spark, cat_df):
+    df, rows = cat_df
+    counts = {}
+    for x, _ in rows:
+        counts[x] = counts.get(x, 0) + 1
+    n = len(rows)
+    want = -sum(c / n * math.log2(c / n) for c in counts.values())
+    out = entropy(df, "x").collect()[0]
+    assert out.n == n and out.n_classes == 4
+    assert out.entropy == pytest.approx(want, abs=5e-7)
+
+
+def test_entropy_degenerate_single_class(spark):
+    df = spark.createDataFrame([("a",)] * 10, "x string")
+    out = entropy(df, "x").collect()[0]
+    assert out.entropy == 0.0 and out.n_classes == 1
+
+
+def test_mutual_information_matches_python(spark, cat_df):
+    df, rows = cat_df
+    c = _cells(rows)
+    n = len(rows)
+    px, py = {}, {}
+    for (x, y), k in c.items():
+        px[x] = px.get(x, 0) + k
+        py[y] = py.get(y, 0) + k
+    want = sum(
+        k / n * math.log2((k * n) / (px[x] * py[y]))
+        for (x, y), k in c.items()
+    )
+    out = mutual_information(df, "x", "y").collect()[0]
+    assert out.mi == pytest.approx(want, abs=5e-7)
+    assert out.mi > 0.01  # dependence detected
+
+
+def test_mutual_information_independent_zero(spark):
+    rows = [(str(i % 4), str((i // 4) % 3)) for i in range(1200)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = mutual_information(df, "x", "y").collect()[0]
+    assert out.mi == pytest.approx(0.0, abs=1e-9)
