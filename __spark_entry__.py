@@ -5322,6 +5322,105 @@ FROM terms
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift monitor
+    (operators.stats_tests.psi_categorical): language distribution of
+    even- vs odd-keyed documents, add-0.5 smoothing over the category
+    union, sorted-fold sum — deterministic with no epsilon clamps. The
+    halves are drawn from the same corpus, so the gate also sanity-checks
+    a near-zero PSI on undrifted data."""
+    from pylluminator_spark.operators.stats_tests import psi_categorical
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi_categorical(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH e AS (
+  SELECT lang AS c, COUNT(*) AS ne FROM documents
+  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1
+), a AS (
+  SELECT lang AS c, COUNT(*) AS na FROM documents
+  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1
+), cells AS (
+  SELECT COALESCE(e.c, a.c) AS c,
+         CAST(COALESCE(e.ne, 0) AS BIGINT) AS ne,
+         CAST(COALESCE(a.na, 0) AS BIGINT) AS na
+  FROM e FULL OUTER JOIN a ON e.c = a.c
+), tot AS (
+  SELECT c, ne, na,
+         CAST(SUM(ne) OVER () AS BIGINT) AS te,
+         CAST(SUM(na) OVER () AS BIGINT) AS ta,
+         COUNT(*) OVER () AS k
+  FROM cells
+), terms AS (
+  SELECT c, te, ta, k,
+         ((ne + 0.5) / (te + 0.5 * k) - (na + 0.5) / (ta + 0.5 * k))
+           * ln(((ne + 0.5) / (te + 0.5 * k))
+                / ((na + 0.5) / (ta + 0.5 * k))) AS term
+  FROM tot
+)
+SELECT MAX(te) AS n_expected, MAX(ta) AS n_actual,
+       MAX(k) AS n_categories,
+       ROUND(list_reduce(list(term ORDER BY c), (x, y) -> x + y), 6)
+         AS psi
+FROM terms
+"""
+
+
+def q_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity validation (operators.validate.references):
+    events.user_id checked against the full customer key set (passes) and
+    against a deliberately restricted subset (fails with an exact orphan
+    count) — each fk rule is one distinct-key left join, never a
+    collect."""
+    from pylluminator_spark.operators.validate import references, validate
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return validate(
+        ev,
+        [
+            references("user_id", cust, "c_custkey", name="fk_all"),
+            references(
+                "user_id",
+                cust.where(F.col("c_custkey") <= 100),
+                "c_custkey",
+                name="fk_restricted",
+            ),
+        ],
+    )
+
+
+ORACLE_FK_CHECK = """
+SELECT 'fk_all' AS rule, 'user_id' AS "column",
+       (SELECT COUNT(*) FROM events) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+         WHERE user_id IS NOT NULL AND NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+         AS n_violations,
+       (SELECT COUNT(*) FROM events e
+         WHERE user_id IS NOT NULL AND NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) = 0
+         AS passed
+UNION ALL
+SELECT 'fk_restricted', 'user_id',
+       (SELECT COUNT(*) FROM events),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+         WHERE user_id IS NOT NULL AND NOT EXISTS
+           (SELECT 1 FROM customer c
+             WHERE c.c_custkey = e.user_id AND c.c_custkey <= 100)),
+       (SELECT COUNT(*) FROM events e
+         WHERE user_id IS NOT NULL AND NOT EXISTS
+           (SELECT 1 FROM customer c
+             WHERE c.c_custkey = e.user_id AND c.c_custkey <= 100)) = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -5432,6 +5531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         "chi_square_assoc": q_chi_square_assoc,
         "mutual_info": q_mutual_info,
+        "psi_drift": q_psi_drift,
+        "fk_check": q_fk_check,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5527,6 +5628,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_counters": ORACLE_CMS_COUNTERS,
         "chi_square_assoc": ORACLE_CHI_SQUARE_ASSOC,
         "mutual_info": ORACLE_MUTUAL_INFO,
+        "psi_drift": ORACLE_PSI_DRIFT,
+        "fk_check": ORACLE_FK_CHECK,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -167,3 +167,66 @@ def mutual_information(
             _sorted_fold_sum(F.struct("_x", "_y"), term), 6
         ).alias("mi"),
     )
+
+
+def psi_categorical(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a categorical
+    column — the standard drift monitor for pipeline inputs/outputs
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate).
+
+    ``PSI = sum_c (p_c - q_c) * ln(p_c / q_c)`` over the UNION of
+    categories, with add-``alpha`` smoothing so categories present on one
+    side only stay finite (and the statistic stays deterministic — no
+    epsilon clamps). One count aggregate per side, a full outer join on
+    the category (cardinality-bounded), and a sorted fold.
+
+    Returns one row: (n_expected, n_actual, n_categories, psi).
+    """
+    e = (
+        expected.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_ne"))
+    )
+    a = (
+        actual.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    from pyspark.sql import Window
+
+    cells = (
+        e.join(a, "_c", "full_outer")
+        .select(
+            "_c",
+            F.coalesce("_ne", F.lit(0)).alias("_ne"),
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+        )
+    )
+    w = Window.partitionBy()
+    with_tot = cells.select(
+        "_c",
+        "_ne",
+        "_na",
+        F.sum("_ne").over(w).alias("_te"),
+        F.sum("_na").over(w).alias("_ta"),
+        F.count(F.lit(1)).over(w).alias("_k"),
+    )
+    p = (F.col("_ne") + F.lit(alpha)) / (
+        F.col("_te") + F.lit(alpha) * F.col("_k")
+    )
+    q = (F.col("_na") + F.lit(alpha)) / (
+        F.col("_ta") + F.lit(alpha) * F.col("_k")
+    )
+    term = (p - q) * F.log(p / q)
+    return with_tot.agg(
+        F.max("_te").alias("n_expected"),
+        F.max("_ta").alias("n_actual"),
+        F.max("_k").alias("n_categories"),
+        F.round(_sorted_fold_sum(F.col("_c"), term), 6).alias("psi"),
+    )

@@ -35,6 +35,8 @@ class Rule:
     column: str
     kind: str
     violation_expr: Column | None  # None => handled specially (unique)
+    ref_df: "DataFrame | None" = None  # fk rules: the referenced table
+    ref_col: str | None = None
 
     def __repr__(self) -> str:  # stable in test output
         return f"Rule({self.name})"
@@ -91,11 +93,51 @@ def in_set(col: str, values: Sequence) -> Rule:
     )
 
 
+def references(col: str, ref_df: DataFrame, ref_col: str, *, name: str = "") -> Rule:
+    """Referential-integrity rule: every non-NULL value of ``col`` must
+    exist in ``ref_df[ref_col]``. Unlike the scan rules, each fk rule
+    costs one broadcast/shuffle left join against the (distinct) key side
+    — still one pass over the fact table per rule, never a collect."""
+    return Rule(
+        name or f"references({col})", col, "fk", None,
+        ref_df=ref_df, ref_col=ref_col,
+    )
+
+
 def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
-    """Run every rule in ONE aggregation pass. Returns the long report
+    """Run every scan rule in ONE aggregation pass (fk rules add one keyed
+    join each). Returns the long report
     ``(rule, column, n_rows, n_violations, passed)``."""
     if not rules:
         raise ValueError("validate: empty rule set")
+    fk_rules = [r for r in rules if r.kind == "fk"]
+    rules = [r for r in rules if r.kind != "fk"]
+    reports = []
+    for r in fk_rules:
+        keys = r.ref_df.select(
+            F.col(r.ref_col).alias("_refkey")
+        ).distinct()
+        joined = df.join(
+            keys, df[r.column] == keys["_refkey"], "left"
+        )
+        reports.append(
+            joined.agg(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.column).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (
+                        F.col(r.column).isNotNull()
+                        & F.col("_refkey").isNull()
+                    ).cast("long")
+                ).alias("n_violations"),
+            ).withColumn("passed", F.col("n_violations") == 0)
+        )
+    if not rules:
+        out = reports[0]
+        for x in reports[1:]:
+            out = out.unionByName(x)
+        return out
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, r in enumerate(rules):
         if r.kind == "unique":
@@ -119,8 +161,11 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         )
         for i, r in enumerate(rules)
     ]
-    return (
+    out = (
         row.select(F.explode(F.array(*parts)).alias("_r"))
         .select("_r.*")
         .withColumn("passed", F.col("n_violations") == 0)
     )
+    for rep in reports:
+        out = out.unionByName(rep)
+    return out

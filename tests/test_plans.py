@@ -108,6 +108,10 @@ SCALAR_AGG_OK = [
     # association stats: the cross/window stages run on the CELL table
     # (cardinality-bounded, never data-bounded); output is one row
     "chi_square_assoc", "mutual_info",
+    # PSI: per-side count aggregates + category-table outer join + 1-row fold
+    "psi_drift",
+    # fk report: one distinct-key left join + global aggregate per rule
+    "fk_check",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the

@@ -107,3 +107,40 @@ def test_mutual_information_independent_zero(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     out = mutual_information(df, "x", "y").collect()[0]
     assert out.mi == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_categorical_matches_python(spark):
+    import math as m
+
+    e_rows = [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 200
+    a_rows = [("a",)] * 300 + [("b",)] * 300 + [("d",)] * 400
+    from pylluminator_spark.operators.stats_tests import psi_categorical
+
+    e_df = spark.createDataFrame(e_rows, "x string")
+    a_df = spark.createDataFrame(a_rows, "x string")
+    out = psi_categorical(e_df, a_df, "x").collect()[0]
+    cats = ["a", "b", "c", "d"]
+    k, te, ta = len(cats), len(e_rows), len(a_rows)
+    ec = {"a": 500, "b": 300, "c": 200}
+    ac = {"a": 300, "b": 300, "d": 400}
+    want = sum(
+        (p - q) * m.log(p / q)
+        for c in cats
+        for p, q in [(
+            (ec.get(c, 0) + 0.5) / (te + 0.5 * k),
+            (ac.get(c, 0) + 0.5) / (ta + 0.5 * k),
+        )]
+    )
+    assert out.n_expected == te and out.n_actual == ta
+    assert out.n_categories == 4
+    assert out.psi == pytest.approx(want, abs=5e-7)
+    assert out.psi > 0.25  # this shift is large by the standard rubric
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    rows = [(str(i % 5),) for i in range(1000)]
+    df = spark.createDataFrame(rows, "x string")
+    from pylluminator_spark.operators.stats_tests import psi_categorical
+
+    out = psi_categorical(df, df, "x").collect()[0]
+    assert out.psi == pytest.approx(0.0, abs=1e-9)

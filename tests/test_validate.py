@@ -156,3 +156,30 @@ class TestHistogram:
         df = spark.createDataFrame([(1.0,)], ["x"])
         with pytest.raises(ValueError):
             numeric_histogram(df, "x", bins=0)
+
+
+def test_references_rule(spark):
+    from pylluminator_spark.operators.validate import not_null, references, validate
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    dims = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    out = {
+        r.rule: (r.n_rows, r.n_violations, r.passed)
+        for r in validate(
+            facts, [not_null("fk"), references("fk", dims, "k")]
+        ).collect()
+    }
+    # NULL fks are not fk violations (they fail not_null instead)
+    assert out["references(fk)"] == (4, 1, False)
+    assert out["not_null(fk)"] == (4, 1, False)
+
+
+def test_references_only_rule_set(spark):
+    from pylluminator_spark.operators.validate import references, validate
+
+    facts = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+    dims = spark.createDataFrame([(10,), (20,)], "k long")
+    rows = validate(facts, [references("fk", dims, "k")]).collect()
+    assert len(rows) == 1 and rows[0].passed
