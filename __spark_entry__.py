@@ -5421,6 +5421,53 @@ SELECT 'fk_restricted', 'user_id',
 """
 
 
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral features (operators.multimodal.
+    audio_spectral_features): deterministic sine + harmonic WAV fixtures
+    synthesized from part keys, decoded through the real RIFF/PCM16 codec,
+    then framed-Hann-rfft centroid/bandwidth/rolloff/flatness. Rows-only
+    driver entry (FFT DSP is not SQL-expressible); the physics checks
+    (sine centroid == f0, noise flatness, resample tone preservation) live
+    in test_multimodal.TestAudioDsp."""
+    import numpy as np
+    import pandas as _pd
+
+    from pylluminator_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    part = _t(spark, sf_dir, "part").select("p_partkey").limit(24)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                sr = 8000
+                f0 = 200.0 + (int(k) % 17) * 100.0
+                t = np.arange(2000) / sr
+                x = 0.4 * np.sin(2 * np.pi * f0 * t)
+                x += 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
+                pcm = np.round(x * 32767).astype("<i2")
+                rows.append((int(k), encode_wav(pcm, sr)))
+            yield _pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = part.mapInPandas(gen, schema=schema)
+    return audio_spectral_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
     # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
@@ -5569,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 5. rows-only (no oracle possible) — keep OUT of the first 50 ---
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
+        "audio_spectral": q_audio_spectral,
     }
 
 

@@ -415,3 +415,76 @@ def test_jpeg_multi_scan_sequential():
     single = decode_jpeg(encode_jpeg(rgb, quality=92))
     multi = decode_jpeg(encode_jpeg(rgb, quality=92, multi_scan=True))
     np.testing.assert_array_equal(multi, single)
+
+
+class TestAudioDsp:
+    """Physics-grounded checks for the spectral extractor and resampler."""
+
+    @staticmethod
+    def _sine_wav_df(spark, sr=8000, f0=1000.0, seconds=0.5, media_id=1):
+        import numpy as np
+
+        from pylluminator_spark.operators.multimodal import encode_wav
+
+        t = np.arange(int(sr * seconds)) / sr
+        x = (0.5 * 32767 * np.sin(2 * np.pi * f0 * t)).astype("<i2")
+        return spark.createDataFrame(
+            [(media_id, bytearray(encode_wav(x, sr)))],
+            "media_id long, content binary",
+        )
+
+    def test_sine_centroid_near_f0(self, spark):
+        from pylluminator_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        df = self._sine_wav_df(spark, f0=1000.0)
+        row = audio_spectral_features(df).collect()[0]
+        assert abs(row.spectral_centroid_hz - 1000.0) < 30
+        assert row.spectral_bandwidth_hz < 200  # pure tone: narrow
+        assert row.spectral_flatness < 0.05  # tonal, not noisy
+        assert abs(row.zcr_rate - 2 * 1000.0 / 8000) < 0.01
+        assert row.rms == pytest.approx(0.5 / 2**0.5, rel=0.01)
+
+    def test_noise_flatness_high(self, spark):
+        import numpy as np
+
+        from pylluminator_spark.operators.multimodal import (
+            audio_spectral_features,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(4)
+        x = (rng.uniform(-0.9, 0.9, 8000) * 32767).astype("<i2")
+        df = spark.createDataFrame(
+            [(7, bytearray(encode_wav(x, 8000)))],
+            "media_id long, content binary",
+        )
+        row = audio_spectral_features(df).collect()[0]
+        assert row.spectral_flatness > 0.3  # near-white
+        assert 1500 < row.spectral_centroid_hz < 2500  # ~sr/4
+
+    def test_resample_preserves_tone(self, spark):
+        from pylluminator_spark.operators.multimodal import (
+            audio_resample,
+            audio_spectral_features,
+        )
+
+        df = self._sine_wav_df(spark, sr=8000, f0=500.0)
+        down = audio_resample(df, 4000)
+        row = down.collect()[0]
+        assert row.sample_rate == 4000
+        assert abs(row.n_samples - 2000) <= 1
+        feats = audio_spectral_features(down).collect()[0]
+        assert abs(feats.spectral_centroid_hz - 500.0) < 40
+
+    def test_non_wav_rows_skipped(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"notriff-garbage"))],
+            "media_id long, content binary",
+        )
+        from pylluminator_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        assert audio_spectral_features(df).count() == 0

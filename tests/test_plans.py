@@ -112,6 +112,8 @@ SCALAR_AGG_OK = [
     "psi_drift",
     # fk report: one distinct-key left join + global aggregate per rule
     "fk_check",
+    # WAV synth + decode + framed rfft, all Arrow mapInPandas, shuffle-free
+    "audio_spectral",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
