@@ -5020,8 +5020,15 @@ FROM codes a JOIN codes b
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase graph: parts appearing in the same order.
     Derived identically in both engines (self-join on l_orderkey with
-    l_partkey < l_partkey, distinct)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l_partkey < l_partkey, distinct). The gate/bench graph keeps a
+    deterministic 1/3 of orders (l_orderkey % 3 = 0) — the co-purchase
+    graph densifies superlinearly with SF, and the gate verifies the
+    algorithms, not the corpus size."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
     l1 = li.withColumnRenamed("l_partkey", "u")
     l2 = li.withColumnRenamed("l_partkey", "v")
     return (
@@ -5050,6 +5057,7 @@ WITH e AS (
   SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_orderkey % 3 = 0
 )
 SELECT
   (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM
@@ -5070,7 +5078,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph."""
     from pylluminator_spark.operators.graph import pagerank
 
-    und = _copurchase_edges(spark, sf_dir)
+    # persist: both direction branches of the symmetric union re-read the
+    # lineitem self-join lineage otherwise
+    und = _copurchase_edges(spark, sf_dir).persist()
     sym = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
@@ -5085,6 +5095,7 @@ WITH und AS (
   SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_orderkey % 3 = 0
 ), e AS (
   SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und
 ), deg AS (
@@ -5421,6 +5432,83 @@ SELECT 'fk_restricted', 'user_id',
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 version table (operators.scd.scd2_from_changes): the
+    events log as a change stream of each user's event_type state — no-op
+    updates collapse via one lag, intervals close via one lead, both over
+    a single user-keyed sort; same-instant rewrites drop as zero-length
+    intervals. Interval bounds exported as epoch micros."""
+    from pylluminator_spark.operators.scd import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_from_changes(
+        ev, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    to_us = lambda c: F.expr(  # noqa: E731
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" CAST({c} AS TIMESTAMP_NTZ))"
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        to_us("valid_from").alias("from_us"),
+        to_us("valid_to").alias("to_us"),
+        "is_current",
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w IS DISTINCT FROM event_type AS new_version
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), versions AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS from_us,
+         epoch_us(LEAD(ts) OVER w2) AS to_us
+  FROM flagged WHERE new_version
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_type, from_us, to_us,
+       to_us IS NULL AS is_current
+FROM versions
+WHERE to_us IS NULL OR to_us > from_us
+"""
+
+
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators.skyline.skyline_2d):
+    cheapest-AND-largest parts — minimize price, maximize size (negated
+    into the minimize form). One exclusive-running-min window over the
+    DISTINCT pair table; the oracle is the quadratic NOT EXISTS dominance
+    self-join, so a hash match proves the windowed frontier exact."""
+    from pylluminator_spark.operators.skyline import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"),
+        (-F.col("p_size")).cast("long").alias("neg_size"),
+    )
+    front = skyline_2d(part, "price", "neg_size")
+    return front.select(
+        "price", (-F.col("neg_size")).cast("long").alias("size")
+    )
+
+
+ORACLE_SKYLINE_FRONTIER = """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT price, size FROM pts q
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts p
+  WHERE p.price <= q.price AND p.size >= q.size
+    AND (p.price < q.price OR p.size > q.size)
+)
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -5580,6 +5668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "psi_drift": q_psi_drift,
         "fk_check": q_fk_check,
+        "scd2_history": q_scd2_history,
+        "skyline_frontier": q_skyline_frontier,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5678,6 +5768,8 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": ORACLE_MUTUAL_INFO,
         "psi_drift": ORACLE_PSI_DRIFT,
         "fk_check": ORACLE_FK_CHECK,
+        "scd2_history": ORACLE_SCD2_HISTORY,
+        "skyline_frontier": ORACLE_SKYLINE_FRONTIER,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -175,7 +175,11 @@ def triangles(
     the canonical edge set. All joins are hash equi-joins on node keys —
     no cartesian — and AQE's skew handling splits any residual hot center.
     """
-    und = (
+    return _triangles_from(_canonical(edges, src, dst).persist())
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -183,6 +187,11 @@ def triangles(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _triangles_from(und: DataFrame) -> DataFrame:
+    """Core oriented enumeration over an already-canonical (and ideally
+    persisted — three downstream branches re-read it) edge table."""
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -221,16 +230,10 @@ def triangle_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """One-row graph summary: (n_nodes, n_edges, n_triangles) over the
-    undirected simple graph."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    tri = triangles(edges, src, dst)
+    undirected simple graph. The canonical edge table is persisted once
+    and shared by the node/edge/triangle branches."""
+    und = _canonical(edges, src, dst).persist()
+    tri = _triangles_from(und)
     nodes = und.select(F.col("u").alias("n")).unionByName(
         und.select(F.col("v").alias("n"))
     ).distinct()
@@ -270,42 +273,50 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
         F.col("s").isNotNull() & F.col("d").isNotNull()
     ).distinct().persist()
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
+    # ONE pass builds the node table with out-degrees (0 = dangling):
+    # explode each edge into (src, weight 1) + (dst, weight 0) and sum
+    deg = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("node"), F.lit(1).alias("w")
+                    ),
+                    F.struct(
+                        F.col("d").alias("node"), F.lit(0).alias("w")
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .groupBy("node")
+        .agg(F.sum("w").alias("odeg"))
         .persist()
     )
-    outdeg = e.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).alias("odeg")
-    ).persist()
-    n = nodes.count()  # one scalar; the only driver-side value
-    # graphs built symmetric (undirected) have no dangling nodes at all —
-    # detect once and drop the per-iteration dangling aggregate + its
-    # broadcast stage entirely (saves 2 stages/round on the common case)
-    has_dangling = (
-        nodes.join(outdeg, "node", "left_anti").limit(1).count() > 0
-    )
+    n = deg.count()  # one scalar; the only driver-side value
+    # symmetric (undirected) graphs have no dangling nodes — detect once
+    # and drop the per-iteration dangling aggregate entirely
+    has_dangling = deg.where(F.col("odeg") == 0).limit(1).count() > 0
     base = scale // n
     teleport = (100 - damping_pct) * base
-    ranks = nodes.withColumn("rank_int", F.lit(base).cast("long"))
+    # ranks carry odeg so iterations never re-join the degree table for
+    # the contribution step; the rank table is node-sized (broadcastable
+    # by AQE when small), so each iteration is one broadcast-or-hash join
+    # with the edge table + one keyed integer aggregate
+    ranks = deg.withColumn("rank_int", F.lit(base).cast("long"))
     for _ in range(iters):
-        state = ranks.join(outdeg, "node", "left")
-        if has_dangling:
-            # two consumers (contrib + dangling aggregate) — cache one pass
-            state = state.persist()
         contrib = (
-            state.where(F.col("odeg").isNotNull())
-            .join(e, state["node"] == e["s"])
+            ranks.where(F.col("odeg") > 0)
+            .join(e, ranks["node"] == e["s"])
             .select(
                 F.col("d").alias("node"),
                 F.expr("rank_int div odeg").alias("_c"),
             )
         )
         insum = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
-        joined = nodes.join(insum, "node", "left")
+        joined = deg.join(insum, "node", "left")
         if has_dangling:
-            dangling = state.where(F.col("odeg").isNull()).agg(
+            dangling = ranks.where(F.col("odeg") == 0).agg(
                 F.coalesce(F.sum("rank_int"), F.lit(0)).alias("_dm")
             )
             joined = joined.crossJoin(F.broadcast(dangling))
@@ -314,19 +325,19 @@ def pagerank(
             dang_share = F.lit(0)
         new_ranks = joined.select(
             "node",
+            "odeg",
             (
                 F.lit(teleport)
                 + F.lit(damping_pct)
                 * (F.coalesce(F.col("_in"), F.lit(0)) + dang_share)
             ).alias("_num"),
         ).select(
-            "node", F.expr("_num div 100").cast("long").alias("rank_int")
+            "node",
+            "odeg",
+            F.expr("_num div 100").cast("long").alias("rank_int"),
         )
-        # materialize BEFORE dropping the cached state (the new ranks read
-        # it lazily) and truncate lineage so iteration plans stay flat
+        # truncate lineage so iteration plans stay flat
         ranks = new_ranks.localCheckpoint(eager=True)
-        if has_dangling:
-            state.unpersist()
-    for frame in (e, nodes, outdeg):
+    for frame in (e, deg):
         frame.unpersist()
-    return ranks
+    return ranks.select("node", "rank_int")

@@ -114,6 +114,8 @@ SCALAR_AGG_OK = [
     "fk_check",
     # WAV synth + decode + framed rfft, all Arrow mapInPandas, shuffle-free
     "audio_spectral",
+    # SCD2: two windows over one user-keyed sort, no self-join
+    "scd2_history",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
@@ -125,6 +127,9 @@ DISPATCHED = [
     "dedup_components",
     # pack_sequences' global running sum is size-dispatched
     "pack_sequences",
+    # the frontier window runs on the DISTINCT pair table (see skyline.py
+    # note — ordered.with_running_min is the large-input path)
+    "skyline_frontier",
 ]
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design
