@@ -3676,7 +3676,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pylluminator_spark.operators.similarity import kmeans_assign
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+    cents = emb.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < 1024)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     res = kmeans_assign(emb, cents)
@@ -3693,7 +3693,7 @@ _KMEANS_DIST_SQL = " + ".join(
 
 ORACLE_KMEANS_ASSIGN = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 1024
 ), dists AS (
   SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d
   FROM embeddings e CROSS JOIN cents c
@@ -3793,7 +3793,7 @@ def q_semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pylluminator_spark.operators.similarity import semantic_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+    cents = emb.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < 1024)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     res = semantic_near_dups(emb, cents, threshold=0.35)
@@ -3817,7 +3817,7 @@ _SND_NB = " + ".join(
 
 ORACLE_SEMANTIC_NEAR_DUP = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 1024
 ), dists AS (
   SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d
   FROM embeddings e CROSS JOIN cents c
@@ -4535,7 +4535,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pylluminator_spark.operators.quantize import pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 64 == 0)
+    cents = emb.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < 1024))
     books = None
     for s in (0, 1):
         b = cents.select(
@@ -4565,7 +4565,7 @@ def _pq_dist_sql(lo: int) -> str:
 
 ORACLE_PQ_ENCODE = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 1024
 ), d0 AS (
   SELECT e.vec_id, c.cid, {_pq_dist_sql(1)} AS d
   FROM embeddings e CROSS JOIN cents c
@@ -4632,7 +4632,7 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pylluminator_spark.operators.similarity import prototype_prune
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+    cents = emb.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < 1024)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     kept = prototype_prune(emb, cents, 0.5, round_digits=6)
@@ -4644,7 +4644,7 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROTOTYPE_PRUNE = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 1024
 ), dists AS (
   SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d
   FROM embeddings e CROSS JOIN cents c
@@ -4677,7 +4677,7 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pylluminator_spark.operators.quantize import pq_adc_topk, pq_encode
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 64 == 0)
+    cents = emb.filter((F.col("vec_id") % 64 == 0) & (F.col("vec_id") < 1024))
     books = None
     for s in (0, 1):
         b = cents.select(
@@ -4707,7 +4707,7 @@ def _pq_qdist_sql(lo: int) -> str:
 
 ORACLE_PQ_ADC = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0 AND vec_id < 1024
 ), q AS (
   SELECT embedding FROM embeddings WHERE vec_id = 1
 ), d0 AS (
@@ -5629,7 +5629,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are exact-integer aggregates; clean_html / url_normalize /
         # pii-style regexp chains; dedup_paragraphs / domain_cap /
         # weighted_sample / logreg_* / pq_* / bpe_pairs / prototype_prune
-        # follow the same dual-engine determinism recipes) — then the two
+        # follow the same dual-engine determinism recipes, as do the
+        # analytics/sketch/graph additions: event_transitions /
+        # value_histogram / validate_rules / ts_* / fuzzy_pairs / graph_* /
+        # zorder_key / hll_registers / cms_counters / chi_square_assoc /
+        # mutual_info / psi_drift / fk_check / scd2_history /
+        # skyline_frontier — every one locally driver_emu-green at
+        # sf0.01) — then the two
         # changed-but-r03-green entries --
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
