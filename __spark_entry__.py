@@ -5509,6 +5509,98 @@ WHERE NOT EXISTS (
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators.diff.snapshot_diff): two
+    deterministic versions of the customer table (mod-keyed deletions,
+    insertions, and an acctbal bump on every 7th key) classified
+    added/removed/changed per key by one full-outer join — gated on the
+    non-unchanged rows with both value versions."""
+    from pylluminator_spark.operators.diff import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.where(F.col("c_custkey") % 11 != 0)
+    new = cust.where(F.col("c_custkey") % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    d = snapshot_diff(old, new, ["c_custkey"], ["c_acctbal"])
+    return d.where(F.col("change_type") != "unchanged").select(
+        "c_custkey", "change_type", "old_c_acctbal", "new_c_acctbal"
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 <> 0
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+), d AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'removed'
+              WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                THEN 'unchanged'
+              ELSE 'changed' END AS change_type,
+         o.c_acctbal AS old_c_acctbal,
+         n.c_acctbal AS new_c_acctbal
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey, change_type, old_c_acctbal, new_c_acctbal
+FROM d WHERE change_type <> 'unchanged'
+"""
+
+
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (operators.index.build_inverted_index):
+    per token, document frequency, collection frequency, and an exact
+    integer checksum folded over the NESTED postings structure (doc *
+    1000003 + position per occurrence) — the oracle computes the same
+    checksum from the flat token stream, so a match verifies the
+    two-level collect built every posting and position."""
+    from pylluminator_spark.operators.index import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    cks = F.aggregate(
+        F.col("postings"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.aggregate(
+            p["positions"],
+            F.lit(0).cast("long"),
+            lambda a, q: a + p["doc"] * 1000003 + q,
+        ),
+    )
+    return idx.select(
+        "token", "n_docs", "n_occurrences", cks.alias("postings_checksum")
+    )
+
+
+ORACLE_INVERTED_POSTINGS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '\s+') AS arr
+  FROM documents
+), flat AS (
+  SELECT doc_id,
+         arr[i] AS token,
+         i - 1 AS pos
+  FROM toks, UNNEST(generate_series(1, len(arr))) AS g(i)
+  WHERE len(arr[i]) > 0
+)
+SELECT token,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       CAST(SUM(doc_id * 1000003 + pos) AS BIGINT) AS postings_checksum
+FROM flat GROUP BY token
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -5676,6 +5768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "scd2_history": q_scd2_history,
         "skyline_frontier": q_skyline_frontier,
+        "snapshot_diff": q_snapshot_diff,
+        "inverted_postings": q_inverted_postings,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5776,6 +5870,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_check": ORACLE_FK_CHECK,
         "scd2_history": ORACLE_SCD2_HISTORY,
         "skyline_frontier": ORACLE_SKYLINE_FRONTIER,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "inverted_postings": ORACLE_INVERTED_POSTINGS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -116,6 +116,8 @@ SCALAR_AGG_OK = [
     "audio_spectral",
     # SCD2: two windows over one user-keyed sort, no self-join
     "scd2_history",
+    # diff: one keyed full-outer join; index: explode + two keyed collects
+    "snapshot_diff", "inverted_postings",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
