@@ -5601,6 +5601,40 @@ FROM flat GROUP BY token
 """
 
 
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction (operators.json_ops.json_extract_typed) over
+    the events props column: get_json_object pulls $.k as bigint (pure
+    codegen, NULL on malformed), then an exact integer aggregate per
+    event_type."""
+    from pylluminator_spark.operators.json_ops import json_extract_typed
+
+    ev = _t(spark, sf_dir, "events")
+    typed = json_extract_typed(ev, "props", {"k": "k:bigint"})
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ORACLE_JSON_EXTRACT_AGG = """
+WITH typed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM typed GROUP BY event_type
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -5770,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_frontier": q_skyline_frontier,
         "snapshot_diff": q_snapshot_diff,
         "inverted_postings": q_inverted_postings,
+        "json_extract_agg": q_json_extract_agg,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5872,6 +5907,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_frontier": ORACLE_SKYLINE_FRONTIER,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "inverted_postings": ORACLE_INVERTED_POSTINGS,
+        "json_extract_agg": ORACLE_JSON_EXTRACT_AGG,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

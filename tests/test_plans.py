@@ -118,6 +118,8 @@ SCALAR_AGG_OK = [
     "scd2_history",
     # diff: one keyed full-outer join; index: explode + two keyed collects
     "snapshot_diff", "inverted_postings",
+    # JSON: codegen get_json_object projection + one hash aggregate
+    "json_extract_agg",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
