@@ -5635,6 +5635,68 @@ FROM typed GROUP BY event_type
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test (operators.stats_tests.ab_test): purchase
+    vs view event values from ONE conditional-sum aggregation pass over
+    exact integer cents; the two-sided p-value uses the repo's erfc
+    polynomial, mirrored term-for-term in the oracle via
+    functions.sqlgen.norm_sf_sql."""
+    from pylluminator_spark.operators.stats_tests import ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test(ev, "event_type", "value", "purchase", "view")
+
+
+def _gen_oracle_ab_test() -> str:
+    from pylluminator_spark.functions.sqlgen import norm_sf_sql
+
+    z = "((s_a / n_a / 100) - (s_b / n_b / 100)) / se"
+    return f"""
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN event_type = 'view' AND value IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN event_type = 'view'
+             THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS s_b,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+      AS q_a,
+    CAST(SUM(CASE WHEN event_type = 'view'
+             THEN CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+      AS q_b
+  FROM events
+), w AS (
+  SELECT n_a, n_b, s_a, s_b,
+         (CASE WHEN n_a >= 2 THEN (q_a - s_a * s_a / n_a) / (n_a - 1)
+          END) / (100 * 100) AS v_a,
+         (CASE WHEN n_b >= 2 THEN (q_b - s_b * s_b / n_b) / (n_b - 1)
+          END) / (100 * 100) AS v_b
+  FROM s
+), t AS (
+  SELECT n_a, n_b, s_a, s_b,
+         sqrt(v_a / n_a + v_b / n_b) AS se
+  FROM w
+)
+SELECT n_a, n_b,
+       ROUND(s_a / n_a / 100, 6) AS mean_a,
+       ROUND(s_b / n_b / 100, 6) AS mean_b,
+       ROUND((s_a / n_a / 100) - (s_b / n_b / 100), 6) AS diff,
+       ROUND(se, 6) AS se,
+       ROUND({z}, 6) AS z,
+       ROUND(2.0 * {norm_sf_sql(f"abs({z})")}, 6) AS p_value
+FROM t
+"""
+
+
+ORACLE_AB_TEST = _gen_oracle_ab_test()
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -5805,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "inverted_postings": q_inverted_postings,
         "json_extract_agg": q_json_extract_agg,
+        "ab_test": q_ab_test,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5908,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "inverted_postings": ORACLE_INVERTED_POSTINGS,
         "json_extract_agg": ORACLE_JSON_EXTRACT_AGG,
+        "ab_test": ORACLE_AB_TEST,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -230,3 +230,73 @@ def psi_categorical(
         F.max("_k").alias("n_categories"),
         F.round(_sorted_fold_sum(F.col("_c"), term), 6).alias("psi"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample Welch z-test between groups ``group_a`` and ``group_b``
+    of ``metric_col`` — the A/B analysis primitive. ONE aggregation pass
+    computes both groups' sufficient statistics as EXACT integer sums of
+    the ``scale``-scaled metric (conditional sums, map-side combined), so
+    means/variances/z are bit-deterministic; the two-sided p-value uses
+    the repo's erfc polynomial (functions.stats.norm_sf_expr), which has
+    an exact SQL mirror for the oracle.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, diff, se, z, p_value).
+    Variances are sample (ddof=1); groups need n >= 2 or the result is
+    NULL.
+    """
+    from pylluminator_spark.functions.stats import norm_sf_expr
+
+    g = F.col(group_col)
+    v = F.round(F.col(metric_col) * scale).cast("long")
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+
+    def _grp(cond, name):
+        return [
+            F.sum(F.when(cond & v.isNotNull(), 1).otherwise(0)).alias(
+                f"n_{name}"
+            ),
+            F.sum(F.when(cond, v)).alias(f"s_{name}"),
+            F.sum(F.when(cond, v * v)).alias(f"q_{name}"),
+        ]
+
+    agg = df.agg(*_grp(in_a, "a"), *_grp(in_b, "b"))
+
+    def mean(name):
+        return F.col(f"s_{name}") / F.col(f"n_{name}") / scale
+
+    def var(name):
+        n, s, q = (
+            F.col(f"n_{name}"),
+            F.col(f"s_{name}"),
+            F.col(f"q_{name}"),
+        )
+        return (
+            F.when(n >= 2, (q - s * s / n) / (n - 1)) / (scale * scale)
+        )
+
+    se = F.sqrt(
+        var("a") / F.col("n_a") + var("b") / F.col("n_b")
+    )
+    z = (mean("a") - mean("b")) / se
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        F.round(mean("a") - mean("b"), 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.lit(2.0) * norm_sf_expr(F.abs(z)), 6
+        ).alias("p_value"),
+    )

@@ -105,6 +105,8 @@ SCALAR_AGG_OK = [
     "validate_rules",
     # the graph summary is three 1-row aggregates cross-joined
     "graph_triangles",
+    # Welch z-test: one conditional-sum global aggregate row
+    "ab_test",
     # association stats: the cross/window stages run on the CELL table
     # (cardinality-bounded, never data-bounded); output is one row
     "chi_square_assoc", "mutual_info",

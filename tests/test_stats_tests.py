@@ -144,3 +144,48 @@ def test_psi_identical_distributions_near_zero(spark):
 
     out = psi_categorical(df, df, "x").collect()[0]
     assert out.psi == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ab_test_matches_python(spark):
+    import math as m
+    import random
+
+    rng = random.Random(31)
+    rows = [("a", round(rng.gauss(10, 2), 2)) for _ in range(800)] + [
+        ("b", round(rng.gauss(10.4, 2), 2)) for _ in range(700)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from pylluminator_spark.operators.stats_tests import ab_test
+
+    out = ab_test(df, "g", "v", "a", "b").collect()[0]
+    ca = [round(v * 100) for g, v in rows if g == "a"]
+    cb = [round(v * 100) for g, v in rows if g == "b"]
+
+    def stats(c):
+        n = len(c)
+        s, q = sum(c), sum(x * x for x in c)
+        return n, s / n / 100, (q - s * s / n) / (n - 1) / 10000
+
+    na, ma, va = stats(ca)
+    nb, mb, vb = stats(cb)
+    se = m.sqrt(va / na + vb / nb)
+    z = (ma - mb) / se
+    p = m.erfc(abs(z) / m.sqrt(2))
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert out.mean_a == pytest.approx(ma, abs=1.1e-6)
+    assert out.se == pytest.approx(se, abs=1.1e-6)
+    assert out.z == pytest.approx(z, abs=5e-6)
+    # erfc polynomial |rel err| < 1.2e-7 vs libm erfc
+    assert out.p_value == pytest.approx(p, rel=1e-5, abs=1e-6)
+    # the 0.4-sigma shift on n~700 is detectable
+    assert out.p_value < 0.05
+
+
+def test_ab_test_tiny_group_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    from pylluminator_spark.operators.stats_tests import ab_test
+
+    out = ab_test(df, "g", "v", "a", "b").collect()[0]
+    assert out.n_a == 1 and out.p_value is None  # n<2 -> NULL, not error
