@@ -5697,6 +5697,50 @@ FROM t
 ORACLE_AB_TEST = _gen_oracle_ab_test()
 
 
+def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo radius self-join (operators.geo.radius_pairs): customer points
+    (lat/lon derived arithmetically from keys, identical in both engines)
+    paired within 300 km via lossless grid-cell blocking (3x3 wrapped
+    neighborhoods) + one codegen haversine verify. The oracle is the
+    quadratic brute-force join with the same trig formula, so a match
+    proves the blocking loses no pair — including across the
+    antimeridian."""
+    from pylluminator_spark.operators.geo import radius_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 48271) % 120000) / 1000.0 - 60.0).alias(
+            "lat"
+        ),
+        (
+            ((F.col("c_custkey") * 69621 + 17) % 360000) / 1000.0 - 180.0
+        ).alias("lon"),
+    )
+    return radius_pairs(pts, "id", "lat", "lon", 300.0)
+
+
+ORACLE_GEO_RADIUS_PAIRS = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * 48271) % 120000) / 1000.0 - 60.0 AS lat,
+         ((c_custkey * 69621 + 17) % 360000) / 1000.0 - 180.0 AS lon
+  FROM customer
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         2.0 * 6371.0 * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lon - a.lon) / 2)
+             * sin(radians(b.lon - a.lon) / 2)
+         )) AS dist_km
+  FROM pts a JOIN pts b ON a.id < b.id
+)
+SELECT id_a, id_b, ROUND(dist_km, 6) AS dist_km
+FROM pairs WHERE dist_km <= 300.0
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -5868,6 +5912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "json_extract_agg": q_json_extract_agg,
         "ab_test": q_ab_test,
+        "geo_radius_pairs": q_geo_radius_pairs,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -5972,6 +6017,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_postings": ORACLE_INVERTED_POSTINGS,
         "json_extract_agg": ORACLE_JSON_EXTRACT_AGG,
         "ab_test": ORACLE_AB_TEST,
+        "geo_radius_pairs": ORACLE_GEO_RADIUS_PAIRS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

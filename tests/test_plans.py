@@ -122,6 +122,8 @@ SCALAR_AGG_OK = [
     "snapshot_diff", "inverted_postings",
     # JSON: codegen get_json_object projection + one hash aggregate
     "json_extract_agg",
+    # geo: 3x3 wrapped-cell explode -> cell equi-join -> haversine verify
+    "geo_radius_pairs",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
