@@ -5741,6 +5741,130 @@ FROM pairs WHERE dist_km <= 300.0
 """
 
 
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean imputation (operators.impute): every 13th event's
+    value is deterministically NULLed, then filled with its event_type's
+    exact integer-scaled mean (one stats aggregate + broadcast join).
+    Gated on the imputed rows only."""
+    from pylluminator_spark.operators.impute import impute
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, None).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute(ev, {"value": "mean"}, group_cols=["event_type"])
+    return out.where(F.col("value_imputed")).select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+ORACLE_IMPUTE_MEAN = """
+WITH nulled AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+           / COUNT(value) / 1000000 AS fill
+  FROM nulled GROUP BY event_type
+)
+SELECT n.event_id, n.event_type, ROUND(s.fill, 6) AS value
+FROM nulled n JOIN stats s ON n.event_type = s.event_type
+WHERE n.value IS NULL AND s.fill IS NOT NULL
+"""
+
+
+def q_last_touch_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators.attribution.last_touch): each
+    purchase attributed to the user's most recent view/click within 24h
+    via the union + last(ignorenulls) carry idiom — one user-keyed
+    window, no self-join. Same-instant touches sort before conversions,
+    ties by event id on both engines."""
+    from pylluminator_spark.operators.attribution import last_touch
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch(
+        ev,
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_us=86_400_000_000,
+    )
+
+
+ORACLE_LAST_TOUCH_ATTR = """
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+         event_type AS etype
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), stream AS (
+  SELECT u, us, eid,
+         CASE WHEN etype IN ('view', 'click')
+              THEN struct_pack(us := us, eid := eid, etype := etype)
+         END AS touch,
+         CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM base
+), carried AS (
+  SELECT u, us, eid, is_conv,
+         LAST_VALUE(touch IGNORE NULLS) OVER (
+           PARTITION BY u ORDER BY us, is_conv, eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+  FROM stream
+)
+SELECT eid AS conversion_id, u AS user, us AS conversion_us,
+       CASE WHEN lt IS NOT NULL AND us - lt.us <= 86400000000
+            THEN lt.eid END AS touch_id,
+       CASE WHEN lt IS NOT NULL AND us - lt.us <= 86400000000
+            THEN lt.etype END AS touch_type,
+       CASE WHEN lt IS NOT NULL AND us - lt.us <= 86400000000
+            THEN lt.us END AS touch_us
+FROM carried WHERE is_conv = 1
+"""
+
+
+def q_linear_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution
+    (operators.attribution.linear_attribution): every view/click in the
+    24h window before a purchase shares the conversion's credit as EXACT
+    integer ppm (floor division — remainder documented dropped), summed
+    per channel. User-keyed interval join; pair count bounded by touches
+    per window."""
+    from pylluminator_spark.operators.attribution import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        ev,
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_us=86_400_000_000,
+    )
+
+
+ORACLE_LINEAR_ATTR = """
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid,
+         event_type AS etype
+  FROM events
+), t AS (
+  SELECT u, us AS t_us, eid AS t_eid, etype AS t_type FROM base
+  WHERE etype IN ('view', 'click')
+), c AS (
+  SELECT u, us AS c_us, eid AS c_eid FROM base WHERE etype = 'purchase'
+), pairs AS (
+  SELECT t.t_type, c.c_eid, c.u,
+         COUNT(*) OVER (PARTITION BY c.u, c.c_eid) AS n
+  FROM c JOIN t ON c.u = t.u
+   AND t.t_us <= c.c_us AND c.c_us - t.t_us <= 86400000000
+)
+SELECT t_type AS touch_type,
+       CAST(COUNT(DISTINCT c_eid) AS BIGINT) AS n_conversions,
+       CAST(SUM(1000000 // n) AS BIGINT) AS credit_ppm
+FROM pairs GROUP BY t_type
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -5913,6 +6037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": q_json_extract_agg,
         "ab_test": q_ab_test,
         "geo_radius_pairs": q_geo_radius_pairs,
+        "impute_mean": q_impute_mean,
+        "last_touch_attr": q_last_touch_attr,
+        "linear_attr": q_linear_attr,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -6018,6 +6145,9 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_agg": ORACLE_JSON_EXTRACT_AGG,
         "ab_test": ORACLE_AB_TEST,
         "geo_radius_pairs": ORACLE_GEO_RADIUS_PAIRS,
+        "impute_mean": ORACLE_IMPUTE_MEAN,
+        "last_touch_attr": ORACLE_LAST_TOUCH_ATTR,
+        "linear_attr": ORACLE_LINEAR_ATTR,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

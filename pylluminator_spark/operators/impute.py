@@ -1,0 +1,110 @@
+"""Missing-value imputation: per-group mean / median / mode / constant.
+
+Beyond-reference operator (driver north star): feature pipelines impute
+before training; the scale constraint is that fill values come from ONE
+statistics pass (grouped or global) joined back — never a collect of the
+data. Strategies:
+
+- ``mean``: exact integer-scaled sum / count (deterministic, no float
+  accumulation drift), descaled at the edge;
+- ``median``: exact ``percentile(0.5)`` (Spark's exact-interpolation
+  aggregate — runs per GROUP, bounded by group size; switch to
+  approx_percentile explicitly for giant single groups);
+- ``mode``: most frequent value, ties to the smallest (deterministic,
+  via ``min_by`` on (-count, value));
+- ``("constant", value)``: a literal.
+
+The mean/median stats table is group-cardinality-sized and broadcast
+back onto the data; mode adds one per-(group, value) count pass. Each
+imputed column gains a ``<col>_imputed`` flag; groups with no observed
+value keep their NULLs.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def impute(
+    df: DataFrame,
+    strategies: Mapping[str, object],
+    *,
+    group_cols: Sequence[str] = (),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fill NULLs per ``strategies`` — a mapping column -> ``"mean"`` |
+    ``"median"`` | ``"mode"`` | ``("constant", value)``."""
+    gcols = list(group_cols)
+    out = df
+
+    simple_aggs = []
+    for col, strat in strategies.items():
+        c = F.col(col)
+        if strat == "mean":
+            simple_aggs.append(
+                (
+                    F.sum(F.round(c * scale).cast("long"))
+                    / F.count(c)
+                    / scale
+                ).alias(f"_fill_{col}")
+            )
+        elif strat == "median":
+            simple_aggs.append(
+                F.expr(f"percentile({col}, 0.5)").alias(f"_fill_{col}")
+            )
+        elif strat == "mode" or (
+            isinstance(strat, tuple) and strat[0] == "constant"
+        ):
+            continue
+        else:
+            raise ValueError(
+                f"impute: unknown strategy {strat!r} for {col}"
+            )
+
+    if simple_aggs:
+        stats = (
+            df.groupBy(*gcols).agg(*simple_aggs)
+            if gcols
+            else df.agg(*simple_aggs)
+        )
+        out = (
+            out.join(F.broadcast(stats), gcols, "left")
+            if gcols
+            else out.crossJoin(F.broadcast(stats))
+        )
+
+    for col, strat in strategies.items():
+        if strat != "mode":
+            continue
+        counts = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*gcols, col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        pick = counts.groupBy(*gcols).agg(
+            F.expr(
+                f"min_by({col}, named_struct('negn', -_n, 'v', {col}))"
+            ).alias(f"_fill_{col}")
+        )
+        out = (
+            out.join(F.broadcast(pick), gcols, "left")
+            if gcols
+            else out.crossJoin(F.broadcast(pick))
+        )
+
+    for col, strat in strategies.items():
+        c = F.col(col)
+        if isinstance(strat, tuple):
+            fill = F.lit(strat[1])
+        else:
+            fill = F.col(f"_fill_{col}")
+        out = out.withColumn(
+            f"{col}_imputed", c.isNull() & fill.isNotNull()
+        ).withColumn(col, F.coalesce(c, fill))
+
+    return out.drop(
+        *[f"_fill_{c}" for c, s in strategies.items() if not isinstance(s, tuple)]
+    )

@@ -124,6 +124,10 @@ SCALAR_AGG_OK = [
     "json_extract_agg",
     # geo: 3x3 wrapped-cell explode -> cell equi-join -> haversine verify
     "geo_radius_pairs",
+    # impute: one stats aggregate broadcast back; gate output filtered
+    "impute_mean",
+    # attribution: union + keyed carry window / keyed interval join
+    "last_touch_attr", "linear_attr",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
