@@ -5865,6 +5865,51 @@ FROM pairs GROUP BY t_type
 """
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (operators.basket.association_rules) over order
+    baskets of parts: frequent pairs (>= 2 co-orders) in both rule
+    directions with support/confidence/lift from exact integer counts —
+    identical ratio expressions on both engines."""
+    from pylluminator_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+ORACLE_BASKET_RULES = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_count
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), bidir AS (
+  SELECT item_a, item_b, pair_count FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, pair_count FROM pairs
+), items AS (
+  SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS item_count
+  FROM bi GROUP BY i
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi
+)
+SELECT p.item_a AS antecedent, p.item_b AS consequent,
+       p.pair_count,
+       ia.item_count AS antecedent_count,
+       ib.item_count AS consequent_count,
+       ROUND(p.pair_count / nb.n_baskets, 6) AS support,
+       ROUND(p.pair_count / ia.item_count, 6) AS confidence,
+       ROUND(p.pair_count * nb.n_baskets
+             / (ia.item_count * ib.item_count), 6) AS lift
+FROM bidir p
+JOIN items ia ON ia.item = p.item_a
+JOIN items ib ON ib.item = p.item_b
+CROSS JOIN nb
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -6040,6 +6085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_mean": q_impute_mean,
         "last_touch_attr": q_last_touch_attr,
         "linear_attr": q_linear_attr,
+        "basket_rules": q_basket_rules,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -6148,6 +6194,7 @@ def oracle_sql() -> dict[str, str]:
         "impute_mean": ORACLE_IMPUTE_MEAN,
         "last_touch_attr": ORACLE_LAST_TOUCH_ATTR,
         "linear_attr": ORACLE_LINEAR_ATTR,
+        "basket_rules": ORACLE_BASKET_RULES,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

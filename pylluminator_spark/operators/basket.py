@@ -1,0 +1,138 @@
+"""Market-basket analysis: frequent item pairs and association rules
+(support / confidence / lift).
+
+Beyond-reference operator (driver north star): co-occurrence mining over
+transactions — "users who took A also took B" — is the classic
+recommendation/affinity primitive. The plan never materializes the item
+power set:
+
+1. distinct (basket, item) — dedup multiplicity inside a basket;
+2. pair generation by ONE self-join keyed on the basket id with
+   ``item_a < item_b`` (output bounded by sum of C(basket_size, 2),
+   the same shape as the repo's co-purchase graph);
+3. item supports from one aggregate, attached to the pairs by two
+   broadcast-friendly joins (item-count table is vocabulary-sized);
+4. rules in both directions from exact integer counts; the
+   support/confidence/lift floats derive from identical integer-ratio
+   expressions on any engine.
+
+``min_pair_count`` prunes the long tail BEFORE the metric joins — the
+standard Apriori-style support threshold, and what keeps the output
+bounded at scale. A giant basket (pathological C(n,2)) is guarded by
+``max_basket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    max_basket_size: int | None = 1000,
+) -> DataFrame:
+    """Distinct co-occurrence pairs (item_a < item_b) with the number of
+    baskets containing both. Baskets larger than ``max_basket_size``
+    are dropped (with the cap recorded in the plan via a filter) —
+    a single mega-basket would otherwise contribute C(n, 2) pairs."""
+    bi = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).where(F.col("_i").isNotNull()).distinct()
+    if max_basket_size is not None:
+        from pyspark.sql import Window
+
+        bi = (
+            bi.withColumn(
+                "_sz", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+            )
+            .where(F.col("_sz") <= max_basket_size)
+            .drop("_sz")
+        )
+    a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    return (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = 1000,
+) -> DataFrame:
+    """Rules ``antecedent -> consequent`` for every frequent pair, both
+    directions: (antecedent, consequent, pair_count, antecedent_count,
+    consequent_count, support, confidence, lift) with
+
+    - support    = pair_count / n_baskets
+    - confidence = pair_count / antecedent_count
+    - lift       = pair_count * n_baskets
+                   / (antecedent_count * consequent_count)
+
+    All ratios derive from exact integer counts with fixed expression
+    shapes (6 dp at the edge). lift > 1 means positive association.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).where(F.col("_i").isNotNull()).distinct()
+    pairs = item_pairs(
+        df, basket_col, item_col, max_basket_size=max_basket_size
+    ).where(F.col("pair_count") >= min_pair_count)
+    items = bi.groupBy(F.col("_i").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_count")
+    )
+    n_baskets = bi.agg(
+        F.countDistinct("_b").alias("n_baskets")
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "pair_count",
+        )
+    )
+    joined = (
+        both.join(
+            F.broadcast(items.withColumnRenamed("item", "item_a")), "item_a"
+        )
+        .withColumnRenamed("item_count", "antecedent_count")
+        .join(
+            F.broadcast(
+                items.select(
+                    F.col("item").alias("item_b"),
+                    F.col("item_count").alias("consequent_count"),
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return joined.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_count",
+        "antecedent_count",
+        "consequent_count",
+        F.round(F.col("pair_count") / F.col("n_baskets"), 6).alias(
+            "support"
+        ),
+        F.round(
+            F.col("pair_count") / F.col("antecedent_count"), 6
+        ).alias("confidence"),
+        F.round(
+            F.col("pair_count")
+            * F.col("n_baskets")
+            / (F.col("antecedent_count") * F.col("consequent_count")),
+            6,
+        ).alias("lift"),
+    )

@@ -128,6 +128,8 @@ SCALAR_AGG_OK = [
     "impute_mean",
     # attribution: union + keyed carry window / keyed interval join
     "last_touch_attr", "linear_attr",
+    # basket: basket-keyed pair self-join + broadcast item supports
+    "basket_rules",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
