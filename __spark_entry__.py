@@ -5910,6 +5910,67 @@ CROSS JOIN nb
 """
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling autocorrelation (operators.timeseries.rolling_corr): each
+    purchase value against its user's previous value over a trailing
+    20-row frame. All six windowed moments are EXACT integer sums of
+    cents, so the Pearson floats are cross-engine identical; degenerate
+    windows yield NULL."""
+    from pylluminator_spark.operators.timeseries import rolling_corr
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.withColumn("prev", F.lag("value").over(w))
+    out = rolling_corr(
+        df,
+        "value",
+        "prev",
+        order_cols=["ts", "event_id"],
+        group_cols=["user_id"],
+        window_rows=20,
+        min_rows=3,
+    )
+    return out.select("event_id", "user_id", "corr_n", "rolling_corr")
+
+
+ORACLE_ROLLING_CORR = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events WHERE event_type = 'purchase'
+), cents AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value IS NOT NULL AND prev IS NOT NULL
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS x,
+         CASE WHEN value IS NOT NULL AND prev IS NOT NULL
+              THEN CAST(ROUND(prev * 100) AS BIGINT) END AS y
+  FROM base
+), m AS (
+  SELECT event_id, user_id,
+         CAST(SUM(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) OVER w
+              AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n AS corr_n,
+       CASE WHEN n >= 3 THEN
+         ROUND((n * sxy - sx * sy)
+               / sqrt(CASE WHEN (n * sxx - sx * sx) > 0
+                            AND (n * syy - sy * sy) > 0
+                      THEN CAST(n * sxx - sx * sx AS DOUBLE)
+                           * (n * syy - sy * sy) END), 6)
+       END AS rolling_corr
+FROM m
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectral features (operators.multimodal.
     audio_spectral_features): deterministic sine + harmonic WAV fixtures
@@ -6086,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch_attr": q_last_touch_attr,
         "linear_attr": q_linear_attr,
         "basket_rules": q_basket_rules,
+        "rolling_corr": q_rolling_corr,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -6195,6 +6257,7 @@ def oracle_sql() -> dict[str, str]:
         "last_touch_attr": ORACLE_LAST_TOUCH_ATTR,
         "linear_attr": ORACLE_LINEAR_ATTR,
         "basket_rules": ORACLE_BASKET_RULES,
+        "rolling_corr": ORACLE_ROLLING_CORR,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

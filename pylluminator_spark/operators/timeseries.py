@@ -253,3 +253,54 @@ def rolling_zscore(
             F.when(n >= min_rows, F.round(z, 6)),
         )
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    order_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+    window_rows: int = 20,
+    min_rows: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling Pearson correlation between two series over the trailing
+    ``window_rows`` rows within each group — co-movement monitoring
+    (hedges, sensor pairs, metric coupling).
+
+    Same exactness contract as ``rolling_zscore``: all six windowed
+    moments (n, Sx, Sy, Sxx, Syy, Sxy) are EXACT integer sums of the
+    ``scale``-scaled inputs, so the derived correlation floats are
+    identical under any shuffle order and across engines. Rows where
+    either input is NULL are excluded from the moments (the frame is
+    filtered first); degenerate windows (either variance 0 or fewer than
+    ``min_rows`` pairs) yield NULL.
+
+    Adds ``corr_n`` and ``rolling_corr`` (6 dp).
+    """
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.when(both, _scaled(F.col(x_col), scale))
+    y = F.when(both, _scaled(F.col(y_col), scale))
+    n = F.sum(both.cast("long")).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    cov_n = n * sxy - sx * sy
+    vx_n = n * sxx - sx * sx
+    vy_n = n * syy - sy * sy
+    r = cov_n / F.sqrt(
+        F.when((vx_n > 0) & (vy_n > 0), vx_n.cast("double") * vy_n)
+    )
+    return df.withColumn("corr_n", n).withColumn(
+        "rolling_corr",
+        F.when(n >= min_rows, F.round(r, 6)),
+    )

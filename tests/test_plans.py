@@ -130,6 +130,8 @@ SCALAR_AGG_OK = [
     "last_touch_attr", "linear_attr",
     # basket: basket-keyed pair self-join + broadcast item supports
     "basket_rules",
+    # rolling autocorr: one partitioned ROWS window over integer moments
+    "rolling_corr",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the

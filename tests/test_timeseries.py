@@ -164,3 +164,50 @@ def test_rolling_zscore_constant_series_null(spark):
         min_rows=3,
     ).toPandas()
     assert out["zscore"].isna().all()  # zero variance -> NULL, not error
+
+
+def test_rolling_corr_matches_pandas(spark, ev, ev_pd):
+    from pylluminator_spark.operators.timeseries import rolling_corr
+    from pyspark.sql import Window as W
+
+    # y = previous value per user (autocorrelation setup)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.withColumn("prev", F.lag("value").over(w))
+    out = (
+        rolling_corr(
+            df, "value", "prev",
+            order_cols=["ts", "event_id"], group_cols=["user_id"],
+            window_rows=20, min_rows=3,
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    for uid, g in ev_pd.groupby("user_id"):
+        s = g.sort_values(["ts", "event_id"])["value"].reset_index(drop=True)
+        xc = np.round(s * 100)
+        yc = np.round(s.shift(1) * 100)
+        got = out[out["user_id"] == uid]["rolling_corr"].to_numpy()
+        for i in range(len(s)):
+            lo = max(0, i - 19)
+            xs, ys = xc[lo : i + 1], yc[lo : i + 1]
+            mask = ys.notna()
+            n = int(mask.sum())
+            if n < 3:
+                assert np.isnan(got[i])
+                continue
+            r = np.corrcoef(xs[mask], ys[mask])[0, 1]
+            assert got[i] == pytest.approx(r, abs=2e-6), (uid, i)
+
+
+def test_rolling_corr_constant_null(spark):
+    from pylluminator_spark.operators.timeseries import rolling_corr
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0, float(i)) for i in range(6)],
+        "g string, i int, x double, y double",
+    )
+    out = rolling_corr(
+        df, "x", "y", order_cols=["i"], group_cols=["g"], window_rows=4
+    ).toPandas()
+    assert out["rolling_corr"].isna().all()  # zero x-variance
