@@ -288,3 +288,130 @@ def dedup_simhash(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def jaccard_join_exact(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (PPJoin /
+    AllPairs family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
+    Xiao et al. WWW'08). Complements the approximate MinHash-LSH path
+    with a no-false-negative, no-false-positive similarity join.
+
+    Returns every unordered pair (id_a < id_b) whose distinct-token
+    Jaccard similarity is >= ``threshold``, with exact ``inter_size`` /
+    ``union_size`` counts and the similarity itself.
+
+    Algorithm (all JVM-side column expressions, zero Python per row):
+
+    1. distinct-token sets per document;
+    2. global token rarity: df per token (one hash aggregate), tokens
+       within each record ordered by (df ASC, token ASC) — the canonical
+       rarest-first total order that makes short prefixes selective;
+    3. prefix filtering: a record of size s only needs its first
+       ``s - ceil(t*s) + 1`` rarest tokens indexed — any pair with
+       J >= t shares >= ceil(t*s) tokens (|inter| >= t*|union| >=
+       t*s), and by the prefix-filtering lemma two sets with overlap o
+       must collide within their (size - o + 1)-prefixes under any
+       shared total order. A 1e-9 slack inside ceil() guards against
+       the float product t*s landing one ulp above an exact integer
+       (which would shorten the prefix and lose the guarantee);
+    4. equi-join on prefix tokens -> candidate id pairs (plus the size
+       filter t*s_a <= s_b <= s_a/t), distinct;
+    5. exact verify: join candidates back to the full sets, exact
+       integer intersection/union, keep J >= t.
+
+    Scale notes: the only shuffles are token-df aggregation, the prefix
+    equi-join, and the verify joins on id. The prefix join's key
+    distribution is anti-skewed BY CONSTRUCTION — prefixes keep each
+    record's globally rarest tokens, so hot (high-df) tokens are
+    exactly the ones dropped from the index. Candidate volume is the
+    classic PPJoin bound, orders of magnitude below the O(n^2)
+    verify-everything alternative; the verify stage is proportional to
+    candidates, not corpus size.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens_expr(F.lower(F.col(text_col)))).alias("_s"),
+    ).filter(F.size("_s") > 0)
+    tok = toks.select("_id", F.explode("_s").alias("_token"))
+    token_df = tok.groupBy("_token").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        tok.join(token_df, "_token")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", "_token"))
+            ).alias("_ordered")
+        )
+        .withColumn("_sz", F.size("_ordered"))
+    )
+    prefix_len = (
+        F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pref = ranked.select(
+        "_id",
+        "_sz",
+        F.transform("_ordered", lambda s: s["_token"]).alias("_set"),
+        F.slice("_ordered", 1, prefix_len).alias("_prefix"),
+    )
+    inv = pref.select(
+        "_id", "_sz", F.explode("_prefix").alias("_ptok")
+    )
+    a = inv.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), "_ptok"
+    )
+    b = inv.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), "_ptok"
+    )
+    cand = (
+        a.join(b, "_ptok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
+            & (F.col("_sza") >= F.lit(threshold) * F.col("_szb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = pref.select("_id", "_set", "_sz")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_set").alias("_sa"),
+                F.col("_sz").alias("_sza"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_set").alias("_sb"),
+                F.col("_sz").alias("_szb"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter_size", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "union_size",
+            F.col("_sza") + F.col("_szb") - F.col("inter_size"),
+        )
+        .withColumn(
+            "jaccard", F.col("inter_size") / F.col("union_size")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_size").cast("long").alias("inter_size"),
+            F.col("union_size").cast("long").alias("union_size"),
+            "jaccard",
+        )
+    )
+    return verified

@@ -132,6 +132,9 @@ SCALAR_AGG_OK = [
     "basket_rules",
     # rolling autocorr: one partitioned ROWS window over integer moments
     "rolling_corr",
+    # prefix-filtered exact Jaccard join: equi joins only (token df,
+    # prefix-token candidates, verify-by-id) — no cartesian anywhere
+    "jaccard_pairs",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
