@@ -6151,9 +6151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mutual_info / psi_drift / fk_check / scd2_history /
         # skyline_frontier / snapshot_diff / inverted_postings /
         # json_extract_agg / ab_test / geo_radius_pairs / impute_mean /
-        # last_touch_attr / linear_attr / basket_rules / rolling_corr —
-        # every one locally driver_emu-green at sf0.001 AND sf0.01 AND
-        # sf0.1) — then the two
+        # last_touch_attr / linear_attr / basket_rules / rolling_corr /
+        # jaccard_pairs — every one locally driver_emu-green at sf0.001
+        # AND sf0.01 AND sf0.1) — then the two
         # changed-but-r03-green entries --
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
