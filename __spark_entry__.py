@@ -6042,6 +6042,44 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Bloom filter register table
+    (operators.sketch.bloom_build_arith): 1024 bits as 32 BIGINT words
+    of 32 bits, 4 SQL-replicable multiply-mod hashes over user ids —
+    the mergeable membership sketch next to HLL (cardinality) and
+    count-min (frequency). Gated as the full data structure; the
+    no-false-negative probe guarantee is pytest-verified in
+    test_sketch."""
+    from pylluminator_spark.operators.sketch import bloom_build_arith
+
+    ev = _t(spark, sf_dir, "events")
+    return bloom_build_arith(
+        ev, "user_id", m_bits=1024, group_cols=("event_type",)
+    ).orderBy("event_type", "word")
+
+
+def _gen_oracle_bloom() -> str:
+    p = 2_147_483_647
+    selects = [
+        f"SELECT event_type, (({a} * CAST(user_id AS BIGINT) + {b})"
+        f" % {p}) % 1024 AS pos"
+        " FROM events WHERE user_id IS NOT NULL"
+        for a, b in ((5, 11), (433, 17), (1861, 3), (3643, 101))
+    ]
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH pos AS ({union})
+SELECT event_type, CAST(pos // 32 AS INT) AS word,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT)
+         AS register
+FROM pos GROUP BY event_type, word
+ORDER BY event_type, word
+"""
+
+
+ORACLE_BLOOM_FILTER = _gen_oracle_bloom()
+
+
 # Oracle is brute-force all-pairs exact Jaccard over the same subset —
 # an independent O(n^2) algorithm, so a hash match also certifies that
 # prefix filtering lost no pairs (the lossless-blocking claim itself).
@@ -6152,8 +6190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skyline_frontier / snapshot_diff / inverted_postings /
         # json_extract_agg / ab_test / geo_radius_pairs / impute_mean /
         # last_touch_attr / linear_attr / basket_rules / rolling_corr /
-        # jaccard_pairs — every one locally driver_emu-green at sf0.001
-        # AND sf0.01 AND sf0.1) — then the two
+        # jaccard_pairs / bloom_filter — every one locally
+        # driver_emu-green at sf0.001 AND sf0.01 AND sf0.1) — then the two
         # changed-but-r03-green entries --
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -6205,6 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "rolling_corr": q_rolling_corr,
         "jaccard_pairs": q_jaccard_pairs,
+        "bloom_filter": q_bloom_filter,
         "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
         "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
         "pricing_summary": q_pricing_summary,
@@ -6316,6 +6355,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_rules": ORACLE_BASKET_RULES,
         "rolling_corr": ORACLE_ROLLING_CORR,
         "jaccard_pairs": ORACLE_JACCARD_PAIRS,
+        "bloom_filter": ORACLE_BLOOM_FILTER,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -211,3 +211,110 @@ def cms_estimate(
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_estimate")
     )
+
+
+_BLOOM_SEEDS = ((5, 11), (433, 17), (1861, 3), (3643, 101))
+
+
+def bloom_build_arith(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1024,
+    seeds: Sequence[tuple[int, int]] = _BLOOM_SEEDS,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bloom filter register table (Bloom 1970) from SQL-replicable
+    hashes — the third mergeable sketch next to HLL and count-min.
+
+    For each hash (a, b): ``pos = ((a*key + b) mod p31) mod m_bits``.
+    The bit array is stored as BIGINT words of 32 bits each (bit 31 is
+    the highest used — staying under the sign bit keeps the register
+    arithmetic identical in Spark, DuckDB, and pandas), so the table is
+    (group..., word, register) with at most ``m_bits / 32`` rows per
+    group. Mergeable by bitwise OR (``bloom_merge``); membership has NO
+    false negatives and a false-positive rate of about
+    ``(1 - e^(-k*n/m))^k``.
+
+    Scale notes: one union of k map-side projections + one keyed
+    aggregate; the register table is tiny by construction, so probing
+    (``bloom_probe``) broadcasts it. At 100 TB this is the standard
+    join-pruning primitive: build per partition/day, OR together, probe
+    before shuffling the big side.
+    """
+    gcols = list(group_cols)
+    keyed = df.where(F.col(key_col).isNotNull())
+    parts = []
+    for a, b in seeds:
+        pos = (
+            (F.lit(a) * F.col(key_col).cast("long") + F.lit(b))
+            % F.lit(_P31)
+        ) % F.lit(m_bits)
+        parts.append(
+            keyed.select(
+                *gcols,
+                (pos / F.lit(32)).cast("int").alias("word"),
+                F.pow(F.lit(2.0), (pos % 32).cast("int"))
+                .cast("long")
+                .alias("_mask"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.groupBy(*gcols, "word").agg(
+        F.bit_or("_mask").alias("register")
+    )
+
+
+def bloom_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge Bloom register tables by word-wise bitwise OR."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "word").agg(
+        F.bit_or("register").alias("register")
+    )
+
+
+def bloom_probe(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1024,
+    seeds: Sequence[tuple[int, int]] = _BLOOM_SEEDS,
+) -> DataFrame:
+    """Membership test: ``maybe_member`` is true iff ALL k bits are set
+    (no false negatives; rare false positives by design). The register
+    table is broadcast — it is at most ``m_bits / 32`` rows."""
+    keys = probes.select(F.col(key_col).alias("key")).distinct()
+    cells = []
+    for a, b in seeds:
+        pos = (
+            (F.lit(a) * F.col("key").cast("long") + F.lit(b))
+            % F.lit(_P31)
+        ) % F.lit(m_bits)
+        cells.append(
+            keys.select(
+                "key",
+                (pos / F.lit(32)).cast("int").alias("word"),
+                F.pow(F.lit(2.0), (pos % 32).cast("int"))
+                .cast("long")
+                .alias("_mask"),
+            )
+        )
+    probe_cells = cells[0]
+    for x in cells[1:]:
+        probe_cells = probe_cells.unionByName(x)
+    joined = probe_cells.join(F.broadcast(registers), "word", "left")
+    hit = (
+        F.coalesce(F.col("register"), F.lit(0))
+        .bitwiseAND(F.col("_mask"))
+        != 0
+    ).cast("int")
+    return joined.groupBy("key").agg(
+        (F.min(hit) == 1).alias("maybe_member")
+    )

@@ -135,6 +135,8 @@ SCALAR_AGG_OK = [
     # prefix-filtered exact Jaccard join: equi joins only (token df,
     # prefix-token candidates, verify-by-id) — no cartesian anywhere
     "jaccard_pairs",
+    # bloom filter build: k map-side projections + one keyed bit_or agg
+    "bloom_filter",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the

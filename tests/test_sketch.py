@@ -112,3 +112,72 @@ def test_cms_unseen_probe_small(spark):
     probes = spark.createDataFrame([(10**12 + 7,)], "k long")
     est = cms_estimate(counters, probes, "k", width=256).collect()[0]
     assert est.freq_estimate <= 1000 * 3 // 256 + 1
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    from pylluminator_spark.operators.sketch import (
+        bloom_build_arith,
+        bloom_probe,
+    )
+
+    rng = random.Random(7)
+    inserted = sorted(rng.sample(range(1, 1_000_000), 300))
+    absent = sorted(
+        rng.sample([x for x in range(1_000_001, 2_000_000)], 2000)
+    )
+    df = spark.createDataFrame([(k,) for k in inserted], ["k"])
+    regs = bloom_build_arith(df, "k", m_bits=4096)
+    probes = spark.createDataFrame(
+        [(k,) for k in inserted + absent], ["k"]
+    )
+    got = {
+        r.key: r.maybe_member
+        for r in bloom_probe(regs, probes, "k", m_bits=4096).collect()
+    }
+    # Bloom's contract: NO false negatives
+    assert all(got[k] for k in inserted)
+    # false positives exist but are rare: k=4, n=300, m=4096 ->
+    # (1 - e^(-4*300/4096))^4 ~= 0.4% expected; allow generous slack
+    fp = sum(1 for k in absent if got[k])
+    assert fp / len(absent) < 0.05
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    from pylluminator_spark.operators.sketch import (
+        bloom_build_arith,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(k,) for k in range(100)], ["k"])
+    b = spark.createDataFrame([(k,) for k in range(50, 200)], ["k"])
+    merged = sorted(
+        (r.word, r.register)
+        for r in bloom_merge(
+            [bloom_build_arith(a, "k"), bloom_build_arith(b, "k")]
+        ).collect()
+    )
+    direct = sorted(
+        (r.word, r.register)
+        for r in bloom_build_arith(a.unionByName(b), "k").collect()
+    )
+    assert merged == direct
+
+
+def test_bloom_registers_match_python_bit_for_bit(spark):
+    from pylluminator_spark.operators.sketch import (
+        _BLOOM_SEEDS,
+        bloom_build_arith,
+    )
+
+    keys = [3, 17, 999_983, 123_456_789, 2_000_000_011]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = sorted(
+        (r.word, r.register)
+        for r in bloom_build_arith(df, "k", m_bits=1024).collect()
+    )
+    words = {}
+    for k in keys:
+        for a, b in _BLOOM_SEEDS:
+            pos = ((a * k + b) % _P31) % 1024
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    assert got == sorted(words.items())
