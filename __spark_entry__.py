@@ -4201,7 +4201,8 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         scheme, F.lit("://News.Site"), (d % 20).cast("string"), F.lit("."),
         suffix, port, F.lit("/Art/"), (d % 7).cast("string"), trail,
-        F.lit("?utm_source=tw&q="), (d % 13).cast("string"),
+        F.lit("?q="), (d % 13).cast("string"),
+        F.lit("&utm_source=tw&r="), (d % 11).cast("string"),
         F.lit("&gclid=g"), frag,
     )
     return docs.select(
@@ -4234,7 +4235,8 @@ WITH u AS (
                ELSE '' END)
            || '/Art/' || CAST(doc_id % 7 AS VARCHAR)
            || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
-           || '?utm_source=tw&q=' || CAST(doc_id % 13 AS VARCHAR)
+           || '?q=' || CAST(doc_id % 13 AS VARCHAR)
+           || '&utm_source=tw&r=' || CAST(doc_id % 11 AS VARCHAR)
            || '&gclid=g'
            || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
   FROM documents
@@ -4265,13 +4267,13 @@ SELECT doc_id, scheme, host,
                   'com.mx', 'co.in', 'co.kr', 'co.nz')
             THEN last3 ELSE last2 END AS domain,
        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
            scheme || '://'
              || replace(regexp_replace(url, '{_URL_SCHEME}', ''),
                         host_raw, host),
            '#(.*)$', ''),
            '{_URL_TRACK}', '', 'g'),
-         '[?&]&+', '?'), '[?&]+$', ''),
+         '\?&+', '?'), '&{{2,}}', '&', 'g'), '[?&]+$', ''),
          '(://[^/?#:]+):(80|443)([/?#]|$)', '\1\3'),
          '(://[^/?#]+/[^?#]*[^/?#])/+(\?|$)', '\1\2') AS norm_url
 FROM dom2
@@ -4965,7 +4967,7 @@ WITH c AS (
   FROM events WHERE event_type = 'purchase'
 ), m AS (
   SELECT event_id, user_id, v,
-         COUNT(*) OVER w AS n,
+         COUNT(v) OVER w AS n,
          CAST(SUM(v) OVER w AS BIGINT) AS s,
          CAST(SUM(v * v) OVER w AS BIGINT) AS q
   FROM c
@@ -5673,10 +5675,12 @@ WITH s AS (
   FROM events
 ), w AS (
   SELECT n_a, n_b, s_a, s_b,
-         (CASE WHEN n_a >= 2 THEN (q_a - s_a * s_a / n_a) / (n_a - 1)
-          END) / (100 * 100) AS v_a,
-         (CASE WHEN n_b >= 2 THEN (q_b - s_b * s_b / n_b) / (n_b - 1)
-          END) / (100 * 100) AS v_b
+         (CASE WHEN n_a >= 2 THEN
+            (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+            / (n_a - 1) END) / (100 * 100) AS v_a,
+         (CASE WHEN n_b >= 2 THEN
+            (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+            / (n_b - 1) END) / (100 * 100) AS v_b
   FROM s
 ), t AS (
   SELECT n_a, n_b, s_a, s_b,
@@ -6109,20 +6113,233 @@ ORDER BY id_a, id_b
 """
 
 
+def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 ComBat's DISTRIBUTED stage with an oracle (reference
+    samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
+    re-derives Johnson et al. 2007): combat.combat_batch_stats — the
+    per-(probe, batch) sufficient statistics (n, sum_z, ssq) of the
+    standardized values plus per-probe pooled variance, i.e. the only
+    fact-table-scale computation; everything after it is (probe x batch)-
+    sized scalar arithmetic (the EB fixed point, gated by test_combat).
+    Betas from the oracle-reproducible _dmp_betas twin; batch = sample
+    parity, no covariates, so the broadcast-design OLS is the closed form
+    the oracle rebuilds: b_j = sum(present y in batch j) * (1/N_j) with
+    N_j the FULL sheet batch size, grand = sum_j (N_j/n) b_j, fitted =
+    b_batch, varp = sum((y - fitted)^2)/n_sheet. Probes with ~zero pooled
+    variance are excluded on both sides (the EB step divides by it)."""
+    from pylluminator_spark.combat import combat_batch_stats
+
+    betas = _dmp_betas(spark, sf_dir)
+    sheet = (
+        betas.select("sample")
+        .distinct()
+        .withColumn(
+            "batch", (F.col("sample").cast("int") % 2).cast("string")
+        )
+    )
+    stats = combat_batch_stats(betas, sheet, "batch", value_col="beta")
+    return stats.filter(F.col("var_pooled") > 1e-9).select(
+        "probe_id",
+        "batch",
+        "n",
+        F.round("sum_z", 6).alias("sum_z"),
+        F.round("ssq", 6).alias("ssq"),
+        F.round("var_pooled", 6).alias("var_pooled"),
+    )
+
+
+ORACLE_COMBAT_STATS = f"""
+WITH {_DMP_BETAS_SQL},
+sheet AS (
+  SELECT DISTINCT sample,
+         CAST(CAST(sample AS INTEGER) % 2 AS VARCHAR) AS batch
+  FROM b
+), sizes AS (
+  SELECT batch, COUNT(*) AS nb FROM sheet GROUP BY batch
+), tot AS (
+  SELECT COUNT(*) AS ns FROM sheet
+), v AS (
+  SELECT b.probe_id, b.sample, b.beta AS y, s.batch
+  FROM b JOIN sheet s USING (sample)
+), coefs AS (
+  -- b_j = sum over PRESENT samples of (1/N_j) * y, N_j from the FULL sheet
+  SELECT v.probe_id, v.batch, SUM(v.y * (1.0 / z.nb)) AS bj
+  FROM v JOIN sizes z ON v.batch = z.batch
+  GROUP BY v.probe_id, v.batch
+), grand AS (
+  SELECT c.probe_id, SUM(c.bj * (z.nb / (1.0 * t.ns))) AS g
+  FROM coefs c JOIN sizes z ON c.batch = z.batch CROSS JOIN tot t
+  GROUP BY c.probe_id
+), fit AS (
+  SELECT v.probe_id, v.batch, v.y, c.bj AS fitted
+  FROM v JOIN coefs c ON v.probe_id = c.probe_id AND v.batch = c.batch
+), varp AS (
+  SELECT f.probe_id,
+         SUM((f.y - f.fitted) * (f.y - f.fitted)) / (1.0 * t.ns) AS vp
+  FROM fit f CROSS JOIN tot t
+  GROUP BY f.probe_id, t.ns
+), z AS (
+  SELECT f.probe_id, f.batch,
+         (f.y - g.g) / sqrt(vp.vp) AS z, vp.vp
+  FROM fit f
+  JOIN grand g USING (probe_id)
+  JOIN varp vp USING (probe_id)
+  WHERE vp.vp > 1e-9
+)
+SELECT probe_id, batch,
+       COUNT(*) AS n,
+       ROUND(SUM(z), 6) AS sum_z,
+       ROUND(SUM(z * z), 6) AS ssq,
+       ROUND(ANY_VALUE(vp), 6) AS var_pooled
+FROM z GROUP BY probe_id, batch
+"""
+
+
+def q_cbs_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K15 CBS's split statistic with an oracle (cnv.cbs_split_tstats;
+    reference cnv.py:191-209 wraps the linear_segment C library — Olshen
+    et al. 2004 is the public spec): per-chromosome max-|t| over every
+    ordered binary split, from an ORDERED-window prefix sum plus
+    per-chromosome moment aggregates — the distributed twin of the numpy
+    _cbs_t_stats the seeded permutation recursion calls per block (the
+    permutation test itself stays pytest-gated). Bin values are exact
+    integer-valued doubles (quantity sums mod 1000), so every window sum
+    is exact and the derived t is IEEE-identical cross-engine."""
+    from pylluminator_spark.cnv import cbs_split_tstats
+
+    li = _t(spark, sf_dir, "lineitem")
+    bins = li.groupBy(
+        F.pmod(F.col("l_suppkey"), F.lit(8)).cast("string").alias(
+            "chromosome"
+        ),
+        F.pmod(F.col("l_partkey"), F.lit(200)).alias("start_bin"),
+    ).agg(
+        F.pmod(
+            F.sum(F.col("l_quantity").cast("long")), F.lit(1000)
+        ).cast("double").alias("cnv")
+    )
+    out = cbs_split_tstats(bins)
+    return out.select(
+        "chromosome",
+        "n_bins",
+        F.col("split_k").cast("bigint").alias("split_k"),
+        F.round("t_max", 6).alias("t_max"),
+        F.round("mean_left", 6).alias("mean_left"),
+        F.round("mean_right", 6).alias("mean_right"),
+    )
+
+
+ORACLE_CBS_TSTAT = """
+WITH bins AS (
+  SELECT CAST(l_suppkey % 8 AS VARCHAR) AS chromosome,
+         l_partkey % 200 AS start_bin,
+         CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) % 1000
+              AS DOUBLE) AS cnv
+  FROM lineitem GROUP BY 1, 2
+), d AS (
+  SELECT chromosome,
+         ROW_NUMBER() OVER
+           (PARTITION BY chromosome ORDER BY start_bin) AS k,
+         SUM(cnv) OVER (PARTITION BY chromosome ORDER BY start_bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS csum,
+         COUNT(*) OVER (PARTITION BY chromosome) AS n,
+         SUM(cnv) OVER (PARTITION BY chromosome) AS total,
+         SUM(cnv * cnv) OVER (PARTITION BY chromosome) AS ssq
+  FROM bins
+), scored AS (
+  SELECT chromosome, n AS n_bins, k AS split_k,
+         csum / k AS mean_left,
+         (total - csum) / (n - k) AS mean_right,
+         abs(csum / k - (total - csum) / (n - k))
+           / (sqrt(ssq / n - (total / n) * (total / n))
+              * sqrt(1.0 / k + 1.0 / (n - k))) AS t
+  FROM d
+  WHERE n >= 4 AND k < n
+    AND sqrt(ssq / n - (total / n) * (total / n)) > 0
+), best AS (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY chromosome ORDER BY t DESC, split_k ASC) AS rk
+  FROM scored
+)
+SELECT chromosome, n_bins, split_k,
+       ROUND(t, 6) AS t_max,
+       ROUND(mean_left, 6) AS mean_left,
+       ROUND(mean_right, 6) AS mean_right
+FROM best WHERE rk = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries against the
-    # DuckDB oracle each round. Round-4 rotation (VERDICT r3 #2), in priority:
-    #   1. the two r03 hash-fail rows, fixed by the BIGINT oracle casts;
-    #   2. entries NEW or materially CHANGED this round;
-    #   3. entries whose last green row is r01/r02 (displaced by r03's gate);
-    #   4. r03-green rows, re-gated as capacity allows;
-    #   5. rows-only entries (no oracle) last — they must not displace
-    #      oracle-bearing rows from the 50-slot window.
+    # DuckDB oracle each round. Round-5 rotation (VERDICT r4 #1): slots 1-50
+    # are EXACTLY the never-gated backlog — the 51 oracle-bearing entries r4
+    # shipped (old slots 51-101) minus bloom_filter, which is the 51st and
+    # leads the r6 queue. Every one is pytest-verified (test_oracle_parity
+    # exact-value DuckDB parity at sf0.001) and locally driver_emu-green at
+    # sf0.001 AND sf0.01 AND sf0.1. Registry growth is FROZEN until the
+    # backlog drains (VERDICT r4 #2): new r5 entries (combat_stats,
+    # cbs_tstat) queue BEHIND bloom_filter, never displacing backlog.
     return {
-        # -- 1. fixed this round (r03 hash fails, oracle dtype casts) -------
+        # -- 1. the never-gated backlog: 50 of 51, in r4 queue order --------
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "semantic_near_dup": q_semantic_near_dup,
+        "stream_dedup": q_stream_dedup,
+        "table_profile": q_table_profile,
+        "top_ngrams": q_top_ngrams,
+        "source_mixing": q_source_mixing,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "clean_html": q_clean_html,
+        "url_normalize": q_url_normalize,  # ADVICE r4 '&&' fix, both engines
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "domain_cap": q_domain_cap,
+        "weighted_sample": q_weighted_sample,
+        "logreg_predict": q_logreg_predict,
+        "logreg_step": q_logreg_step,
+        "pq_encode": q_pq_encode,
+        "bpe_pairs": q_bpe_pairs,
+        "prototype_prune": q_prototype_prune,
+        "pq_adc": q_pq_adc,
+        "event_transitions": q_event_transitions,
+        "value_histogram": q_value_histogram,
+        "validate_rules": q_validate_rules,
+        "ts_resample": q_ts_resample,
+        "ts_ewma": q_ts_ewma,
+        "ts_anomalies": q_ts_anomalies,  # ADVICE r4 NULL-count fix mirrored
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "zorder_key": q_zorder_key,
+        "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
+        "chi_square_assoc": q_chi_square_assoc,
+        "mutual_info": q_mutual_info,
+        "psi_drift": q_psi_drift,
+        "fk_check": q_fk_check,
+        "scd2_history": q_scd2_history,
+        "skyline_frontier": q_skyline_frontier,
+        "snapshot_diff": q_snapshot_diff,
+        "inverted_postings": q_inverted_postings,
+        "json_extract_agg": q_json_extract_agg,
+        "ab_test": q_ab_test,  # ADVICE r4 double-cast fix, both engines
+        "geo_radius_pairs": q_geo_radius_pairs,
+        "impute_mean": q_impute_mean,
+        "last_touch_attr": q_last_touch_attr,
+        "linear_attr": q_linear_attr,
+        "basket_rules": q_basket_rules,
+        "rolling_corr": q_rolling_corr,
+        "jaccard_pairs": q_jaccard_pairs,
+        # -- 2. r6 gate queue head: backlog leftover, then NEW r5 entries ----
+        "bloom_filter": q_bloom_filter,
+        "combat_stats": q_combat_stats,  # K12 distributed stage (NEW r5)
+        "cbs_tstat": q_cbs_tstat,  # K15 split statistic (NEW r5)
+        # -- 3. r4-green rows (all 50 green in CORRECTNESS_r04), re-gated
+        # as capacity allows in r6+ ------------------------------------------
         "hash_split": q_hash_split,
         "priority_shipmode": _tpch.QUERIES["priority_shipmode"],
-        # -- 2. new/changed this round --------------------------------------
         "ols_dmp": q_ols_dmp,
         "sample_distances": q_sample_distances,
         "beta_density": q_beta_density,
@@ -6138,7 +6355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "kmeans_assign": q_kmeans_assign,
         "lm_score": q_lm_score,
-        # -- 3. last green in r01/r02 ---------------------------------------
         "bh_adjust": q_bh_adjust,
         "mask_nullout": q_mask_nullout,
         "merge_by_group": q_merge_by_group,
@@ -6172,80 +6388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
-        # -- 4. overflow + r03-green rotation. The 50-slot window is full:
-        # slots 51+ lead the r5 gate queue — NEW entries whose correctness
-        # is pytest-verified and locally driver_emu-green at sf0.01
-        # (stratified_sample mirrors hash_split's arith bucket; pii_redact
-        # is a regexp chain; pack_sequences mirrors running_total;
-        # semantic_near_dup composes in-window kmeans_assign; stream_dedup
-        # is keys-only DISTINCT; table_profile / top_ngrams / source_mixing
-        # are exact-integer aggregates; clean_html / url_normalize /
-        # pii-style regexp chains; dedup_paragraphs / domain_cap /
-        # weighted_sample / logreg_* / pq_* / bpe_pairs / prototype_prune
-        # follow the same dual-engine determinism recipes, as do the
-        # analytics/sketch/graph additions: event_transitions /
-        # value_histogram / validate_rules / ts_* / fuzzy_pairs / graph_* /
-        # zorder_key / hll_registers / cms_counters / chi_square_assoc /
-        # mutual_info / psi_drift / fk_check / scd2_history /
-        # skyline_frontier / snapshot_diff / inverted_postings /
-        # json_extract_agg / ab_test / geo_radius_pairs / impute_mean /
-        # last_touch_attr / linear_attr / basket_rules / rolling_corr /
-        # jaccard_pairs / bloom_filter — every one locally
-        # driver_emu-green at sf0.001 AND sf0.01 AND sf0.1) — then the two
-        # changed-but-r03-green entries --
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "pack_sequences": q_pack_sequences,  # mirrors r03-green running_total
-        "semantic_near_dup": q_semantic_near_dup,  # composes green kmeans_assign
-        "stream_dedup": q_stream_dedup,
-        "table_profile": q_table_profile,
-        "top_ngrams": q_top_ngrams,
-        "source_mixing": q_source_mixing,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "clean_html": q_clean_html,
-        "url_normalize": q_url_normalize,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "domain_cap": q_domain_cap,
-        "weighted_sample": q_weighted_sample,
-        "logreg_predict": q_logreg_predict,
-        "logreg_step": q_logreg_step,
-        "pq_encode": q_pq_encode,
-        "bpe_pairs": q_bpe_pairs,
-        "prototype_prune": q_prototype_prune,
-        "pq_adc": q_pq_adc,
-        "event_transitions": q_event_transitions,
-        "value_histogram": q_value_histogram,
-        "validate_rules": q_validate_rules,
-        "ts_resample": q_ts_resample,
-        "ts_ewma": q_ts_ewma,
-        "ts_anomalies": q_ts_anomalies,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "zorder_key": q_zorder_key,
-        "hll_registers": q_hll_registers,
-        "cms_counters": q_cms_counters,
-        "chi_square_assoc": q_chi_square_assoc,
-        "mutual_info": q_mutual_info,
-        "psi_drift": q_psi_drift,
-        "fk_check": q_fk_check,
-        "scd2_history": q_scd2_history,
-        "skyline_frontier": q_skyline_frontier,
-        "snapshot_diff": q_snapshot_diff,
-        "inverted_postings": q_inverted_postings,
-        "json_extract_agg": q_json_extract_agg,
-        "ab_test": q_ab_test,
-        "geo_radius_pairs": q_geo_radius_pairs,
-        "impute_mean": q_impute_mean,
-        "last_touch_attr": q_last_touch_attr,
-        "linear_attr": q_linear_attr,
-        "basket_rules": q_basket_rules,
-        "rolling_corr": q_rolling_corr,
-        "jaccard_pairs": q_jaccard_pairs,
-        "bloom_filter": q_bloom_filter,
-        "dedup_components": q_dedup_components,  # pair-gen rewrite (r03 green)
-        "chunk_documents": q_chunk_documents,  # oracle hardening (r03 green)
+        # -- 4. r3-green and earlier -----------------------------------------
+        "dedup_components": q_dedup_components,
+        "chunk_documents": q_chunk_documents,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -6356,6 +6501,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr": ORACLE_ROLLING_CORR,
         "jaccard_pairs": ORACLE_JACCARD_PAIRS,
         "bloom_filter": ORACLE_BLOOM_FILTER,
+        "combat_stats": ORACLE_COMBAT_STATS,
+        "cbs_tstat": ORACLE_CBS_TSTAT,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -68,19 +68,30 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                **({"errors": errors} if errors else {}),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": runs,
+        **({"errors": errors} if errors else {}),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # The driver artifact truncates long stdout tails, which made r3/r4
+    # cross-round comparisons lossy — persist the COMPLETE per-query dict
+    # to a file too (same JSON line, parseable whole).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # benchmarking must never fail on an unwritable side-file
     spark.stop()
 
 

@@ -285,6 +285,94 @@ def _cbs_t_stats(x: np.ndarray):
     return k + 1, float(t[k])
 
 
+def cbs_split_tstats(
+    bins_signal: DataFrame,
+    *,
+    chrom_col: str = "chromosome",
+    order_col: str = "start_bin",
+    value_col: str = "cnv",
+) -> DataFrame:
+    """K15's split statistic as a DISTRIBUTED operator: per chromosome, the
+    CBS max-|t| over all binary split points k of the ``order_col``-sorted
+    values — the quantity ``_cbs_t_stats`` computes in numpy inside the
+    grouped-map recursion (reference cnv.py:191-209 wraps the
+    `linear_segment` C library whole; Olshen et al. 2004 is the public
+    spec). The permutation test stays in the seeded grouped-map path; this
+    is the scale path for the statistic itself when one chromosome's bin
+    vector outgrows a single task.
+
+    t(k) = |mean(x[:k]) - mean(x[k:])| / (std_pop(x) * sqrt(1/k + 1/(n-k)))
+
+    computed from an ORDERED-window cumulative sum (prefix sums are
+    order-defined, so exact for integer-valued inputs) plus per-chromosome
+    total/ssq aggregates. Chromosomes with n < 4 bins or zero variance are
+    excluded, mirroring ``_cbs_t_stats`` returning None; ties on t break to
+    the smallest k, matching ``np.argmax``.
+
+    Returns (chromosome, n_bins, split_k, t_max, mean_left, mean_right).
+    """
+    from pyspark.sql import Window
+
+    d0 = bins_signal.select(
+        F.col(chrom_col).alias("chromosome"),
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w_ord = (
+        Window.partitionBy("chromosome")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("chromosome")
+    d = d0.select(
+        "chromosome",
+        F.row_number()
+        .over(Window.partitionBy("chromosome").orderBy("_ord"))
+        .alias("k"),
+        F.sum("_v").over(w_ord).alias("csum"),
+        F.count("_v").over(w_all).alias("n"),
+        F.sum("_v").over(w_all).alias("total"),
+        F.sum(F.col("_v") * F.col("_v")).over(w_all).alias("ssq"),
+    )
+    n, k = F.col("n"), F.col("k")
+    mean1 = F.col("csum") / k
+    mean2 = (F.col("total") - F.col("csum")) / (n - k)
+    pooled = F.sqrt(
+        F.col("ssq") / n - (F.col("total") / n) * (F.col("total") / n)
+    )
+    t = F.abs(mean1 - mean2) / (
+        pooled * F.sqrt(1.0 / k + 1.0 / (n - k))
+    )
+    scored = (
+        d.filter((n >= 4) & (k < n))
+        .withColumn("_pooled", pooled)
+        .filter(F.col("_pooled") > 0)
+        .select(
+            "chromosome",
+            n.alias("n_bins"),
+            k.alias("split_k"),
+            t.alias("t"),
+            mean1.alias("mean_left"),
+            mean2.alias("mean_right"),
+        )
+    )
+    best = Window.partitionBy("chromosome").orderBy(
+        F.col("t").desc(), F.col("split_k").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "chromosome",
+            "n_bins",
+            "split_k",
+            F.col("t").alias("t_max"),
+            "mean_left",
+            "mean_right",
+        )
+    )
+
+
 def _cbs_segment_chrom(
     values: np.ndarray,
     shuffles: int = 1000,

@@ -54,24 +54,19 @@ def _design_matrix(
     return X, batches, list(sheet_pdf["sample"].astype(str))
 
 
-def combat(
+def _standardize(
     values: DataFrame,
     sheet: DataFrame,
-    batch_col: str = "batch",
-    covariate_cols: list[str] | None = None,
-    *,
-    value_col: str = "value",
-    convergence: float = 1e-4,
-    max_iter: int = 200,
+    batch_col: str,
+    covariate_cols: list[str],
+    value_col: str,
 ) -> DataFrame:
-    """EB batch correction of a long (probe_id, sample, value) table.
-
-    `sheet` is the sample dimension (sample, batch, covariates...) — always
-    dimension-sized, collected once. Returns (probe_id, sample, value)
-    with batch effects removed. Probes with missing values in any sample are
-    corrected with per-batch statistics over present values.
-    """
-    covariate_cols = covariate_cols or []
+    """Steps 1 of the module docstring: per-probe OLS against the broadcast
+    (batch one-hot | covariates) design, pooled variance, and the
+    standardized residual ``_z`` per (probe, sample). Returns the long
+    table with ``_batch``, ``_varp``, ``_stand``, ``_z`` attached — the
+    shared input of the EB moment stage (``combat_batch_stats``) and the
+    full ``combat`` solver."""
     sheet_pdf = (
         sheet.select("sample", batch_col, *covariate_cols).toPandas()
     ).reset_index(drop=True)
@@ -135,13 +130,66 @@ def combat(
         ),
         F.lit(0.0),
     )
-    z = (
+    return (
         with_fit.join(var_pooled, "probe_id")
         .withColumn("_stand", F.col("_grand") + cov_part)
         .withColumn(
             "_z",
             (F.col("_y") - F.col("_stand")) / F.sqrt(F.col("_varp")),
         )
+    )
+
+
+def combat_batch_stats(
+    values: DataFrame,
+    sheet: DataFrame,
+    batch_col: str = "batch",
+    covariate_cols: list[str] | None = None,
+    *,
+    value_col: str = "value",
+) -> DataFrame:
+    """K12's DISTRIBUTED stage as a standalone, SQL-checkable operator
+    (reference samples.py:1609-1701 wraps pycombat_norm whole; here the
+    only part that touches fact-table-scale data is exactly this): the
+    per-(probe, batch) sufficient statistics of the standardized values —
+    (n, sum_z, ssq) — that the EB fixed point (``combat`` step 3) iterates
+    over, plus the per-probe pooled variance. Everything after this table
+    is (probe x batch)-sized scalar arithmetic.
+
+    Returns (probe_id, batch, n, sum_z, ssq, var_pooled)."""
+    z = _standardize(
+        values, sheet, batch_col, covariate_cols or [], value_col
+    )
+    return z.groupBy(
+        "probe_id", F.col("_batch").alias("batch")
+    ).agg(
+        F.count("_z").alias("n"),
+        F.sum("_z").alias("sum_z"),
+        F.sum(F.col("_z") * F.col("_z")).alias("ssq"),
+        F.first("_varp").alias("var_pooled"),
+    )
+
+
+def combat(
+    values: DataFrame,
+    sheet: DataFrame,
+    batch_col: str = "batch",
+    covariate_cols: list[str] | None = None,
+    *,
+    value_col: str = "value",
+    convergence: float = 1e-4,
+    max_iter: int = 200,
+) -> DataFrame:
+    """EB batch correction of a long (probe_id, sample, value) table.
+
+    `sheet` is the sample dimension (sample, batch, covariates...) — always
+    dimension-sized, collected once. Returns (probe_id, sample, value)
+    with batch effects removed. Probes with missing values in any sample are
+    corrected with per-batch statistics over present values.
+    """
+    covariate_cols = covariate_cols or []
+    z = _standardize(
+        values, sheet, batch_col, covariate_cols, value_col
     ).persist()
 
     # 2. per-(probe, batch) sufficient statistics

@@ -96,7 +96,11 @@ def normalize_url_expr(url: Column) -> Column:
                    F.replace(rest, host_raw, F.lower(host_raw)))
     out = F.regexp_replace(out, URL_FRAGMENT_PATTERN, "")
     out = F.regexp_replace(out, TRACKING_PARAM_PATTERN, "")
-    out = F.regexp_replace(out, r"[?&]&+", "?")   # '?&' / '&&' left by strips
+    # context-preserving cleanup of separators left by the strips: a '?&&...'
+    # run collapses to '?', a mid-query '&&...' run to '&' (replacing either
+    # with '?' would inject a second '?' after a mid-query strip)
+    out = F.regexp_replace(out, r"\?&+", "?")
+    out = F.regexp_replace(out, r"&{2,}", "&")
     out = F.regexp_replace(out, r"[?&]+$", "")
     out = F.regexp_replace(out, r"(://[^/?#:]+):(80|443)([/?#]|$)", r"$1$3")
     out = F.regexp_replace(out, r"(://[^/?#]+/[^?#]*[^/?#])/+(\?|$)", r"$1$2")

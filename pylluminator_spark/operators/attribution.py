@@ -42,8 +42,11 @@ def last_touch(
     lookback_us: int | None = None,
 ) -> DataFrame:
     """Per conversion: the latest preceding touch (same user, ts <=
-    conversion ts, ties broken by event id; conversions never attribute
-    to touches at a later id within the same instant). Returns
+    conversion ts). Within the same instant, ALL touches sort before the
+    conversion regardless of event id — the window orders by
+    (us, _is_conv, eid) — so a same-timestamp touch is attributed even
+    when its event id is larger than the conversion's. Among several
+    same-instant touches, the largest eid wins. Returns
     (conversion_id, user, conversion_us, touch_id, touch_type, touch_us)
     with NULL touch columns for organic conversions (or stale ones
     outside ``lookback_us``)."""

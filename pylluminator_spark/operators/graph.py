@@ -231,16 +231,20 @@ def triangle_stats(
 ) -> DataFrame:
     """One-row graph summary: (n_nodes, n_edges, n_triangles) over the
     undirected simple graph. The canonical edge table is persisted once
-    and shared by the node/edge/triangle branches."""
+    and shared by two branches: ONE endpoint-explode pass folds the node
+    and edge counts together (each canonical edge contributes exactly two
+    endpoint rows, so n_edges = rows/2), cross-joined with the triangle
+    count — two jobs over the persisted table, not three."""
     und = _canonical(edges, src, dst).persist()
     tri = _triangles_from(und)
-    nodes = und.select(F.col("u").alias("n")).unionByName(
-        und.select(F.col("v").alias("n"))
-    ).distinct()
-    return (
-        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    node_edge = und.select(
+        F.explode(F.array("u", "v")).alias("n")
+    ).agg(
+        F.count_distinct(F.col("n")).alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )
+    return node_edge.crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 
 
@@ -304,7 +308,7 @@ def pagerank(
     # by AQE when small), so each iteration is one broadcast-or-hash join
     # with the edge table + one keyed integer aggregate
     ranks = deg.withColumn("rank_int", F.lit(base).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             ranks.where(F.col("odeg") > 0)
             .join(e, ranks["node"] == e["s"])
@@ -336,8 +340,14 @@ def pagerank(
             "odeg",
             F.expr("_num div 100").cast("long").alias("rank_int"),
         )
-        # truncate lineage so iteration plans stay flat
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # truncate lineage every OTHER iteration (and at the end): an
+        # eager checkpoint per iteration serializes one job per round,
+        # while a 2-iteration lineage is still flat enough to plan —
+        # halves the job count for the same bit-exact result
+        if it % 2 == 1 or it == iters - 1:
+            ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            ranks = new_ranks
     for frame in (e, deg):
         frame.unpersist()
     return ranks.select("node", "rank_int")

@@ -280,8 +280,13 @@ def ab_test(
             F.col(f"s_{name}"),
             F.col(f"q_{name}"),
         )
+        # square in DOUBLE: s is a BIGINT sum of the scaled metric, and
+        # s*s as BIGINT overflows under ANSI mode once sum(v) > ~3e9 —
+        # i.e. at exactly the corpus sizes this one-pass design targets
+        sd = s.cast("double")
+        qd = q.cast("double")
         return (
-            F.when(n >= 2, (q - s * s / n) / (n - 1)) / (scale * scale)
+            F.when(n >= 2, (qd - sd * sd / n) / (n - 1)) / (scale * scale)
         )
 
     se = F.sqrt(

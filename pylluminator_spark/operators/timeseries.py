@@ -239,7 +239,10 @@ def rolling_zscore(
         .rowsBetween(-(window_rows - 1), 0)
     )
     v = _scaled(F.col(value_col), scale)
-    n = F.count(F.lit(1)).over(w)
+    # count the SAME rows the sums see: F.count(v) skips NULL values, so a
+    # NULL value_col row can't deflate roll_mean/var for its neighbors
+    # (matches rolling_corr's both-non-null treatment)
+    n = F.count(v).over(w)
     s = F.sum(v).over(w)
     q = F.sum(v * v).over(w)
     mean = s / n

@@ -10,9 +10,14 @@ from __future__ import annotations
 
 import hashlib
 import sys
+from pathlib import Path
 
 import duckdb
 import pandas as pd
+
+# running as `python tests/driver_emu.py` puts tests/ (not the repo root)
+# on sys.path; __spark_entry__ lives at the root
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",

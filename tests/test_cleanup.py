@@ -150,6 +150,16 @@ class TestNormalizeUrl:
                 "https://e.com/p?utm_source=tw&q=1&utm_medium=x",
                 "https://e.com/p?q=1",
             ),
+            # MID-query tracking param: the '&&' left behind must collapse
+            # to '&', never become a second '?' (ADVICE r4 regression)
+            (
+                "http://ex.com/p?b=2&utm_a=1&c=3",
+                "http://ex.com/p?b=2&c=3",
+            ),
+            (
+                "http://ex.com/p?b=2&utm_a=1&gclid=x&c=3",
+                "http://ex.com/p?b=2&c=3",
+            ),
             # all params tracking -> no dangling '?'
             ("https://e.com/p?utm_source=a&gclid=b", "https://e.com/p"),
             # default ports dropped, explicit non-default kept

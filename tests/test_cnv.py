@@ -203,3 +203,45 @@ def test_cnv_pipeline_end_to_end(spark, cnv_fixture):
     assert chr2["mean_cnv"].max() - chr1["mean_cnv"].mean() == pytest.approx(
         1.0, abs=0.2
     )
+
+
+def test_cbs_split_tstats_matches_numpy(spark):
+    """The distributed split statistic (cbs_split_tstats) must return the
+    same (argmax k, max |t|) as the numpy _cbs_t_stats the permutation
+    recursion calls."""
+    rng = np.random.RandomState(7)
+    rows = []
+    expected = {}
+    for ci, (n_bins, shift_at) in enumerate([(40, 25), (120, 30), (9, 4)]):
+        x = rng.randn(n_bins)
+        x[shift_at:] += 2.5
+        x = np.round(x * 100)  # integer-valued, like the gate data
+        chrom = f"c{ci}"
+        expected[chrom] = cnv._cbs_t_stats(x)
+        rows += [
+            (chrom, i, float(v)) for i, v in enumerate(x)
+        ]
+    df = spark.createDataFrame(
+        rows, "chromosome string, start_bin int, cnv double"
+    )
+    got = {
+        r.chromosome: r
+        for r in cnv.cbs_split_tstats(df).collect()
+    }
+    assert set(got) == set(expected)
+    for chrom, (k_np, t_np) in expected.items():
+        assert got[chrom].split_k == k_np
+        np.testing.assert_allclose(got[chrom].t_max, t_np, rtol=1e-9)
+        assert got[chrom].n_bins == {"c0": 40, "c1": 120, "c2": 9}[chrom]
+
+
+def test_cbs_split_tstats_excludes_degenerate(spark):
+    # n < 4 and zero-variance chromosomes mirror _cbs_t_stats -> None
+    df = spark.createDataFrame(
+        [("short", i, float(i)) for i in range(3)]
+        + [("flat", i, 5.0) for i in range(10)]
+        + [("ok", i, float(i % 3)) for i in range(10)],
+        "chromosome string, start_bin int, cnv double",
+    )
+    got = cnv.cbs_split_tstats(df).collect()
+    assert [r.chromosome for r in got] == ["ok"]

@@ -132,3 +132,49 @@ def test_combat_no_covariates(spark, dataset):
     want = combat_numpy(Y.copy(), batch)
     order = np.argsort([f"pr{j:04d}" for j in range(Y.shape[1])])
     assert np.allclose(mat.to_numpy(), want[:, order], atol=1e-6)
+
+
+def test_combat_batch_stats_matches_numpy(spark, dataset):
+    """The gate-facing distributed stage (combat_batch_stats) must agree
+    with the numpy standardization: per-(probe, batch) n / sum_z / ssq of
+    Z = (Y - stand) / sqrt(var_pooled), plus var_pooled itself."""
+    from pylluminator_spark.combat import combat_batch_stats
+
+    Y, batch, age, samples = dataset
+    values = _long_df(spark, Y, samples)
+    sheet = spark.createDataFrame(
+        list(zip(samples, batch, [float(a) for a in age])),
+        ["sample", "batch", "age"],
+    )
+    got = combat_batch_stats(
+        values, sheet, "batch", ["age"]
+    ).toPandas().set_index(["probe_id", "batch"]).sort_index()
+
+    # numpy twin of the standardization (same as combat_numpy's prologue)
+    batches = sorted(set(batch))
+    n, p = Y.shape
+    Xb = np.column_stack(
+        [(np.array(batch) == b).astype(float) for b in batches]
+    )
+    X = np.hstack([Xb, np.array(age)[:, None]])
+    nb = len(batches)
+    B_hat = np.linalg.solve(X.T @ X, X.T @ Y)
+    frac = Xb.sum(0) / n
+    grand = frac @ B_hat[:nb]
+    var_pooled = ((Y - X @ B_hat) ** 2).sum(0) / n
+    stand = grand[None, :] + X[:, nb:] @ B_hat[nb:]
+    Z = (Y - stand) / np.sqrt(var_pooled)[None, :]
+
+    for j, b in enumerate(batches):
+        rows = np.array(batch) == b
+        Zb = Z[rows]
+        for pj in range(p):
+            r = got.loc[(f"pr{pj:04d}", b)]
+            assert r["n"] == rows.sum()
+            np.testing.assert_allclose(r["sum_z"], Zb[:, pj].sum(), atol=1e-8)
+            np.testing.assert_allclose(
+                r["ssq"], (Zb[:, pj] ** 2).sum(), atol=1e-8
+            )
+            np.testing.assert_allclose(
+                r["var_pooled"], var_pooled[pj], atol=1e-10
+            )

@@ -81,6 +81,10 @@ CLEAN = [
     "zorder_key",
     # sketches: pure integer hash exprs + one keyed aggregate each
     "hll_registers", "cms_counters",
+    # round 5: ComBat's distributed stage — broadcast model join + three
+    # probe-keyed hash aggregates/joins; CBS split statistic — chromosome-
+    # partitioned windows + one keyed argmax window
+    "combat_stats", "cbs_tstat",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)

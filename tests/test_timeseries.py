@@ -166,6 +166,29 @@ def test_rolling_zscore_constant_series_null(spark):
     assert out["zscore"].isna().all()  # zero variance -> NULL, not error
 
 
+def test_rolling_zscore_null_row_does_not_deflate_neighbors(spark):
+    # ADVICE r4 regression: a NULL value row inside the trailing window must
+    # not count toward n (it contributes nothing to the sums), else
+    # roll_mean deflates and z skews for every neighbor that sees it.
+    rows = [("a", 0, 10.0), ("a", 1, None), ("a", 2, 20.0), ("a", 3, 30.0)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    out = (
+        rolling_zscore(
+            df, "v", order_cols=["i"], group_cols=["g"], window_rows=4,
+            min_rows=3,
+        )
+        .orderBy("i")
+        .toPandas()
+    )
+    # window at i=3 sees values {10, 20, 30}: n=3, mean=20
+    assert out.loc[3, "roll_n"] == 3
+    assert out.loc[3, "roll_mean"] == 20.0
+    # z = (30-20)/std([10,20,30], ddof=0) = 10/8.164966
+    np.testing.assert_allclose(out.loc[3, "zscore"], 1.224745, rtol=1e-6)
+    # the NULL row itself: moments from {10} alone, z NULL (n < min_rows)
+    assert out.loc[1, "roll_n"] == 1 and np.isnan(out.loc[1, "zscore"])
+
+
 def test_rolling_corr_matches_pandas(spark, ev, ev_pd):
     from pylluminator_spark.operators.timeseries import rolling_corr
     from pyspark.sql import Window as W
