@@ -3870,6 +3870,73 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join gate (beyond-reference §2.9,
+    streaming.events.stream_stream_interval_join): purchases joined to the
+    same user's views within the 30 minutes AFTER the purchase — two
+    watermarked branches of the readStream source, state bounded by the
+    watermark, drained availableNow. Inner stream-stream joins emit
+    eagerly, so the drained result equals the batch interval join the
+    DuckDB oracle runs. Output is exact integers only (ids + second lag)."""
+    from pylluminator_spark.streaming.events import (
+        read_event_stream_auto,
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
+    left = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = stream.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        # the test datasets span days, not years: a huge watermark keeps
+        # every buffered row live until the drain finishes, making the
+        # availableNow result exactly the batch join (state-bounding
+        # behavior with short watermarks is exercised in test_streaming)
+        watermark="3650 days",
+        within="30 minutes",
+    )
+    res = run_available_now(joined, output_mode="append")
+    return res.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        # microsecond diff then floor-div: boundary-counting vs truncation
+        # semantics can't diverge at the µs resolution the data carries
+        F.expr("timestampdiff(MICROSECOND, ts, r_ts) div 1000000")
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+
+
+ORACLE_STREAM_JOIN = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts AS r_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.purchase_id, v.view_id,
+       CAST(date_diff('microsecond', p.ts, v.r_ts) // 1000000 AS BIGINT)
+         AS lag_s
+FROM p JOIN v
+  ON p.user_id = v.user_id
+ AND v.r_ts >= p.ts
+ AND v.r_ts <= p.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data profiling (operators.profile.column_profile): row
     count, null count, exact cardinality, and min/max per column of the

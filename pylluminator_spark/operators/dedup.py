@@ -415,3 +415,101 @@ def jaccard_join_exact(
         )
     )
     return verified
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Weighted near-duplicate discovery: every unordered doc pair whose
+    TF-IDF cosine similarity reaches ``threshold``, via an inverted-index
+    self-join (the weighted complement of ``jaccard_join_exact`` /
+    MinHash — Bayardo et al. WWW'07's all-pairs problem with cosine
+    weights). idf = ln((N+1)/(df+1)) + 1 (smooth, sklearn convention);
+    vectors are L2-normalized so the pair dot product IS the cosine.
+
+    ``max_df`` drops tokens present in more than that many documents from
+    the vocabulary (standard stop-word feature selection). This is also
+    the SCALE control: posting-list self-join volume is sum(df^2) over
+    kept tokens, so capping df caps the candidate count — the dropped
+    tokens are exactly the least-informative ones (idf -> ~1 region).
+
+    Every float is bit-deterministic cross-engine: idf/weights derive from
+    exact integer counts, and BOTH varying-size sums (the per-doc norm and
+    the per-pair dot product) are folded in sorted token order via
+    ``F.aggregate(sort_array(collect_list(...)))`` — the fixed-order fold
+    a DuckDB ``list_reduce(list(x ORDER BY token), ...)`` reproduces
+    exactly (0.0 + x == x for the positive weights here).
+
+    Returns (id_a, id_b, n_shared, cosine) with id_a < id_b.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("_token"),
+    )
+    tf = toks.groupBy("_id", "_token").agg(F.count(F.lit(1)).alias("_tf"))
+    n1 = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    df_tab = tf.groupBy("_token").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        df_tab = df_tab.filter(F.col("_df") <= max_df)
+    w = (
+        tf.join(df_tab, "_token")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "_w",
+            F.col("_tf").cast("double")
+            * (
+                F.log(
+                    (F.col("_n_docs") + F.lit(1.0))
+                    / (F.col("_df") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+        .select("_id", "_token", "_w")
+    )
+
+    def _sorted_fold(pairs_col):
+        return F.aggregate(
+            F.sort_array(pairs_col), F.lit(0.0), lambda acc, x: acc + x["_p"]
+        )
+
+    norm = w.groupBy("_id").agg(
+        _sorted_fold(
+            F.collect_list(
+                F.struct(F.col("_token"), (F.col("_w") * F.col("_w")).alias("_p"))
+            )
+        ).alias("_n2")
+    )
+    wn = w.join(norm, "_id").select(
+        "_id", "_token", (F.col("_w") / F.sqrt(F.col("_n2"))).alias("_wn")
+    )
+    a = wn.select(
+        F.col("_id").alias("id_a"), "_token", F.col("_wn").alias("_wa")
+    )
+    b = wn.select(
+        F.col("_id").alias("id_b"), "_token", F.col("_wn").alias("_wb")
+    )
+    scored = (
+        a.join(b, "_token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            _sorted_fold(
+                F.collect_list(
+                    F.struct(
+                        F.col("_token"),
+                        (F.col("_wa") * F.col("_wb")).alias("_p"),
+                    )
+                )
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "n_shared", "cosine"
+    )

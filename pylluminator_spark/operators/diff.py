@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,48 @@ def diff_summary(
         F.sum((t == "changed").cast("long")).alias("n_changed"),
         F.sum((t == "unchanged").cast("long")).alias("n_unchanged"),
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change batch to a snapshot (the MERGE/upsert primitive a
+    lakehouse table maintenance job runs): per key, the HIGHEST-version
+    change wins (last-writer-wins; ties break to the delete so replays are
+    idempotent), a winning ``delete_op`` removes the key, any other op
+    upserts the change row's payload, and snapshot keys without changes
+    pass through untouched.
+
+    Payload columns are ``snapshot``'s non-key columns; ``changes`` must
+    carry the same payload plus ``version_col`` and ``op_col``.
+
+    Scale shape: ONE keyed window over the change batch (row_number by
+    version DESC — the batch, not the snapshot, pays the sort), one
+    LEFT ANTI join to drop superseded snapshot keys, one union. The
+    snapshot is never windowed or re-sorted; at 100 TB the cost is the
+    anti-join shuffle on the keys plus the (usually much smaller) change
+    batch's window.
+    """
+    keys = list(key_cols)
+    payload = [c for c in snapshot.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(),
+        # version ties: delete outranks upsert, then op string for
+        # total determinism
+        (F.col(op_col) == delete_op).cast("int").desc(),
+        F.col(op_col).asc(),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = snapshot.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest.where(F.col(op_col) != delete_op).select(*keys, *payload)
+    return kept.unionByName(upserts)

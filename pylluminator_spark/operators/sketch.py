@@ -318,3 +318,43 @@ def bloom_probe(
     return joined.groupBy("key").agg(
         (F.min(hit) == 1).alias("maybe_member")
     )
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 16384,
+    seeds: Sequence[tuple[int, int]] = _BLOOM_SEEDS,
+) -> DataFrame:
+    """Semi-join reduction: prune the FACT side with a Bloom filter of the
+    dim keys BEFORE the join — the classic 100 TB shuffle-avoidance
+    primitive (runtime row-level filtering, done explicitly). The result
+    is IDENTICAL to ``fact.join(dim, key)``: Bloom membership has no
+    false negatives (nothing joinable is dropped) and the real join
+    eliminates the rare false positives. What changes is the plan: only
+    the surviving fraction of the fact table reaches the join.
+
+    The register table is collected once (at most ``m_bits / 32`` BIGINT
+    words — dimension-sized by construction) and inlined as an array
+    literal, so the membership test is a pure codegen filter: k
+    multiply-mod bit probes per row, ZERO extra shuffle and no probe-side
+    join. Inner join only (pruning the fact side changes outer-join
+    semantics).
+    """
+    n_words = (m_bits + 31) // 32
+    words = [0] * n_words
+    for r in bloom_build_arith(dim, key, m_bits=m_bits, seeds=seeds).collect():
+        words[r["word"]] = int(r["register"])
+    arr = F.lit(words)
+    kl = F.col(key).cast("long")
+    cond = None
+    for a, b in seeds:
+        pos = ((F.lit(a) * kl + F.lit(b)) % F.lit(_P31)) % F.lit(m_bits)
+        word = (pos / F.lit(32)).cast("int")
+        mask = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
+        hit = F.element_at(arr, word + F.lit(1)).bitwiseAND(mask) != 0
+        cond = hit if cond is None else (cond & hit)
+    pruned = fact.filter(F.col(key).isNotNull() & cond)
+    return pruned.join(dim, key, "inner")

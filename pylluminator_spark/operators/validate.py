@@ -169,3 +169,41 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for rep in reports:
         out = out.unionByName(rep)
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity report (Sweeney 2002): group by
+    the quasi-identifier columns and flag every class smaller than ``k`` —
+    the governance check a training-data release runs before shipping
+    user-derived rows. Returns (quasi_cols..., class_size, is_violation),
+    one row per equivalence class.
+
+    One hash aggregate on the quasi-identifier key — map-side partials,
+    no window, no join; the violation flag is a codegen comparison."""
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("class_size")
+    ).withColumn("is_violation", F.col("class_size") < k)
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """One-row rollup of ``k_anonymity``: total classes, violating classes,
+    rows at risk (rows inside sub-k classes), and the minimum class size —
+    the quantity k-anonymity is stated in terms of."""
+    classes = k_anonymity(df, quasi_cols, k)
+    viol = F.col("class_size") < k
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(viol.cast("int")).cast("long").alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("class_size")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("class_size").alias("min_class_size"),
+    )
