@@ -6229,24 +6229,33 @@ sheet AS (
   SELECT b.probe_id, b.sample, b.beta AS y, s.batch
   FROM b JOIN sheet s USING (sample)
 ), coefs AS (
-  -- b_j = sum over PRESENT samples of (1/N_j) * y, N_j from the FULL sheet
-  SELECT v.probe_id, v.batch, SUM(v.y * (1.0 / z.nb)) AS bj
+  -- b_j = sum over PRESENT samples of (1/N_j) * y, N_j from the FULL
+  -- sheet. Every float SUM below is a sample-ordered list_reduce — the
+  -- bit-deterministic twin of combat.py's _det_sum fold (ADVICE r5:
+  -- unordered SUMs flip ROUND(6) boundaries at sf0.01+).
+  SELECT v.probe_id, v.batch,
+         list_reduce(list(v.y * (1.0 / z.nb) ORDER BY v.sample),
+                     (a, b) -> a + b) AS bj
   FROM v JOIN sizes z ON v.batch = z.batch
   GROUP BY v.probe_id, v.batch
 ), grand AS (
-  SELECT c.probe_id, SUM(c.bj * (z.nb / (1.0 * t.ns))) AS g
+  SELECT c.probe_id,
+         list_reduce(list(c.bj * (z.nb / (1.0 * t.ns)) ORDER BY c.batch),
+                     (a, b) -> a + b) AS g
   FROM coefs c JOIN sizes z ON c.batch = z.batch CROSS JOIN tot t
   GROUP BY c.probe_id
 ), fit AS (
-  SELECT v.probe_id, v.batch, v.y, c.bj AS fitted
+  SELECT v.probe_id, v.batch, v.sample, v.y, c.bj AS fitted
   FROM v JOIN coefs c ON v.probe_id = c.probe_id AND v.batch = c.batch
 ), varp AS (
   SELECT f.probe_id,
-         SUM((f.y - f.fitted) * (f.y - f.fitted)) / (1.0 * t.ns) AS vp
+         list_reduce(list((f.y - f.fitted) * (f.y - f.fitted)
+                          ORDER BY f.sample),
+                     (a, b) -> a + b) / (1.0 * t.ns) AS vp
   FROM fit f CROSS JOIN tot t
   GROUP BY f.probe_id, t.ns
 ), z AS (
-  SELECT f.probe_id, f.batch,
+  SELECT f.probe_id, f.batch, f.sample,
          (f.y - g.g) / sqrt(vp.vp) AS z, vp.vp
   FROM fit f
   JOIN grand g USING (probe_id)
@@ -6255,8 +6264,10 @@ sheet AS (
 )
 SELECT probe_id, batch,
        COUNT(*) AS n,
-       ROUND(SUM(z), 6) AS sum_z,
-       ROUND(SUM(z * z), 6) AS ssq,
+       ROUND(list_reduce(list(z ORDER BY sample), (a, b) -> a + b), 6)
+         AS sum_z,
+       ROUND(list_reduce(list(z * z ORDER BY sample), (a, b) -> a + b), 6)
+         AS ssq,
        ROUND(ANY_VALUE(vp), 6) AS var_pooled
 FROM z GROUP BY probe_id, batch
 """

@@ -41,6 +41,26 @@ from pyspark.sql.types import (
 from pylluminator_spark.functions.methyl import beta_to_m_expr, m_to_beta_expr
 
 
+def _det_sum(value_expr, key_col: str = "sample"):
+    """Order-fixed float sum: fold the group's values in ascending `key_col`
+    order so the IEEE op sequence is identical on every engine and every
+    run (the cross-engine determinism discipline used by
+    tfidf_cosine_pairs / rolling_corr; DuckDB twin is
+    ``list_reduce(list(x ORDER BY sample), (a, b) -> a + b)`` — the 0.0
+    seed is exact because 0.0 + x == x for finite x). Costs a
+    collect_list shuffle instead of a map-side partial sum, so it is
+    opt-in: only the SQL-checkable gate surface pays it."""
+    return F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(key_col).alias("_k"), value_expr.alias("_v"))
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_v"],
+    )
+
+
 def _design_matrix(
     sheet_pdf: pd.DataFrame, batch_col: str, covariate_cols: list[str]
 ) -> tuple[np.ndarray, list[str], list[str]]:
@@ -60,13 +80,23 @@ def _standardize(
     batch_col: str,
     covariate_cols: list[str],
     value_col: str,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Steps 1 of the module docstring: per-probe OLS against the broadcast
     (batch one-hot | covariates) design, pooled variance, and the
     standardized residual ``_z`` per (probe, sample). Returns the long
     table with ``_batch``, ``_varp``, ``_stand``, ``_z`` attached — the
     shared input of the EB moment stage (``combat_batch_stats``) and the
-    full ``combat`` solver."""
+    full ``combat`` solver.
+
+    ``deterministic=True`` replaces every per-probe float SUM (the OLS
+    coefficients and the pooled variance) with the sample-ordered fold of
+    ``_det_sum`` so the result is bit-identical across engines and runs —
+    required by the hash-compared ``combat_batch_stats`` gate, where the
+    unordered-sum version flips ROUND(6) boundaries once row counts grow
+    (observed at sf0.01+). The default keeps Spark's map-side partial
+    sums for the iterative ``combat`` solver, which is convergence-bound,
+    not hash-compared."""
     sheet_pdf = (
         sheet.select("sample", batch_col, *covariate_cols).toPandas()
     ).reset_index(drop=True)
@@ -98,8 +128,9 @@ def _standardize(
     )
 
     # 1. per-probe OLS coefficients: b_j = sum_s H[j,s] * y_s
+    _sum = _det_sum if deterministic else F.sum
     coef_aggs = [
-        F.sum(F.element_at("_h", j + 1) * F.col("_y")).alias(f"_b{j}")
+        _sum(F.element_at("_h", j + 1) * F.col("_y")).alias(f"_b{j}")
         for j in range(k)
     ]
     coefs = v.groupBy("probe_id").agg(*coef_aggs)
@@ -117,9 +148,11 @@ def _standardize(
         F.lit(0.0),
     )
     with_fit = v.join(coefs, "probe_id").withColumn("_fit", fitted)
+    # residual squared as an explicit multiply (not pow) so the IEEE op
+    # matches the DuckDB twin's (y - fitted) * (y - fitted) bit-for-bit
+    resid_sq = (F.col("_y") - F.col("_fit")) * (F.col("_y") - F.col("_fit"))
     var_pooled = with_fit.groupBy("probe_id").agg(
-        (F.sum(F.pow(F.col("_y") - F.col("_fit"), 2)) / F.lit(float(n_samples))
-         ).alias("_varp")
+        (_sum(resid_sq) / F.lit(float(n_samples))).alias("_varp")
     )
 
     # stand_mean per (probe, sample) = grand + covariate part of the fit
@@ -156,16 +189,22 @@ def combat_batch_stats(
     over, plus the per-probe pooled variance. Everything after this table
     is (probe x batch)-sized scalar arithmetic.
 
-    Returns (probe_id, batch, n, sum_z, ssq, var_pooled)."""
+    Returns (probe_id, batch, n, sum_z, ssq, var_pooled).
+
+    Every float SUM here and in the standardization it calls is the
+    sample-ordered ``_det_sum`` fold — this operator is hash-compared to
+    a DuckDB twin, and unordered partial sums flip ROUND(6) boundaries
+    at sf0.01+ (ADVICE r5)."""
     z = _standardize(
-        values, sheet, batch_col, covariate_cols or [], value_col
+        values, sheet, batch_col, covariate_cols or [], value_col,
+        deterministic=True,
     )
     return z.groupBy(
         "probe_id", F.col("_batch").alias("batch")
     ).agg(
         F.count("_z").alias("n"),
-        F.sum("_z").alias("sum_z"),
-        F.sum(F.col("_z") * F.col("_z")).alias("ssq"),
+        _det_sum(F.col("_z")).alias("sum_z"),
+        _det_sum(F.col("_z") * F.col("_z")).alias("ssq"),
         F.first("_varp").alias("var_pooled"),
     )
 
