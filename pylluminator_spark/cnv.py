@@ -307,7 +307,10 @@ def cbs_split_tstats(
     order-defined, so exact for integer-valued inputs) plus per-chromosome
     total/ssq aggregates. Chromosomes with n < 4 bins or zero variance are
     excluded, mirroring ``_cbs_t_stats`` returning None; ties on t break to
-    the smallest k, matching ``np.argmax``.
+    the smallest k, matching ``np.argmax``. NULL values are dropped up
+    front so ``k``, ``n``, and every sum see the same row set — the numpy
+    twin never sees NULLs, and a NULL bin would otherwise silently shift
+    the split index (ADVICE r5).
 
     Returns (chromosome, n_bins, split_k, t_max, mean_left, mean_right).
     """
@@ -317,7 +320,7 @@ def cbs_split_tstats(
         F.col(chrom_col).alias("chromosome"),
         F.col(order_col).alias("_ord"),
         F.col(value_col).cast("double").alias("_v"),
-    )
+    ).filter(F.col("_v").isNotNull())
     w_ord = (
         Window.partitionBy("chromosome")
         .orderBy("_ord")

@@ -246,10 +246,11 @@ def bloom_build_arith(
     keyed = df.where(F.col(key_col).isNotNull())
     parts = []
     for a, b in seeds:
-        pos = (
-            (F.lit(a) * F.col(key_col).cast("long") + F.lit(b))
-            % F.lit(_P31)
-        ) % F.lit(m_bits)
+        pos = F.pmod(
+            F.pmod(F.lit(a) * F.col(key_col).cast("long") + F.lit(b),
+                   F.lit(_P31)),
+            F.lit(m_bits),
+        )
         parts.append(
             keyed.select(
                 *gcols,
@@ -293,10 +294,11 @@ def bloom_probe(
     keys = probes.select(F.col(key_col).alias("key")).distinct()
     cells = []
     for a, b in seeds:
-        pos = (
-            (F.lit(a) * F.col("key").cast("long") + F.lit(b))
-            % F.lit(_P31)
-        ) % F.lit(m_bits)
+        pos = F.pmod(
+            F.pmod(F.lit(a) * F.col("key").cast("long") + F.lit(b),
+                   F.lit(_P31)),
+            F.lit(m_bits),
+        )
         cells.append(
             keys.select(
                 "key",
@@ -342,6 +344,11 @@ def bloom_prune_join(
     multiply-mod bit probes per row, ZERO extra shuffle and no probe-side
     join. Inner join only (pruning the fact side changes outer-join
     semantics).
+
+    All three bloom paths (build / probe / this inline probe) hash with
+    ``pmod`` so negative keys land in [0, m_bits) — Spark's ``%`` keeps
+    the dividend's sign, which would index ``words`` from the end on the
+    build side and feed ``element_at`` an index <= 0 here (ADVICE r5).
     """
     n_words = (m_bits + 31) // 32
     words = [0] * n_words
@@ -351,7 +358,9 @@ def bloom_prune_join(
     kl = F.col(key).cast("long")
     cond = None
     for a, b in seeds:
-        pos = ((F.lit(a) * kl + F.lit(b)) % F.lit(_P31)) % F.lit(m_bits)
+        pos = F.pmod(
+            F.pmod(F.lit(a) * kl + F.lit(b), F.lit(_P31)), F.lit(m_bits)
+        )
         word = (pos / F.lit(32)).cast("int")
         mask = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
         hit = F.element_at(arr, word + F.lit(1)).bitwiseAND(mask) != 0

@@ -245,3 +245,25 @@ def test_cbs_split_tstats_excludes_degenerate(spark):
     )
     got = cnv.cbs_split_tstats(df).collect()
     assert [r.chromosome for r in got] == ["ok"]
+
+
+def test_cbs_split_tstats_ignores_null_bins(spark):
+    """ADVICE r5: a NULL cnv bin must be EXCLUDED from the series (the
+    numpy twin never sees NULLs) — not silently shift split_k/n relative
+    to the non-null prefix sums."""
+    rng = np.random.RandomState(11)
+    x = rng.randn(50)
+    x[30:] += 3.0
+    x = np.round(x * 100)
+    rows = [("c", i, float(v)) for i, v in enumerate(x)]
+    # interleave NULL bins at assorted positions (incl. before the shift)
+    with_nulls = rows + [("c", 200 + j, None) for j in range(5)]
+    with_nulls.insert(3, ("c", -1, None))
+    df = spark.createDataFrame(
+        with_nulls, "chromosome string, start_bin int, cnv double"
+    )
+    k_np, t_np = cnv._cbs_t_stats(x)
+    r = cnv.cbs_split_tstats(df).collect()[0]
+    assert r.n_bins == 50
+    assert r.split_k == k_np
+    np.testing.assert_allclose(r.t_max, t_np, rtol=1e-9)

@@ -91,3 +91,52 @@ def test_phrase_search(spark):
     }
     assert got2 == {3: 2}  # overlapping occurrences both count
     assert phrase_search(idx, ["cat", "dog"]).count() == 0
+
+
+def test_apply_changes_upsert_delete_passthrough(spark):
+    from pylluminator_spark.operators.diff import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 5, "U"),   # update existing
+            (4, "d", 40.0, 5, "I"),    # insert new key
+            (3, None, 0.0, 5, "D"),    # delete existing
+            (9, None, 0.0, 5, "D"),    # delete absent key: no-op
+        ],
+        "k long, v string, x double, version long, op string",
+    )
+    got = sorted(
+        map(tuple, apply_changes(snap, changes, ["k"]).collect())
+    )
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
+
+
+def test_apply_changes_highest_version_wins_and_delete_breaks_ties(spark):
+    from pylluminator_spark.operators.diff import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "v1", 1, "U"),
+            (1, "v3", 3, "U"),   # highest version wins
+            (1, "v2", 2, "U"),
+            (2, "x", 7, "U"),
+            (2, None, 7, "D"),   # same version: delete outranks upsert
+        ],
+        "k long, v string, version long, op string",
+    )
+    got = sorted(map(tuple, apply_changes(snap, changes, ["k"]).collect()))
+    assert got == [(1, "v3")]
+    # replay idempotence: applying the same batch to the result again
+    # yields the same table
+    out = apply_changes(snap, changes, ["k"])
+    replay = sorted(
+        map(tuple, apply_changes(out, changes, ["k"]).collect())
+    )
+    assert replay == got

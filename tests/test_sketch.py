@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.operators.sketch import (
     _P31,
+    bloom_build_arith,
+    bloom_probe,
+    bloom_prune_join,
     cms_build_arith,
     cms_estimate,
     cms_merge,
@@ -181,3 +184,45 @@ def test_bloom_registers_match_python_bit_for_bit(spark):
             pos = ((a * k + b) % _P31) % 1024
             words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
     assert got == sorted(words.items())
+
+
+def test_bloom_prune_join_equals_plain_inner_join(spark):
+    random.seed(7)
+    fact = spark.createDataFrame(
+        [(random.randrange(0, 500), i) for i in range(2000)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 500, 7)], "k long, name string"
+    )
+    got = bloom_prune_join(fact, dim, "k")
+    want = fact.join(dim, "k", "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_bloom_prune_join_negative_keys(spark):
+    # ADVICE r5: Spark's % keeps the dividend sign, which used to index
+    # the build words from the end and feed element_at an index <= 0.
+    # pmod on both paths makes negative keys first-class.
+    fact = spark.createDataFrame(
+        [(-k, k) for k in range(1, 200)] + [(k, k) for k in range(1, 200)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(-15, "a"), (-3, "b"), (8, "c"), (-199, "d"), (500, "e")],
+        "k long, name string",
+    )
+    got = bloom_prune_join(fact, dim, "k")
+    want = fact.join(dim, "k", "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # and the standalone build/probe pair agrees on negative keys too:
+    # every dim key must be maybe_member (no false negatives)
+    regs = bloom_build_arith(dim, "k")
+    probed = {
+        r.key: r.maybe_member for r in bloom_probe(regs, dim, "k").collect()
+    }
+    assert all(probed[k] for k in (-15, -3, 8, -199, 500))

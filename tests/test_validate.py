@@ -183,3 +183,55 @@ def test_references_only_rule_set(spark):
     dims = spark.createDataFrame([(10,), (20,)], "k long")
     rows = validate(facts, [references("fk", dims, "k")]).collect()
     assert len(rows) == 1 and rows[0].passed
+
+
+class TestKAnonymity:
+    def test_class_counts_and_flags(self, spark):
+        from pylluminator_spark.operators.validate import k_anonymity
+
+        df = spark.createDataFrame(
+            [("US", 30)] * 5 + [("US", 40)] * 2 + [("FR", 30)] * 3,
+            "country string, age long",
+        )
+        got = {
+            (r.country, r.age): (r.class_size, r.is_violation)
+            for r in k_anonymity(df, ["country", "age"], k=4).collect()
+        }
+        assert got == {
+            ("US", 30): (5, False),
+            ("US", 40): (2, True),
+            ("FR", 30): (3, True),
+        }
+
+    def test_summary_rollup(self, spark):
+        from pylluminator_spark.operators.validate import (
+            k_anonymity_summary,
+        )
+
+        df = spark.createDataFrame(
+            [("US", 30)] * 5 + [("US", 40)] * 2 + [("FR", 30)] * 3,
+            "country string, age long",
+        )
+        s = k_anonymity_summary(df, ["country", "age"], k=4).collect()[0]
+        assert (
+            s.n_classes,
+            s.n_violating_classes,
+            s.rows_at_risk,
+            s.min_class_size,
+        ) == (3, 2, 5, 2)
+
+    def test_no_violations_at_k_one(self, spark):
+        from pylluminator_spark.operators.validate import (
+            k_anonymity,
+            k_anonymity_summary,
+        )
+
+        df = spark.createDataFrame(
+            [("A", 1), ("B", 2)], "g string, v long"
+        )
+        assert (
+            k_anonymity(df, ["g"], k=1)
+            .filter("is_violation").count() == 0
+        )
+        s = k_anonymity_summary(df, ["g"], k=1).collect()[0]
+        assert s.n_violating_classes == 0 and s.rows_at_risk == 0
