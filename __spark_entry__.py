@@ -6180,6 +6180,67 @@ ORDER BY id_a, id_b
 """
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup discovery (operators.dedup.tfidf_cosine_pairs —
+    Bayardo et al. WWW'07 all-pairs with sklearn-convention TF-IDF):
+    every doc pair in the doc_id%10 subset with cosine >= 0.5, inverted-
+    index self-join, max_df=40 feature pruning (the sum(df^2) scale
+    control). Both varying-size float sums — the per-doc norm and the
+    per-pair dot product — are folded in sorted token order on BOTH
+    engines (F.aggregate over sort_array ↔ list_reduce ORDER BY token),
+    and idf's ln argument is an exact small-int rational, so the cosine
+    is bit-identical cross-engine before the ROUND(6) gate."""
+    from pylluminator_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = tfidf_cosine_pairs(docs, 0.5, max_df=40)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+ORACLE_TFIDF_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS token
+  FROM documents WHERE doc_id % 10 = 0
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), n1 AS (
+  SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id % 10 = 0
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN df USING (token) CROSS JOIN n1
+  WHERE df <= 40
+), nrm AS (
+  SELECT doc_id,
+         list_reduce(list(w * w ORDER BY token), (a, b) -> a + b) AS n2
+  FROM w GROUP BY doc_id
+), wn AS (
+  SELECT w.doc_id, w.token, w.w / sqrt(nrm.n2) AS wn
+  FROM w JOIN nrm USING (doc_id)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS n_shared,
+         list_reduce(list(a.wn * b.wn ORDER BY a.token),
+                     (x, y) -> x + y) AS cosine
+  FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6349,17 +6410,78 @@ FROM best WHERE rk = 1
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering matters: the driver gates only the FIRST 50 entries against the
-    # DuckDB oracle each round. Round-5 rotation (VERDICT r4 #1): slots 1-50
-    # are EXACTLY the never-gated backlog — the 51 oracle-bearing entries r4
-    # shipped (old slots 51-101) minus bloom_filter, which is the 51st and
-    # leads the r6 queue. Every one is pytest-verified (test_oracle_parity
-    # exact-value DuckDB parity at sf0.001) and locally driver_emu-green at
-    # sf0.001 AND sf0.01 AND sf0.1. Registry growth is FROZEN until the
-    # backlog drains (VERDICT r4 #2): new r5 entries (combat_stats,
-    # cbs_tstat) queue BEHIND bloom_filter, never displacing backlog.
+    # Ordering matters: the driver gates only the FIRST 50 entries against
+    # the DuckDB oracle each round. Round-6 rotation (VERDICT r5 #2):
+    # slots 1-3 are the never-gated queue head (bloom_filter,
+    # combat_stats, cbs_tstat — combat_stats determinism fixed this round
+    # and re-verified via tests/driver_emu.py at sf0.001/0.01/0.1), slots
+    # 4-49 re-gate the 46 oracle-bearing entries whose latest green row is
+    # r3, and slot 50 gives the stream-stream interval join its first
+    # driver row (registered this round; ADVICE r5 flagged it as dead
+    # code). After this round every oracle-bearing entry has a green row
+    # and none is older than r4. NEW entries (tfidf_pairs) queue BEHIND
+    # the 50 gated slots, never displacing the rotation.
     return {
-        # -- 1. the never-gated backlog: 50 of 51, in r4 queue order --------
+        # -- 1. r6 gate queue head (VERDICT r5 #2): the 3 entries that
+        # have never had a driver row --------------------------------
+        "bloom_filter": q_bloom_filter,
+        "combat_stats": q_combat_stats,
+        "cbs_tstat": q_cbs_tstat,
+        # -- 2. the 46 oracle-bearing entries whose latest green row
+        # is r3 (rotation hygiene: re-gate the oldest) ----------------
+        "dedup_components": q_dedup_components,
+        "chunk_documents": q_chunk_documents,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "topk_per_group": q_topk_per_group,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "running_total": q_running_total,
+        "event_windows": q_event_windows,
+        "distinct_agg": q_distinct_agg,
+        "median_by_brand": q_median_by_brand,
+        "beta_values": q_beta_values,
+        "m_values": q_m_values,
+        "sessionize": q_sessionize,
+        "lang_profile": q_lang_profile,
+        "value_segments": q_value_segments,
+        "interval_cluster": q_interval_cluster,
+        "doc_fingerprint": q_doc_fingerprint,
+        "outer_join_counts": q_outer_join_counts,
+        "scalar_subquery": q_scalar_subquery,
+        "moving_avg_time": q_moving_avg_time,
+        "window_ranks": q_window_ranks,
+        "grouping_sets": q_grouping_sets,
+        "exists_shapes": q_exists_shapes,
+        "min_cost_match": q_min_cost_match,
+        "agg_equals_max": q_agg_equals_max,
+        "skew_salted_agg": q_skew_salted_agg,
+        "bpe_token_stats": q_bpe_token_stats,
+        "unpivot_melt": q_unpivot_melt,
+        "shipping_priority": _tpch.QUERIES["shipping_priority"],
+        "late_orders": _tpch.QUERIES["late_orders"],
+        "filter_scan_revenue": _tpch.QUERIES["filter_scan_revenue"],
+        "volume_shipping": _tpch.QUERIES["volume_shipping"],
+        "market_share": _tpch.QUERIES["market_share"],
+        "product_profit": _tpch.QUERIES["product_profit"],
+        "returned_items": _tpch.QUERIES["returned_items"],
+        "important_parts": _tpch.QUERIES["important_parts"],
+        "promo_revenue": _tpch.QUERIES["promo_revenue"],
+        "supplier_part_cnt": _tpch.QUERIES["supplier_part_cnt"],
+        "large_orders": _tpch.QUERIES["large_orders"],
+        "disjunctive_pred": _tpch.QUERIES["disjunctive_pred"],
+        "bulk_suppliers": _tpch.QUERIES["bulk_suppliers"],
+        "idle_customers": _tpch.QUERIES["idle_customers"],
+        "media_decode": q_media_decode,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        # -- 3. slot 50: first driver row for the stream-stream
+        # interval join (ADVICE r5: was dead code) --------------------
+        "stream_join": q_stream_join,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 4. r7 queue: NEW entries wait behind the rotation --------
+        "tfidf_pairs": q_tfidf_pairs,
+        # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
@@ -6371,7 +6493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "clean_html": q_clean_html,
-        "url_normalize": q_url_normalize,  # ADVICE r4 '&&' fix, both engines
+        "url_normalize": q_url_normalize,
         "dedup_paragraphs": q_dedup_paragraphs,
         "domain_cap": q_domain_cap,
         "weighted_sample": q_weighted_sample,
@@ -6386,7 +6508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_rules": q_validate_rules,
         "ts_resample": q_ts_resample,
         "ts_ewma": q_ts_ewma,
-        "ts_anomalies": q_ts_anomalies,  # ADVICE r4 NULL-count fix mirrored
+        "ts_anomalies": q_ts_anomalies,
         "fuzzy_pairs": q_fuzzy_pairs,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
@@ -6402,7 +6524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "inverted_postings": q_inverted_postings,
         "json_extract_agg": q_json_extract_agg,
-        "ab_test": q_ab_test,  # ADVICE r4 double-cast fix, both engines
+        "ab_test": q_ab_test,
         "geo_radius_pairs": q_geo_radius_pairs,
         "impute_mean": q_impute_mean,
         "last_touch_attr": q_last_touch_attr,
@@ -6410,12 +6532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "rolling_corr": q_rolling_corr,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- 2. r6 gate queue head: backlog leftover, then NEW r5 entries ----
-        "bloom_filter": q_bloom_filter,
-        "combat_stats": q_combat_stats,  # K12 distributed stage (NEW r5)
-        "cbs_tstat": q_cbs_tstat,  # K15 split statistic (NEW r5)
-        # -- 3. r4-green rows (all 50 green in CORRECTNESS_r04), re-gated
-        # as capacity allows in r6+ ------------------------------------------
+        # -- 6. r4-green rows -----------------------------------------
         "hash_split": q_hash_split,
         "priority_shipmode": _tpch.QUERIES["priority_shipmode"],
         "ols_dmp": q_ols_dmp,
@@ -6466,41 +6583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
-        # -- 4. r3-green and earlier -----------------------------------------
-        "dedup_components": q_dedup_components,
-        "chunk_documents": q_chunk_documents,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_customers": q_top_customers,
-        "topk_per_group": q_topk_per_group,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "running_total": q_running_total,
-        "event_windows": q_event_windows,
-        "distinct_agg": q_distinct_agg,
-        "median_by_brand": q_median_by_brand,
-        "beta_values": q_beta_values,
-        "m_values": q_m_values,
-        "sessionize": q_sessionize,
-        "lang_profile": q_lang_profile,
-        "value_segments": q_value_segments,
-        "interval_cluster": q_interval_cluster,
-        "doc_fingerprint": q_doc_fingerprint,
-        "outer_join_counts": q_outer_join_counts,
-        "scalar_subquery": q_scalar_subquery,
-        "moving_avg_time": q_moving_avg_time,
-        "window_ranks": q_window_ranks,
-        "grouping_sets": q_grouping_sets,
-        "exists_shapes": q_exists_shapes,
-        "min_cost_match": q_min_cost_match,
-        "agg_equals_max": q_agg_equals_max,
-        "skew_salted_agg": q_skew_salted_agg,
-        "bpe_token_stats": q_bpe_token_stats,
-        "unpivot_melt": q_unpivot_melt,
-        **_tpch.QUERIES,
-        "media_decode": q_media_decode,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        # -- 5. rows-only (no oracle possible) — keep OUT of the first 50 ---
+        # -- 7. rows-only (no oracle possible) — keep OUT of the gate -
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         "audio_spectral": q_audio_spectral,
@@ -6581,6 +6664,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filter": ORACLE_BLOOM_FILTER,
         "combat_stats": ORACLE_COMBAT_STATS,
         "cbs_tstat": ORACLE_CBS_TSTAT,
+        "stream_join": ORACLE_STREAM_JOIN,
+        "tfidf_pairs": ORACLE_TFIDF_PAIRS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

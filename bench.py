@@ -36,20 +36,29 @@ def main() -> None:
         lambda it: it, "x int"
     ).count()
 
-    # Per-query time = MIN over up to SPARK_GRAFT_BENCH_RUNS repetitions
-    # (default 2). Sub-second queries on a shared 32-core box are dominated
-    # by scheduler/GC noise (observed same-query spreads of 0.2 s vs 6 s
-    # across back-to-back runs); min-of-k measures the query, not the
-    # neighbor's compile. Queries slower than RERUN_BELOW seconds run once —
-    # their relative noise is small and skipping the repeat bounds total
-    # harness wall time.
+    # Per-query time = MIN over repeated runs. Sub-second queries on a
+    # shared 32-core box are dominated by scheduler/GC noise (observed
+    # same-query spreads of 0.2 s vs 6 s across back-to-back runs);
+    # min-of-k measures the query, not the neighbor's compile. The
+    # SLOWEST queries are the ones anyone reads, so they get the MOST
+    # repetitions (VERDICT r5 #5 — the old policy ran them exactly once,
+    # which made round-over-round "regressions" indistinguishable from
+    # drift): every query runs min-of-BENCH_RUNS (default 2), and any
+    # query whose first run exceeds SLOW_ABOVE seconds (default 1.0) is
+    # promoted to min-of-SLOW_RUNS (default 3).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    rerun_below = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_BELOW", "2.5"))
+    slow_runs = max(
+        runs, int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_RUNS", "3"))
+    )
+    slow_above = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_ABOVE", "1.0"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         best: float | None = None
-        for attempt in range(runs):
+        budget = runs
+        attempt = 0
+        while attempt < budget:
+            attempt += 1
             start = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -62,9 +71,9 @@ def main() -> None:
                     errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
                 break
             elapsed = time.perf_counter() - start
+            if best is None and elapsed > slow_above:
+                budget = slow_runs
             best = elapsed if best is None else min(best, elapsed)
-            if best >= rerun_below:
-                break
         if best is not None:
             timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
