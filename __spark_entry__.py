@@ -5118,7 +5118,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented enumeration is exact (each triangle once)."""
     from pylluminator_spark.operators.graph import triangle_stats
 
-    return triangle_stats(_copurchase_edges(spark, sf_dir), "u", "v")
+    # num_partitions=8: the gate graph is ~400k edges; 8 cache partitions
+    # keep the three downstream branches' map-task counts proportionate
+    # (the knob scales as m / 5M at cluster size — see triangles()).
+    return triangle_stats(
+        _copurchase_edges(spark, sf_dir), "u", "v", num_partitions=8
+    )
 
 
 ORACLE_GRAPH_TRIANGLES = """
@@ -5147,15 +5152,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph."""
     from pylluminator_spark.operators.graph import pagerank
 
-    # persist: both direction branches of the symmetric union re-read the
-    # lineitem self-join lineage otherwise
-    und = _copurchase_edges(spark, sf_dir).persist()
+    und = _copurchase_edges(spark, sf_dir)
     sym = und.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    pr = pagerank(sym, iters=3)
+    # assume_distinct: the symmetric union of a canonical DISTINCT u<v
+    # edge set is distinct by construction (the halves are disjoint), so
+    # the edge-dedup shuffle is pure waste; pagerank() persists the edge
+    # table itself, which also covers the double-read of `und` above.
+    # num_partitions=8 as in q_graph_triangles.
+    pr = pagerank(sym, iters=3, assume_distinct=True, num_partitions=8)
     return pr.orderBy(F.col("rank_int").desc(), F.col("node").asc()).limit(20)
 
 

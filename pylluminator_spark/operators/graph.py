@@ -162,7 +162,11 @@ def dedup_components(
 
 
 def triangles(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Enumerate every triangle of the undirected graph once, as
     (a, b, c) with a < b < c.
@@ -174,8 +178,17 @@ def triangles(
     (one self-join keyed on the center), closed by one equi-join back to
     the canonical edge set. All joins are hash equi-joins on node keys —
     no cartesian — and AQE's skew handling splits any residual hot center.
+
+    ``num_partitions`` sizes the persisted canonical edge table that the
+    three downstream branches re-read (same knob as
+    ``connected_components``): roughly ``m / 5M`` edges per partition —
+    at toy scale the session's shuffle width just multiplies per-branch
+    task-scheduling overhead; at cluster scale leave None.
     """
-    return _triangles_from(_canonical(edges, src, dst).persist())
+    und = _canonical(edges, src, dst)
+    if num_partitions:
+        und = und.repartition(num_partitions)
+    return _triangles_from(und.persist())
 
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -227,15 +240,23 @@ def _triangles_from(und: DataFrame) -> DataFrame:
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One-row graph summary: (n_nodes, n_edges, n_triangles) over the
     undirected simple graph. The canonical edge table is persisted once
     and shared by two branches: ONE endpoint-explode pass folds the node
     and edge counts together (each canonical edge contributes exactly two
     endpoint rows, so n_edges = rows/2), cross-joined with the triangle
-    count — two jobs over the persisted table, not three."""
-    und = _canonical(edges, src, dst).persist()
+    count — two jobs over the persisted table, not three.
+    ``num_partitions`` as in ``triangles``."""
+    und = _canonical(edges, src, dst)
+    if num_partitions:
+        und = und.repartition(num_partitions)
+    und = und.persist()
     tri = _triangles_from(und)
     node_edge = und.select(
         F.explode(F.array("u", "v")).alias("n")
@@ -256,6 +277,9 @@ def pagerank(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
+    num_partitions: int | None = None,
+    broadcast_ranks_below: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank: ``iters`` synchronous power iterations with
     ALL arithmetic in scaled integers (ranks are multiples of 1/scale), so
@@ -273,10 +297,27 @@ def pagerank(
 
     Returns (node, rank_int); rank_int / scale approximates the PageRank
     probability (truncation loses < iters * n ulps of mass).
+
+    ``assume_distinct=True`` skips the edge-dedup shuffle when the caller
+    guarantees a simple digraph (e.g. the symmetric union of a canonical
+    distinct undirected edge set — its two halves are disjoint by u < v).
+    ``num_partitions`` sizes the persisted edge table (see
+    ``connected_components``). ``broadcast_ranks_below``: when the node
+    count n (already computed for the teleport term — no extra job) is
+    under this bound, the node-sized rank table is broadcast into the
+    per-iteration contribution join, so the edge table — the big side —
+    is never shuffled for the join; above it, the join falls back to
+    hash partitioning. 2M rank rows is ~32 MB serialized, comfortably
+    under executor broadcast budgets.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
         F.col("s").isNotNull() & F.col("d").isNotNull()
-    ).distinct().persist()
+    )
+    if not assume_distinct:
+        e = e.distinct()
+    if num_partitions:
+        e = e.repartition(num_partitions)
+    e = e.persist()
     # ONE pass builds the node table with out-degrees (0 = dangling):
     # explode each edge into (src, weight 1) + (dst, weight 0) and sum
     deg = (
@@ -297,10 +338,14 @@ def pagerank(
         .agg(F.sum("w").alias("odeg"))
         .persist()
     )
-    n = deg.count()  # one scalar; the only driver-side value
-    # symmetric (undirected) graphs have no dangling nodes — detect once
-    # and drop the per-iteration dangling aggregate entirely
-    has_dangling = deg.where(F.col("odeg") == 0).limit(1).count() > 0
+    # ONE scalar job fetches both driver-side values: the node count and
+    # the dangling-node flag (min out-degree 0). Symmetric graphs have no
+    # dangling nodes, so the per-iteration dangling aggregate drops out.
+    _row = deg.agg(
+        F.count(F.lit(1)).alias("_n"), F.min("odeg").alias("_m")
+    ).collect()[0]
+    n = int(_row["_n"])
+    has_dangling = int(_row["_m"]) == 0
     base = scale // n
     teleport = (100 - damping_pct) * base
     # ranks carry odeg so iterations never re-join the degree table for
@@ -309,9 +354,12 @@ def pagerank(
     # with the edge table + one keyed integer aggregate
     ranks = deg.withColumn("rank_int", F.lit(base).cast("long"))
     for it in range(iters):
+        contributors = ranks.where(F.col("odeg") > 0)
+        if n < broadcast_ranks_below:
+            contributors = F.broadcast(contributors)
         contrib = (
-            ranks.where(F.col("odeg") > 0)
-            .join(e, ranks["node"] == e["s"])
+            contributors
+            .join(e, contributors["node"] == e["s"])
             .select(
                 F.col("d").alias("node"),
                 F.expr("rank_int div odeg").alias("_c"),
