@@ -5160,8 +5160,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # assume_distinct: the symmetric union of a canonical DISTINCT u<v
     # edge set is distinct by construction (the halves are disjoint), so
-    # the edge-dedup shuffle is pure waste; pagerank() persists the edge
-    # table itself, which also covers the double-read of `und` above.
+    # the edge-dedup shuffle is pure waste. `und` is intentionally NOT
+    # persisted: both union branches share the identical distinct
+    # exchange inside _copurchase_edges, which AQE's ReuseExchange
+    # dedupes during the one job that materializes pagerank's persisted
+    # edge table — only the final distinct aggregate runs twice, and a
+    # persist here measured slower (extra cache write + read).
     # num_partitions=8 as in q_graph_triangles.
     pr = pagerank(sym, iters=3, assume_distinct=True, num_partitions=8)
     return pr.orderBy(F.col("rank_int").desc(), F.col("node").asc()).limit(20)

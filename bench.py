@@ -52,6 +52,7 @@ def main() -> None:
     )
     slow_above = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_ABOVE", "1.0"))
     timings: dict[str, float] = {}
+    runs_used: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         best: float | None = None
@@ -76,6 +77,10 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         if best is not None:
             timings[name] = round(best, 4)
+            # record the ACTUAL repetition count per query — slow queries
+            # are promoted to min-of-slow_runs, and a consumer comparing
+            # rounds must be able to tell min-of-1/2/3 numbers apart
+            runs_used[name] = attempt
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_queries_total",
@@ -83,6 +88,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs,
+        "slow_runs": slow_runs,
+        "slow_above_sec": slow_above,
+        "query_runs": runs_used,
         **({"errors": errors} if errors else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

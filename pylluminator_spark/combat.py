@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from pylluminator_spark.functions.methyl import beta_to_m_expr, m_to_beta_expr
+from pylluminator_spark.functions.text import let_expr
 
 
 def _det_sum(value_expr, key_col: str = "sample"):
@@ -47,17 +48,28 @@ def _det_sum(value_expr, key_col: str = "sample"):
     run (the cross-engine determinism discipline used by
     tfidf_cosine_pairs / rolling_corr; DuckDB twin is
     ``list_reduce(list(x ORDER BY sample), (a, b) -> a + b)`` — the 0.0
-    seed is exact because 0.0 + x == x for finite x). Costs a
+    seed is exact because 0.0 + x == x for finite x). NULL semantics
+    match ``F.sum`` exactly: NULL values are skipped, and a group with no
+    non-NULL value yields NULL (a struct-typed collect_list would
+    otherwise KEEP null-field structs and poison the fold). Costs a
     collect_list shuffle instead of a map-side partial sum, so it is
     opt-in: only the SQL-checkable gate surface pays it."""
-    return F.aggregate(
+    arr = F.filter(
         F.sort_array(
             F.collect_list(
                 F.struct(F.col(key_col).alias("_k"), value_expr.alias("_v"))
             )
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x["_v"],
+        lambda x: x["_v"].isNotNull(),
+    )
+    # let_expr binds the sorted/filtered array once (Spark does no CSE
+    # across the size guard and the fold)
+    return let_expr(
+        arr,
+        lambda a: F.when(
+            F.size(a) > 0,
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x["_v"]),
+        ),
     )
 
 
@@ -129,11 +141,40 @@ def _standardize(
 
     # 1. per-probe OLS coefficients: b_j = sum_s H[j,s] * y_s
     _sum = _det_sum if deterministic else F.sum
-    coef_aggs = [
-        _sum(F.element_at("_h", j + 1) * F.col("_y")).alias(f"_b{j}")
-        for j in range(k)
-    ]
-    coefs = v.groupBy("probe_id").agg(*coef_aggs)
+    if deterministic:
+        # ONE sample-sorted collect shared by all k coefficient folds —
+        # k separate _det_sum aggregates would collect and sort the same
+        # per-probe rows k times over. Each fold walks the same sorted
+        # sequence with term H[j,s] * y_s, so results are bit-identical
+        # to per-coefficient folds; NULL y rows are skipped like F.sum
+        # (H entries are never NULL).
+        rows = F.filter(
+            F.sort_array(F.collect_list(F.struct("sample", "_y", "_h"))),
+            lambda x: x["_y"].isNotNull(),
+        )
+
+        def _coef_fold(j: int):
+            return F.when(
+                F.size("_rows") > 0,
+                F.aggregate(
+                    "_rows",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_h"][j] * x["_y"],
+                ),
+            ).alias(f"_b{j}")
+
+        coefs = v.groupBy("probe_id").agg(rows.alias("_rows")).select(
+            "probe_id", *[_coef_fold(j) for j in range(k)]
+        )
+    else:
+        coefs = v.groupBy("probe_id").agg(
+            *[
+                F.sum(F.element_at("_h", j + 1) * F.col("_y")).alias(
+                    f"_b{j}"
+                )
+                for j in range(k)
+            ]
+        )
 
     # grand mean = batch-fraction-weighted batch intercepts; fitted value
     # uses the full design row

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pylluminator_spark.combat import combat
 
@@ -178,3 +179,53 @@ def test_combat_batch_stats_matches_numpy(spark, dataset):
             np.testing.assert_allclose(
                 r["var_pooled"], var_pooled[pj], atol=1e-10
             )
+
+
+def test_combat_batch_stats_null_betas_match_fsum_semantics(spark, dataset):
+    """The deterministic sorted folds must keep F.sum's NULL semantics: a
+    NULL beta is SKIPPED (not poisoning the probe's sums), and n counts
+    non-null values only — a struct collect_list would otherwise keep
+    null-field structs and turn every statistic of the probe NULL."""
+    from pylluminator_spark.combat import combat_batch_stats
+
+    Y, batch, age, samples = dataset
+    values = _long_df(spark, Y, samples)
+    # null out one value of probe 0 and ALL values of probe 1
+    values = values.withColumn(
+        "value",
+        F.when(
+            (F.col("probe_id") == "pr0000") & (F.col("sample") == samples[0]),
+            F.lit(None),
+        )
+        .when(F.col("probe_id") == "pr0001", F.lit(None))
+        .otherwise(F.col("value")),
+    )
+    sheet = spark.createDataFrame(
+        list(zip(samples, batch)), ["sample", "batch"]
+    )
+    got = (
+        combat_batch_stats(values, sheet, "batch")
+        .toPandas()
+        .set_index(["probe_id", "batch"])
+        .sort_index()
+    )
+    b0 = sorted(set(batch))[0]
+    r = got.loc[("pr0000", b0)]
+    # sample[0] is in some batch; that batch's n drops by one and the
+    # sums stay finite (the NULL was skipped, not propagated)
+    import math
+
+    assert math.isfinite(r["sum_z"]) and math.isfinite(r["ssq"])
+    n_expected = sum(
+        1
+        for s, b in zip(samples, batch)
+        if b == b0 and s != samples[0]
+    ) + (0 if batch[0] == b0 else 0)
+    # recompute exactly: batch-b0 samples minus the nulled one if it is in b0
+    n_b0 = sum(1 for b in batch if b == b0)
+    if batch[0] == b0:
+        n_b0 -= 1
+    assert r["n"] == n_b0
+    # all-NULL probe: every statistic is NULL/NaN, never an error
+    r1 = got.loc["pr0001"]
+    assert r1["sum_z"].isna().all()

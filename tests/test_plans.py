@@ -85,6 +85,10 @@ CLEAN = [
     # probe-keyed hash aggregates/joins; CBS split statistic — chromosome-
     # partitioned windows + one keyed argmax window
     "combat_stats", "cbs_tstat",
+    # round 6: watermarked stream-stream interval join drained via memory
+    # sink (plan inspected on the drained batch result, like the other
+    # stream_* entries)
+    "stream_join",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -109,6 +113,10 @@ SCALAR_AGG_OK = [
     "validate_rules",
     # the graph summary is three 1-row aggregates cross-joined
     "graph_triangles",
+    # TF-IDF cosine: the corpus-size scalar (n_docs, for idf) is a 1-row
+    # broadcast crossJoin; every data-bearing stage is an equi join /
+    # keyed hash aggregate over df-capped posting lists
+    "tfidf_pairs",
     # Welch z-test: one conditional-sum global aggregate row
     "ab_test",
     # association stats: the cross/window stages run on the CELL table
