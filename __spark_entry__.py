@@ -6253,6 +6253,126 @@ ORDER BY id_a, id_b
 """
 
 
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert (operators.diff.apply_changes — the lakehouse
+    table-maintenance primitive): customer snapshot + a change batch
+    derived from orders (one change per order: version = o_orderkey,
+    op = 'D' every 11th key, else upsert with the order's payload).
+    Last-writer-wins per key; winning deletes drop the key; untouched
+    snapshot keys pass through. All payloads exact integers/strings, so
+    the hash gate needs no rounding. ONE window over the change batch +
+    one anti-join — the snapshot is never sorted."""
+    from pylluminator_spark.operators.diff import apply_changes
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("bal_cents"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changes(snap, changes, ["k"])
+
+
+ORACLE_APPLY_CHANGES = """
+WITH snap AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_mktsegment AS seg
+  FROM customer
+), chg AS (
+  SELECT o_custkey AS k,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS bal_cents,
+         o_orderpriority AS seg, o_orderkey AS version,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k
+    ORDER BY version DESC, (op = 'D') DESC, op ASC) AS rn
+  FROM chg
+), winner AS (
+  SELECT k, bal_cents, seg, op FROM latest WHERE rn = 1
+)
+SELECT s.k, s.bal_cents, s.seg
+FROM snap s LEFT JOIN winner w ON s.k = w.k
+WHERE w.k IS NULL
+UNION ALL
+SELECT k, bal_cents, seg FROM winner WHERE op <> 'D'
+ORDER BY k
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity report (operators.validate.k_anonymity, Sweeney 2002 —
+    the governance check a training-data release runs): equivalence
+    classes over the (c_mktsegment, c_nationkey) quasi-identifier with
+    every class under k=10 flagged. One hash aggregate on the quasi key,
+    map-side partials, violation flag in codegen."""
+    from pylluminator_spark.operators.validate import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey"),
+        ["c_mktsegment", "c_nationkey"],
+        k=10,
+    )
+
+
+ORACLE_K_ANONYMITY = """
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < 10 AS is_violation
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join reduction (operators.sketch.bloom_prune_join
+    — the classic 100 TB shuffle-avoidance primitive, here hash-gated
+    against the UNPRUNED join): orders joined to the 1-in-7 customer dim
+    with the fact side pre-filtered by an inlined-literal Bloom probe
+    (pure codegen, zero extra shuffle). Bloom membership has no false
+    negatives and the real join removes false positives, so the result
+    must EQUAL the plain inner join the oracle runs — per-segment exact
+    integer aggregates of the surviving orders."""
+    from pylluminator_spark.operators.sketch import bloom_prune_join
+
+    fact = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = bloom_prune_join(fact, dim, "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+    )
+
+
+ORACLE_BLOOM_PRUNE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_orderkey
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 7 = 0
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6493,6 +6613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50 gated slots ------------------------------
         # -- 4. r7 queue: NEW entries wait behind the rotation --------
         "tfidf_pairs": q_tfidf_pairs,
+        "apply_changes": q_apply_changes,
+        "k_anonymity": q_k_anonymity,
+        "bloom_prune": q_bloom_prune,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -6678,6 +6801,9 @@ def oracle_sql() -> dict[str, str]:
         "cbs_tstat": ORACLE_CBS_TSTAT,
         "stream_join": ORACLE_STREAM_JOIN,
         "tfidf_pairs": ORACLE_TFIDF_PAIRS,
+        "apply_changes": ORACLE_APPLY_CHANGES,
+        "k_anonymity": ORACLE_K_ANONYMITY,
+        "bloom_prune": ORACLE_BLOOM_PRUNE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -89,6 +89,11 @@ CLEAN = [
     # sink (plan inspected on the drained batch result, like the other
     # stream_* entries)
     "stream_join",
+    # round 6 queue: CDC merge — ONE window over the change batch + one
+    # anti-join, snapshot never sorted; k-anonymity — one hash aggregate
+    # on the quasi key; bloom prune — inlined-literal codegen probe, the
+    # fact side reaches the join pre-filtered with zero extra shuffle
+    "apply_changes", "k_anonymity", "bloom_prune",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
