@@ -35,8 +35,14 @@ _PID = "_ord_pid"
 # whole vector fits one task comfortably and a plain global window wins —
 # the two-phase machinery pays 2 extra shuffles + a driver collect, which
 # only amortizes on large inputs. Callers that already know their row count
-# pass it via `n_rows` so no extra count job runs.
-SMALL_INPUT_ROWS = 5_000_000
+# pass it via `n_rows` so no extra count job runs. 100k measured as the
+# crossover on local[32]: at 600k rows the single-partition window
+# serializes a 600k sort onto one core (3.4 s) while the two-phase path
+# runs the per-partition sorts in parallel (1.7 s); at tens of thousands
+# of rows the window's single task still wins on fixed cost. Both paths
+# produce IDENTICAL ranks/sums (total order, exact offsets), so dispatch
+# never changes results — only the plan.
+SMALL_INPUT_ROWS = 100_000
 
 
 def _range_partitioned(
