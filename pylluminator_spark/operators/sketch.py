@@ -60,7 +60,10 @@ def hll_registers_arith(
     ``h = (a * key + b) mod (2^31 - 1)``: bucket = h mod 2^p, and rho =
     leading-zero rank of the remaining ``31 - p`` bits. Returns (group...,
     bucket, rho) with one row per non-empty register — integer-exact, so
-    the driver gate hashes it directly."""
+    the driver gate hashes it directly. Keys are expected NON-NEGATIVE:
+    Spark's % keeps the dividend sign, and the DuckDB/python twins of
+    this arith path assume the non-negative branch (the xxhash64 engine
+    path has no such constraint)."""
     m = 1 << p
     wbits = 31 - p
     h = (F.lit(a) * F.col(key_col).cast("long") + F.lit(b)) % F.lit(_P31)
@@ -155,7 +158,10 @@ def cms_build_arith(
     """Count-min counter table from SQL-replicable hashes: for each depth
     ``r`` with seed (a, b), col = ((a * key + b) mod p31) mod width.
     Returns (row, col, cnt) — exact integers, mergeable by addition.
-    Rows with NULL keys are skipped."""
+    Rows with NULL keys are skipped. Keys are expected NON-NEGATIVE (see
+    the note on hll_registers_arith); negative keys stay build/probe-
+    consistent — both sides compute the same signed cell — but diverge
+    from the SQL twins, unlike the bloom paths which use pmod."""
     keyed = df.where(F.col(key_col).isNotNull())
     parts = []
     for r, (a, b) in enumerate(seeds):
