@@ -439,20 +439,42 @@ def run_available_now(
     *,
     output_mode: str = "append",
     query_name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all currently-available input through the streaming plan
     (Trigger.AvailableNow), collect via a memory sink, and return the result
-    as a batch DataFrame. Used by tests and by batch/stream parity checks."""
-    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    as a batch DataFrame. Used by tests and by batch/stream parity checks.
+
+    ``shuffle_partitions`` temporarily overrides the session's shuffle
+    width for THIS drain (restored afterwards; streaming reads the conf at
+    query start). Stateful operators allocate one state-store instance per
+    shuffle partition per store — a stream-stream join keeps FOUR stores
+    per partition — so a small drain at the session's batch width pays
+    mostly store-commit overhead (measured 5.5 s -> 2.4 s at 32 -> 8 for
+    the gate's interval join). Partitioning never changes the drained
+    result, only the state layout; size it to drain volume and leave None
+    at production rates."""
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def parquet_sink(
