@@ -6564,8 +6564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3, and slot 50 gives the stream-stream interval join its first
     # driver row (registered this round; ADVICE r5 flagged it as dead
     # code). After this round every oracle-bearing entry has a green row
-    # and none is older than r4. NEW entries (tfidf_pairs) queue BEHIND
-    # the 50 gated slots, never displacing the rotation.
+    # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
+    # k_anonymity, bloom_prune — all driver-emu green at sf0.001/0.01/0.1
+    # per the test_gate_debut pre-gate tier) queue BEHIND the 50 gated
+    # slots, never displacing the rotation; they lead the r7 gate.
     return {
         # -- 1. r6 gate queue head (VERDICT r5 #2): the 3 entries that
         # have never had a driver row --------------------------------
