@@ -6565,9 +6565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row (registered this round; ADVICE r5 flagged it as dead
     # code). After this round every oracle-bearing entry has a green row
     # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
-    # k_anonymity, bloom_prune — all driver-emu green at sf0.001/0.01/0.1
-    # per the test_gate_debut pre-gate tier) queue BEHIND the 50 gated
-    # slots, never displacing the rotation; they lead the r7 gate.
+    # k_anonymity, bloom_prune) queue BEHIND the 50 gated slots, never
+    # displacing the rotation; they lead the r7 gate. Each was verified
+    # by hand-run driver emulation at sf0.001/0.01/0.1 this round, and
+    # the test_gate_debut pre-gate tier enforces the sf0.01 + sf0.1 emu
+    # for every future never-gated entry.
     return {
         # -- 1. r6 gate queue head (VERDICT r5 #2): the 3 entries that
         # have never had a driver row --------------------------------

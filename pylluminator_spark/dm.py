@@ -575,9 +575,11 @@ def compute_dmr(
         "probe_id", "chromosome", "_chrom_order", "start", "end"
     ).agg(F.sum("_d2").alias("dist")).persist()
     # one row per placed probe — bounded by the manifest (~1M for EPICv2),
-    # NOT by the fact table; the count picks the cheap single-window path at
-    # that size while with_lead's range-partitioned path covers anything
-    # larger (no single-partition window either way at scale).
+    # NOT by the fact table; the count routes with_lead: below the 100k
+    # dispatch threshold the cheap single window runs, and at manifest
+    # size the range-partitioned two-phase path sorts in parallel (no
+    # single-partition window at scale either way). lead/lag are
+    # order-exact, so both paths return identical rows.
     n_probe_rows = per_probe.count()
 
     flagged = with_lead(

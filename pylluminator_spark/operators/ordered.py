@@ -39,9 +39,14 @@ _PID = "_ord_pid"
 # crossover on local[32]: at 600k rows the single-partition window
 # serializes a 600k sort onto one core (3.4 s) while the two-phase path
 # runs the per-partition sorts in parallel (1.7 s); at tens of thousands
-# of rows the window's single task still wins on fixed cost. Both paths
-# produce IDENTICAL ranks/sums (total order, exact offsets), so dispatch
-# never changes results — only the plan.
+# of rows the window's single task still wins on fixed cost. Dispatch is
+# result-identical for rank/lead/min (order-exact) and for running sums
+# of EXACT summands (integers / integer-valued doubles — every current
+# caller), where partial sums + offsets are exact in either association.
+# A running sum over arbitrary doubles is NOT bit-stable across the
+# paths (addition associates differently); a caller gating such a sum
+# must pin the path via num_partitions or pre-scale to integers, as
+# rolling_zscore does.
 SMALL_INPUT_ROWS = 100_000
 
 

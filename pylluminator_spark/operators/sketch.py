@@ -356,12 +356,33 @@ def bloom_prune_join(
     the dividend's sign, which would index ``words`` from the end on the
     build side and feed ``element_at`` an index <= 0 here (ADVICE r5).
     """
+    cond = bloom_inline_probe_cond(
+        dim, key, probe_key=key, m_bits=m_bits, seeds=seeds
+    )
+    pruned = fact.filter(F.col(key).isNotNull() & cond)
+    return pruned.join(dim, key, "inner")
+
+
+def bloom_inline_probe_cond(
+    dim: DataFrame,
+    key: str,
+    *,
+    probe_key: str | None = None,
+    m_bits: int = 16384,
+    seeds: Sequence[tuple[int, int]] = _BLOOM_SEEDS,
+) -> Column:
+    """The codegen membership predicate ``bloom_prune_join`` filters with:
+    build the register words from ``dim[key]``, inline them as an array
+    literal, and return the k-bit AND-of-hits condition over
+    ``probe_key`` (defaults to ``key``). Exposed so tests and custom
+    pruning plans replay EXACTLY the production filter instead of
+    re-deriving the hash math."""
     n_words = (m_bits + 31) // 32
     words = [0] * n_words
     for r in bloom_build_arith(dim, key, m_bits=m_bits, seeds=seeds).collect():
         words[r["word"]] = int(r["register"])
     arr = F.lit(words)
-    kl = F.col(key).cast("long")
+    kl = F.col(probe_key or key).cast("long")
     cond = None
     for a, b in seeds:
         pos = F.pmod(
@@ -371,5 +392,4 @@ def bloom_prune_join(
         mask = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
         hit = F.element_at(arr, word + F.lit(1)).bitwiseAND(mask) != 0
         cond = hit if cond is None else (cond & hit)
-    pruned = fact.filter(F.col(key).isNotNull() & cond)
-    return pruned.join(dim, key, "inner")
+    return cond

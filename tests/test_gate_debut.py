@@ -1,9 +1,9 @@
 """Pre-gate checklist (VERDICT r5 #3): every oracle-bearing entry that
 has NEVER had a green driver row must pass the driver-faithful emulation
-at sf0.01 BEFORE its gate debut. combat_stats proved why: sf0.001-only
-pytest parity misses rounding-boundary float nondeterminism that only
-appears once row counts grow (it was green at sf0.001 and red at
-sf0.01/sf0.1).
+at sf0.01 AND sf0.1 BEFORE its gate debut. combat_stats proved why:
+sf0.001-only pytest parity misses rounding-boundary float
+nondeterminism that only appears once row counts grow (it was green at
+sf0.001 and red at sf0.01/sf0.1).
 
 Opt-in (SPARK_GRAFT_SCALE=1) because each entry spins a vanilla
 SparkSession subprocess; run it whenever the registry gains entries or
@@ -46,7 +46,10 @@ def _debut_entries() -> list[str]:
     )
 
 
-def test_never_gated_entries_pass_sf001_emu():
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_never_gated_entries_pass_emu(sf_dir):
     debut = _debut_entries()
     if not debut:
         pytest.skip("no never-gated oracle-bearing entries")
@@ -54,7 +57,7 @@ def test_never_gated_entries_pass_sf001_emu():
         [
             sys.executable,
             str(REPO / "tests" / "driver_emu.py"),
-            "/root/testdata/sf0.01",
+            sf_dir,
             *debut,
         ],
         capture_output=True,
@@ -65,4 +68,4 @@ def test_never_gated_entries_pass_sf001_emu():
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, f"emu failed for debut set {debut}:\n{out[-3000:]}"
     for name in debut:
-        assert f"{name}: OK" in out, f"{name} not OK at sf0.01:\n{out[-3000:]}"
+        assert f"{name}: OK" in out, f"{name} not OK at {sf_dir}:\n{out[-3000:]}"

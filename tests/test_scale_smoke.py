@@ -1,5 +1,5 @@
 """Opt-in scale smoke: pushes the size-dispatched ordered helpers past
-SMALL_INPUT_ROWS (5M) so the range-partitioned two-phase path actually
+SMALL_INPUT_ROWS (100k) so the range-partitioned two-phase path actually
 engages, and checks global invariants that any rank/cumsum/lead bug breaks.
 
 Slow (~40 s) by design; enable with SPARK_GRAFT_SCALE=1. The per-operator

@@ -78,29 +78,14 @@ def test_bloom_prune_join_1m_fact_rows(spark):
         F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
     ).collect()[0]
     assert (got["n"], got["s"]) == (want["n"], want["s"])
-    # and the probe must actually prune: replay the inline filter alone —
-    # with 128k bits / ~1031 keys the FP rate is ~0, so the surviving
-    # fact fraction must be within 2x of the true 1/97 match rate
-    from pylluminator_spark.operators.sketch import (
-        _BLOOM_SEEDS,
-        _P31,
-        bloom_build_arith,
-    )
+    # and the probe must actually prune: replay THE production filter
+    # (bloom_inline_probe_cond — the exact predicate bloom_prune_join
+    # applies) alone — with 128k bits / ~1031 keys the FP rate is ~0, so
+    # the surviving fact fraction must be within 2x of the true 1/97
+    # match rate
+    from pylluminator_spark.operators.sketch import bloom_inline_probe_cond
 
-    m_bits = 1 << 17
-    words = [0] * (m_bits // 32)
-    for r in bloom_build_arith(dim, "k", m_bits=m_bits).collect():
-        words[r["word"]] = int(r["register"])
-    arr = F.lit(words)
-    kl = F.col("k").cast("long")
-    cond = None
-    for a, b in _BLOOM_SEEDS:
-        pos = F.pmod(F.pmod(F.lit(a) * kl + F.lit(b), F.lit(_P31)),
-                     F.lit(m_bits))
-        word = (pos / F.lit(32)).cast("int")
-        mask = F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("long")
-        hit = F.element_at(arr, word + F.lit(1)).bitwiseAND(mask) != 0
-        cond = hit if cond is None else (cond & hit)
+    cond = bloom_inline_probe_cond(dim, "k", m_bits=1 << 17)
     survivors = fact.filter(cond).count()
     assert survivors <= 2 * want["n"]
 
