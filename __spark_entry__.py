@@ -6386,6 +6386,66 @@ ORDER BY c.c_mktsegment
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM perplexity filter
+    (operators.corpus.bigram_lm_scores — Brants et al. 2007, the
+    web-scale scheme CCNet's KenLM filter approximates; upgrades the
+    unigram `lm_score` entry): per-doc average NLL with
+    min_bigram_count=2 so the count-prune/backoff path is exercised
+    (singleton bigrams fall through to the add-one unigram estimate).
+    The bigram model table is corpus-sized and joins by hash — never
+    broadcast; the per-doc sum folds in sorted (u, w) order so the
+    float is bit-identical cross-engine before the ROUND(6) gate."""
+    from pylluminator_spark.operators.corpus import bigram_lm_scores
+
+    out = bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), min_bigram_count=2
+    )
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
+ORACLE_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS u, t[i + 1] AS w
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), doc_big AS (
+  SELECT doc_id, u, w, COUNT(*) AS dcnt FROM big GROUP BY doc_id, u, w
+), model AS (
+  SELECT u, w, COUNT(*) AS cuw FROM big GROUP BY u, w HAVING COUNT(*) >= 2
+), u_tot AS (
+  SELECT u, COUNT(*) AS cu FROM big GROUP BY u
+), uni AS (
+  SELECT w, COUNT(*) AS cw FROM big GROUP BY w
+), corpus AS (
+  SELECT SUM(cw) AS t_total, COUNT(*) AS v_size FROM uni
+), scored AS (
+  SELECT d.doc_id, d.u, d.w, d.dcnt,
+         d.dcnt * ln(CASE WHEN m.cuw IS NOT NULL THEN m.cuw / ut.cu
+                     ELSE 0.4 * ((COALESCE(un.cw, 0) + 1.0)
+                                 / (c.t_total + 1.0 * (c.v_size + 1)))
+                     END) AS contrib
+  FROM doc_big d
+  LEFT JOIN model m ON d.u = m.u AND d.w = m.w
+  JOIN u_tot ut ON d.u = ut.u
+  LEFT JOIN uni un ON d.w = un.w
+  CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(SUM(dcnt) AS BIGINT) AS n_bigrams,
+       ROUND(-list_reduce(list(contrib ORDER BY u, w), (a, b) -> a + b)
+             / SUM(dcnt), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6633,6 +6693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes": q_apply_changes,
         "k_anonymity": q_k_anonymity,
         "bloom_prune": q_bloom_prune,
+        "bigram_lm": q_bigram_lm,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -6821,6 +6882,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changes": ORACLE_APPLY_CHANGES,
         "k_anonymity": ORACLE_K_ANONYMITY,
         "bloom_prune": ORACLE_BLOOM_PRUNE,
+        "bigram_lm": ORACLE_BIGRAM_LM,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -307,6 +307,112 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    *,
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+    min_bigram_count: int = 1,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a BIGRAM LM with
+    stupid backoff (Brants et al. 2007, the web-scale scheme KenLM-style
+    CCNet filters approximate) fit on the corpus itself:
+
+        p(w | u) = c(u, w) / c(u)                  if c(u, w) >= min_count
+                 = backoff * (c(w)+alpha)/(T+alpha*(V+1))   otherwise
+
+    (the backed-off term is the add-``alpha`` unigram of
+    ``unigram_lm_scores``, so OOV continuation words stay finite).
+    Returns (doc_col, n_bigrams, avg_nll); documents with fewer than two
+    tokens have no bigrams and are absent.
+
+    Scale shape: the BIGRAM model table is corpus-sized, NOT
+    dimension-sized, so it is never broadcast — doc bigram counts join it
+    with a hash equi-join on (u, w); ``min_bigram_count`` is the standard
+    count-prune that shrinks the model table by orders of magnitude at
+    100 TB (pruned bigrams fall through to backoff). Only the 1-row
+    corpus scalars are hint-broadcast; the vocab-sized unigram table
+    joins without a hint so AQE broadcasts it when small and hash-joins
+    at web-scale vocabularies. The per-doc float sum folds term
+    contributions in SORTED (u, w) order — reproducible across engines
+    and partitionings, same discipline as ``unigram_lm_scores``.
+    """
+    toks = docs.select(
+        doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    big = (
+        toks.filter(F.col("_n") >= 2)
+        .select(
+            doc_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.col("_n") - 1).alias("u"),
+                    F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("w"),
+                )
+            ).alias("_b"),
+        )
+        .select(doc_col, F.col("_b.u").alias("u"), F.col("_b.w").alias("w"))
+    )
+    doc_big = big.groupBy(doc_col, "u", "w").agg(
+        F.count(F.lit(1)).alias("dcnt")
+    )
+    # model: corpus bigram counts (count-pruned) + per-u totals
+    model = (
+        big.groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cuw"))
+        .filter(F.col("cuw") >= min_bigram_count)
+    )
+    u_tot = big.groupBy("u").agg(F.count(F.lit(1)).alias("cu"))
+    model = model.join(u_tot, "u")
+    # unigram backoff distribution over CONTINUATION words
+    uni = big.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    corpus = uni.agg(
+        F.sum("cw").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    denom = F.col("t_total") + alpha * (F.col("v_size") + F.lit(1.0))
+    # uni is vocab-sized: no broadcast hint — AQE broadcasts it when it
+    # is actually small, hash-joins at web-scale vocabularies
+    scored = (
+        doc_big.join(model, ["u", "w"], "left")
+        .join(uni.withColumnRenamed("cw", "_cw"), "w", "left")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_p",
+            F.when(
+                F.col("cuw").isNotNull(), F.col("cuw") / F.col("cu")
+            ).otherwise(
+                F.lit(backoff)
+                * (
+                    (F.coalesce(F.col("_cw"), F.lit(0)) + F.lit(alpha))
+                    / denom
+                )
+            ),
+        )
+        .withColumn("_c", F.col("dcnt") * F.log("_p"))
+    )
+    agg = scored.groupBy(doc_col).agg(
+        F.sum("dcnt").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("u"), F.col("w"), F.col("_c").alias("c")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"],
+        ).alias("_s"),
+    )
+    return agg.select(
+        doc_col,
+        "n_bigrams",
+        (-F.col("_s") / F.col("n_bigrams")).alias("avg_nll"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document repeated-substring detection
 # ---------------------------------------------------------------------------

@@ -415,3 +415,65 @@ def test_source_mixing_hits_target_proportions(spark, docs, doc_rows):
     k1 = {x.doc_id for x in kept.select("doc_id").collect()}
     k2 = {x.doc_id for x in kept.select("doc_id").collect()}
     assert k1 == k2 and k1 <= set(doc_rows)
+
+
+def test_bigram_lm_scores_match_python(spark, docs, doc_rows):
+    from pylluminator_spark.operators.corpus import bigram_lm_scores
+
+    # python twin: corpus bigram/unigram counts + stupid backoff
+    all_bigrams = Counter()
+    u_totals = Counter()
+    w_counts = Counter()
+    for text in doc_rows.values():
+        toks = _tokens(text)
+        for u, w in zip(toks, toks[1:]):
+            all_bigrams[(u, w)] += 1
+            u_totals[u] += 1
+            w_counts[w] += 1
+    T, V = sum(w_counts.values()), len(w_counts)
+
+    def p(u, w, min_count):
+        if all_bigrams[(u, w)] >= min_count:
+            return all_bigrams[(u, w)] / u_totals[u]
+        return 0.4 * (w_counts.get(w, 0) + 1.0) / (T + (V + 1.0))
+
+    for min_count in (1, 2):
+        got = {
+            r.doc_id: r
+            for r in bigram_lm_scores(
+                docs, min_bigram_count=min_count
+            ).collect()
+        }
+        for d, text in doc_rows.items():
+            toks = _tokens(text)
+            if len(toks) < 2:
+                assert d not in got
+                continue
+            bigs = list(zip(toks, toks[1:]))
+            nll = -sum(
+                math.log(p(u, w, min_count)) for u, w in bigs
+            ) / len(bigs)
+            assert got[d].n_bigrams == len(bigs)
+            assert got[d].avg_nll == pytest.approx(nll), (d, min_count)
+
+
+def test_bigram_lm_backoff_ranks_junk_higher(spark):
+    from pylluminator_spark.operators.corpus import bigram_lm_scores
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    rows.append((99, "zxq wvu tsr qpo nml"))  # all singleton bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.avg_nll for r in
+           bigram_lm_scores(df, min_bigram_count=2).collect()}
+    # junk doc's bigrams are all pruned -> backoff -> much higher NLL
+    assert got[99] > max(v for k, v in got.items() if k != 99)
+
+
+def test_bigram_lm_single_token_docs_absent(spark):
+    from pylluminator_spark.operators.corpus import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two tokens")], ["doc_id", "text"]
+    )
+    got = {r.doc_id for r in bigram_lm_scores(df).collect()}
+    assert got == {3}

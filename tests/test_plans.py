@@ -122,6 +122,9 @@ SCALAR_AGG_OK = [
     # broadcast crossJoin; every data-bearing stage is an equi join /
     # keyed hash aggregate over df-capped posting lists
     "tfidf_pairs",
+    # bigram LM: corpus-sized model table joins by HASH (never
+    # broadcast); the only broadcast is the 1-row corpus scalar
+    "bigram_lm",
     # Welch z-test: one conditional-sum global aggregate row
     "ab_test",
     # association stats: the cross/window stages run on the CELL table
