@@ -79,6 +79,36 @@ def minhash_signature(
     )
 
 
+def lsh_band_table(
+    df_with_sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable LSH INDEX: one (id, _band, _band_hash) row per band
+    of each signature. ``lsh_candidate_pairs`` derives pairs from this
+    table; a production corpus stores it (partitioned by ``_band``) so
+    nightly ingests only band the NEW documents and join against it
+    (``lsh_incremental_candidates``) instead of re-banding the corpus."""
+    sig = df_with_sig.filter(F.col(sig_col).isNotNull())
+    k = F.size(F.col(sig_col))
+    rows_per_band = (k / bands).cast("int")
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
+    ).join(sig.select(id_col, sig_col), id_col)
+    return banded.select(
+        id_col,
+        "_band",
+        F.xxhash64(
+            F.col("_band"),
+            F.slice(
+                F.col(sig_col), F.col("_band") * rows_per_band + 1, rows_per_band
+            ).cast("string"),
+        ).alias("_band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df_with_sig: DataFrame,
     id_col: str = "doc_id",
@@ -90,22 +120,7 @@ def lsh_candidate_pairs(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    sig = df_with_sig.filter(F.col(sig_col).isNotNull())
-    k = F.size(F.col(sig_col))
-    rows_per_band = (k / bands).cast("int")
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
-    ).join(sig.select(id_col, sig_col), id_col)
-    banded = banded.withColumn(
-        "_band_hash",
-        F.xxhash64(
-            F.col("_band"),
-            F.slice(
-                F.col(sig_col), F.col("_band") * rows_per_band + 1, rows_per_band
-            ).cast("string"),
-        ),
-    )
+    banded = lsh_band_table(df_with_sig, id_col, sig_col, bands)
     a = banded.select(
         F.col("_band"), F.col("_band_hash"), F.col(id_col).alias("id_a")
     )
@@ -116,6 +131,40 @@ def lsh_candidate_pairs(
         a.join(b, ["_band", "_band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_incremental_candidates(
+    new_bands: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest candidates: pairs that involve AT LEAST ONE new
+    document — new-vs-index plus new-vs-new — from two ``lsh_band_table``
+    outputs. Index-vs-index pairs are never re-enumerated, which is the
+    point: a nightly batch joins its bands against the stored corpus
+    index (bucket equi-join on (_band, _band_hash), prunable to touched
+    buckets when the index is partitioned by ``_band``) at cost
+    proportional to the BATCH, not the corpus.
+
+    Equivalence (tested): this equals ``lsh_candidate_pairs`` over the
+    union minus the pairs entirely inside the index. Returns distinct
+    (id_a, id_b), id_a < id_b. Ids must be disjoint between the two
+    inputs."""
+    n = new_bands.select(
+        "_band", "_band_hash", F.col(id_col).alias("_nid")
+    )
+    other = new_bands.unionByName(index_bands).select(
+        "_band", "_band_hash", F.col(id_col).alias("_oid")
+    )
+    return (
+        n.join(other, ["_band", "_band_hash"])
+        .filter(F.col("_nid") != F.col("_oid"))
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+        )
         .distinct()
     )
 
