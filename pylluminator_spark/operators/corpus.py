@@ -323,10 +323,14 @@ def bigram_lm_scores(
         p(w | u) = c(u, w) / c(u)                  if c(u, w) >= min_count
                  = backoff * (c(w)+alpha)/(T+alpha*(V+1))   otherwise
 
-    (the backed-off term is the add-``alpha`` unigram of
-    ``unigram_lm_scores``, so OOV continuation words stay finite).
-    Returns (doc_col, n_bigrams, avg_nll); documents with fewer than two
-    tokens have no bigrams and are absent.
+    (the backed-off term is an add-``alpha`` unigram estimate over
+    CONTINUATION positions — c(w), T, V count tokens as they appear in
+    the w slot of a bigram, so doc-initial tokens are excluded; this is
+    NOT the same distribution as ``unigram_lm_scores``' all-token vocab,
+    and the two tables are not interchangeable). Unseen continuation
+    words stay finite via the +alpha. Returns (doc_col, n_bigrams,
+    avg_nll); documents with fewer than two tokens have no bigrams and
+    are absent.
 
     Scale shape: the BIGRAM model table is corpus-sized, NOT
     dimension-sized, so it is never broadcast — doc bigram counts join it
@@ -358,16 +362,21 @@ def bigram_lm_scores(
     doc_big = big.groupBy(doc_col, "u", "w").agg(
         F.count(F.lit(1)).alias("dcnt")
     )
-    # model: corpus bigram counts (count-pruned) + per-u totals
+    # model/u_tot/uni all ROLL UP from doc_big (sum of per-doc counts ==
+    # corpus count), so Spark's ReuseExchange computes the tokenize +
+    # explode + (doc,u,w) shuffle ONCE and the three rollups aggregate
+    # the much smaller doc_big table — the same exchange-reuse shape
+    # unigram_lm_scores uses for its vocab
     model = (
-        big.groupBy("u", "w")
-        .agg(F.count(F.lit(1)).alias("cuw"))
+        doc_big.groupBy("u", "w")
+        .agg(F.sum("dcnt").alias("cuw"))
         .filter(F.col("cuw") >= min_bigram_count)
     )
-    u_tot = big.groupBy("u").agg(F.count(F.lit(1)).alias("cu"))
+    u_tot = doc_big.groupBy("u").agg(F.sum("dcnt").alias("cu"))
     model = model.join(u_tot, "u")
-    # unigram backoff distribution over CONTINUATION words
-    uni = big.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    # backoff distribution over CONTINUATION positions (doc-initial
+    # tokens never appear as w)
+    uni = doc_big.groupBy("w").agg(F.sum("dcnt").alias("cw"))
     corpus = uni.agg(
         F.sum("cw").alias("t_total"), F.count(F.lit(1)).alias("v_size")
     )

@@ -93,17 +93,23 @@ def lsh_band_table(
     sig = df_with_sig.filter(F.col(sig_col).isNotNull())
     k = F.size(F.col(sig_col))
     rows_per_band = (k / bands).cast("int")
+    # generator + carried signature in ONE pass — no self-join; the
+    # slice that hashes each band can't reference the explode alias in
+    # the same select, hence the two-step projection
     banded = sig.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band"),
-    ).join(sig.select(id_col, sig_col), id_col)
+        F.col(sig_col),
+        rows_per_band.alias("_rpb"),
+    )
     return banded.select(
         id_col,
         "_band",
         F.xxhash64(
             F.col("_band"),
             F.slice(
-                F.col(sig_col), F.col("_band") * rows_per_band + 1, rows_per_band
+                F.col(sig_col), F.col("_band") * F.col("_rpb") + 1,
+                F.col("_rpb"),
             ).cast("string"),
         ).alias("_band_hash"),
     )
