@@ -6446,6 +6446,79 @@ ORDER BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators.dsir — Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    unigram+bigram bucket features (256 buckets, SQL-portable polynomial
+    char hash), target = the English documents, raw = the whole corpus;
+    per-doc log weight = sum_b cnt(b) * (log p_en(b) - log q_all(b)) with
+    add-one smoothing, folded in sorted bucket order so the float is
+    bit-identical cross-engine before the ROUND(6) gate. The log-ratio
+    table is <= 256 rows — broadcast — so scoring is map-side after the
+    one (doc, bucket) aggregation."""
+    from pylluminator_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_log_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        buckets=256,
+        alpha=1.0,
+        arith=True,
+    )
+    return out.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+ORACLE_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, UNNEST(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), bucketed AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(0, list_transform(
+             generate_series(1, len(gram)),
+             i -> ascii(substr(gram, i, 1)))),
+           (a, c) -> (a * 31 + c) % 1000003) % 256 AS bucket
+  FROM grams
+), doc_feat AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt
+  FROM bucketed GROUP BY doc_id, bucket
+), raw_b AS (
+  SELECT bucket, SUM(cnt) AS rc FROM doc_feat GROUP BY bucket
+), tgt_b AS (
+  SELECT bucket, COUNT(*) AS tc FROM bucketed WHERE lang = 'en'
+  GROUP BY bucket
+), tot AS (
+  SELECT (SELECT SUM(tc) FROM tgt_b) AS tt,
+         (SELECT SUM(rc) FROM raw_b) AS tr
+), ratio AS (
+  SELECT r.bucket,
+         ln((COALESCE(g.tc, 0) + 1.0) / (t.tt + 256.0))
+           - ln((r.rc + 1.0) / (t.tr + 256.0)) AS log_ratio
+  FROM raw_b r LEFT JOIN tgt_b g ON r.bucket = g.bucket CROSS JOIN tot t
+), scored AS (
+  SELECT d.doc_id, d.bucket, d.cnt, d.cnt * x.log_ratio AS contrib
+  FROM doc_feat d JOIN ratio x ON d.bucket = x.bucket
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       ROUND(list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b),
+             6) AS log_weight
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6625,7 +6698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row (registered this round; ADVICE r5 flagged it as dead
     # code). After this round every oracle-bearing entry has a green row
     # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
-    # k_anonymity, bloom_prune) queue BEHIND the 50 gated slots, never
+    # k_anonymity, bloom_prune, bigram_lm, dsir_weights) queue BEHIND the 50 gated slots, never
     # displacing the rotation; they lead the r7 gate. Each was verified
     # by hand-run driver emulation at sf0.001/0.01/0.1 this round, and
     # the test_gate_debut pre-gate tier enforces the sf0.01 + sf0.1 emu
@@ -6694,6 +6767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "bloom_prune": q_bloom_prune,
         "bigram_lm": q_bigram_lm,
+        "dsir_weights": q_dsir_weights,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -6883,6 +6957,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": ORACLE_K_ANONYMITY,
         "bloom_prune": ORACLE_BLOOM_PRUNE,
         "bigram_lm": ORACLE_BIGRAM_LM,
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,
