@@ -6519,6 +6519,59 @@ ORDER BY doc_id
 """
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (operators.sketch.hist_sketch /
+    hist_quantiles): fixed 220-bin grid on [0, 110000) over
+    l_extendedprice per return flag, interpolated p25/p50/p75/p95/p99 off
+    the sketch. Exact integer bin counts on a FIXED grid (mergeable by
+    addition across shards — unlike GK/t-digest summaries); the quantile
+    arithmetic is fixed-order double ops replicated term-for-term in the
+    DuckDB twin. The cumulative window runs over the <=220-row sketch,
+    never the fact table."""
+    from pylluminator_spark.operators.sketch import (
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hist_sketch(
+        li, "l_extendedprice", ["l_returnflag"], lo=0.0, hi=110000.0,
+        bins=220,
+    )
+    est = hist_quantiles(
+        sk, [0.25, 0.5, 0.75, 0.95, 0.99], ["l_returnflag"],
+        lo=0.0, hi=110000.0, bins=220,
+    )
+    return est.select(
+        "l_returnflag", "q", F.round("est", 6).alias("est")
+    )
+
+
+ORACLE_HIST_QUANTILES = """
+WITH sk AS (
+  SELECT l_returnflag,
+         GREATEST(0, LEAST(219,
+           CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 500.0) AS INT)))
+           AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS c
+  FROM sk
+), tot AS (
+  SELECT l_returnflag, SUM(cnt) AS n FROM sk GROUP BY l_returnflag
+), qs AS (
+  SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE) AS q
+)
+SELECT c.l_returnflag, q.q,
+       ROUND(0.0 + 500.0 * (c.bin + (q.q * t.n - (c.c - c.cnt)) / c.cnt),
+             6) AS est
+FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag CROSS JOIN qs q
+WHERE c.c - c.cnt < q.q * t.n AND q.q * t.n <= c.c
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6698,7 +6751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row (registered this round; ADVICE r5 flagged it as dead
     # code). After this round every oracle-bearing entry has a green row
     # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
-    # k_anonymity, bloom_prune, bigram_lm, dsir_weights) queue BEHIND the 50 gated slots, never
+    # k_anonymity, bloom_prune, bigram_lm, dsir_weights, hist_quantiles)
+    # queue BEHIND the 50 gated slots, never
     # displacing the rotation; they lead the r7 gate. Each was verified
     # by hand-run driver emulation at sf0.001/0.01/0.1 this round, and
     # the test_gate_debut pre-gate tier enforces the sf0.01 + sf0.1 emu
@@ -6768,6 +6822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "bigram_lm": q_bigram_lm,
         "dsir_weights": q_dsir_weights,
+        "hist_quantiles": q_hist_quantiles,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -6958,6 +7013,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune": ORACLE_BLOOM_PRUNE,
         "bigram_lm": ORACLE_BIGRAM_LM,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "hist_quantiles": ORACLE_HIST_QUANTILES,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

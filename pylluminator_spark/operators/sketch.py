@@ -393,3 +393,132 @@ def bloom_inline_probe_cond(
         hit = F.element_at(arr, word + F.lit(1)).bitwiseAND(mask) != 0
         cond = hit if cond is None else (cond & hit)
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: (group..., bin, cnt) over the
+    ``bins``-slot equal-width grid on [lo, hi). The quantile counterpart
+    of the HLL/CMS/Bloom register tables: exact integers on a FIXED grid,
+    so sketches built per partition/day/source merge by plain addition
+    (``hist_merge``) regardless of data order or cluster layout — unlike
+    GK/t-digest summaries, whose merge is order-sensitive. Quantile
+    estimates off the merged table are within one bin width of exact
+    (``hist_quantiles``).
+
+    Values outside [lo, hi) clamp to the edge bins (they still count
+    toward ranks, estimates at the edges saturate); NULLs are dropped.
+    Bounds come from domain knowledge or a prior 1-row min/max scan.
+    One keyed aggregation, map-side partial combine; the sketch has at
+    most ``bins`` rows per group."""
+    w = (float(hi) - float(lo)) / bins
+    v = F.col(value_col).cast("double")
+    b = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b))
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Merge ``hist_sketch`` tables built on the same grid: union +
+    per-(group, bin) addition. Exact — merging sketches of shards equals
+    the sketch of the union."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Interpolated quantile estimates from a ``hist_sketch`` table:
+    (group..., q, est). For each q in (0, 1], the target rank is
+    ``r = q * n``; the answer lands in the unique bin whose cumulative
+    count first reaches r, linearly interpolated within the bin:
+
+        est = lo + width * (bin + (r - cum_prev) / cnt)
+
+    Pure deterministic arithmetic over exact integer counts — the same
+    expression runs bit-for-bit in ANSI SQL (the driver gate's DuckDB
+    twin). Error <= one bin width vs the exact quantile. The cumulative
+    window runs over the SKETCH (<= ``bins`` rows per group), never the
+    data."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+    w = (float(hi) - float(lo)) / bins
+    win = (
+        Window.partitionBy(*gc).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.select(
+        *gc, "bin", "cnt",
+        F.sum("cnt").over(win).alias("_cum"),
+    )
+    totals = sketch.groupBy(*gc).agg(F.sum("cnt").alias("_n"))
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    r = F.col("q") * F.col("_n")
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("bin")
+        + (F.col("_r") - (F.col("_cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    joined = (
+        cum.join(totals, gc)
+        if gc
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.crossJoin(F.broadcast(qdf))
+        .withColumn("_r", r)
+        .filter(
+            (F.col("_cum") - F.col("cnt") < F.col("_r"))
+            & (F.col("_r") <= F.col("_cum"))
+        )
+        .select(*gc, "q", est.alias("est"))
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The engine-grade quantile path: Spark's native
+    ``percentile_approx`` (Greenwald-Khanna, JVM-side, single pass,
+    rank error <= 1/accuracy). Use this when bounds are unknown or the
+    distribution is heavy-tailed beyond a fixed grid; use
+    ``hist_sketch`` when the summary must be STORED and merged across
+    batches (GK summaries don't survive as tables). Returns
+    (group..., quantiles: array<double>) aligned with ``qs``."""
+    return df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            value_col, [float(q) for q in qs], accuracy
+        ).alias("quantiles")
+    )
