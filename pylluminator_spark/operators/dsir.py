@@ -80,26 +80,26 @@ def _grams(
 ) -> DataFrame:
     """(doc, gram) rows: lowercase whitespace unigrams, plus space-joined
     bigrams when ``use_bigrams`` — the paper's hashed n-gram feature
-    stream. One tokenize per document; the bigram branch reuses the
-    token array via zip_with over two slices (no self-join)."""
+    stream. ONE tokenize and ONE explode per document: the bigram array
+    comes from zip_with over two slices of the same token array and is
+    concatenated onto it (a union of two branches would scan and
+    tokenize twice — Spark does no CSE across union arms)."""
     toks = docs.select(
         doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_t")
     )
-    uni = toks.select(doc_col, F.explode("_t").alias("gram"))
-    if not use_bigrams:
-        return uni
-    n = F.size("_t")
-    big = toks.filter(n >= 2).select(
-        F.col(doc_col),
-        F.explode(
+    grams = F.col("_t")
+    if use_bigrams:
+        n = F.size("_t")
+        bigs = F.when(
+            n >= 2,
             F.zip_with(
                 F.slice(F.col("_t"), 1, n - 1),
                 F.slice(F.col("_t"), 2, n - 1),
                 lambda u, w: F.concat(u, F.lit(" "), w),
-            )
-        ).alias("gram"),
-    )
-    return uni.unionByName(big)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(grams, bigs)
+    return toks.select(doc_col, F.explode(grams).alias("gram"))
 
 
 def hashed_gram_counts(
