@@ -6572,6 +6572,169 @@ WHERE c.c - c.cnt < q.q * t.n AND q.q * t.n <= c.c
 """
 
 
+_MINI_POWS = [pow(31, 7 - j, 1_000_003) for j in range(8)]
+_MINI_SQL_SIGS = f"""
+WITH kh AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(text) - 7),
+      i -> list_reduce(
+             list_transform(generate_series(0, 7),
+               j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+                    * ([{", ".join(map(str, _MINI_POWS))}][j + 1])),
+             (a, b) -> a + b) % 1000003) AS hs
+  FROM documents
+), mn AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 8 THEN
+           list_distinct(list_transform(generate_series(1, len(hs) - 7),
+             i -> list_min(hs[i:i+7])))
+         WHEN len(hs) >= 1 THEN [list_min(hs)]
+         ELSE [] END AS ms
+  FROM kh
+), sigs AS (
+  SELECT doc_id, unnest(ms) AS minimizer FROM mn
+)"""
+
+
+def q_minimizer_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing minimizer signatures (operators.dedup
+    minimizer_signatures — Schleimer et al., SIGMOD 2003; the
+    exact-substring blocking scheme of MOSS/minimap2, beyond-reference
+    dedup surface): (8,8)-minimizers of each document's polynomial k-mer
+    hash stream, gated as per-doc signature aggregates (count + exact
+    integer sum + extrema pin the full distinct-minimizer set). The
+    signature is pure higher-order array exprs — no explode until the
+    ~4x-compressed minimizer stream, no Python, no shuffle before the
+    doc-keyed aggregate."""
+    from pylluminator_spark.operators.dedup import minimizer_signatures
+
+    sigs = minimizer_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8
+    )
+    return sigs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_minimizers"),
+        F.sum("minimizer").alias("sig_sum"),
+        F.min("minimizer").alias("sig_min"),
+        F.max("minimizer").alias("sig_max"),
+    )
+
+
+ORACLE_MINIMIZER_SIGS = (
+    _MINI_SQL_SIGS
+    + """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_minimizers,
+       CAST(SUM(minimizer) AS BIGINT) AS sig_sum,
+       CAST(MIN(minimizer) AS BIGINT) AS sig_min,
+       CAST(MAX(minimizer) AS BIGINT) AS sig_max
+FROM sigs GROUP BY doc_id
+"""
+)
+
+
+def q_minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimizer-blocked candidate pairs (operators.dedup
+    minimizer_candidate_pairs): documents sharing >= 40 distinct
+    (8,8)-minimizers, with stop-word-like minimizers (document frequency
+    > 400) dropped BEFORE the self-join — the same bounded-bucket
+    discipline as LSH bands/PPJoin prefixes, worst bucket C(400, 2).
+    Winnowing guarantee: any shared exact substring of >= 15 chars
+    shares a minimizer, so the blocking is LOSSLESS for long-substring
+    dup detection (contrast probabilistic MinHash). max_df binds at
+    sf0.1 (hot minimizers exist), so the cap path is hash-verified."""
+    from pylluminator_spark.operators.dedup import (
+        minimizer_candidate_pairs,
+        minimizer_signatures,
+    )
+
+    sigs = minimizer_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8
+    )
+    return minimizer_candidate_pairs(
+        sigs, "doc_id", min_shared=40, max_df=400
+    )
+
+
+ORACLE_MINIMIZER_PAIRS = (
+    _MINI_SQL_SIGS
+    + """
+, capped AS (
+  SELECT * FROM sigs
+  QUALIFY COUNT(*) OVER (PARTITION BY minimizer) <= 400
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM capped a
+JOIN capped b ON a.minimizer = b.minimizer AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 40
+"""
+)
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table (operators.classifier
+    calibration_bins — Guo et al. 2017; the QA step after training a
+    FineWeb-Edu-style quality classifier): the logreg_predict scores
+    bucketed into 10 equal-width bins vs the lang=='en' label. One keyed
+    hash aggregate, <= 10 output rows; frac_pos is integer/integer,
+    avg_score folds in sorted doc_id order (bit-reproducible — the
+    combat_stats discipline)."""
+    from pylluminator_spark.operators.classifier import (
+        calibration_bins,
+        logreg_predict_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    x1 = F.col("n_chars").cast("double") / F.lit(100.0)
+    x2 = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast(
+        "double"
+    )
+    x3 = (
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    ).cast("double")
+    scored = docs.select(
+        "doc_id",
+        logreg_predict_expr([x1, x2, x3], [0.5, 0.05, -2.0], -3.0).alias(
+            "score"
+        ),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    out = calibration_bins(
+        scored, "score", "label", bins=10, key_col="doc_id"
+    )
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("avg_score", 6).alias("avg_score"),
+    )
+
+
+ORACLE_CALIBRATION_BINS = r"""
+WITH scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-((((-3.0)
+             + (CAST(n_chars AS DOUBLE) / 100.0) * 0.5)
+             + CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) * 0.05)
+             + (CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     AS DOUBLE) / GREATEST(len(text), 1)) * (-2.0))))
+           AS score,
+         CAST(lang = 'en' AS INT) AS label
+  FROM documents
+)
+SELECT LEAST(9, CAST(FLOOR(score * 10) AS INT)) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+       ROUND(list_reduce(list(score ORDER BY doc_id), (a, b) -> a + b)
+             / COUNT(*), 6) AS avg_score
+FROM scored
+GROUP BY 1
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6823,6 +6986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "dsir_weights": q_dsir_weights,
         "hist_quantiles": q_hist_quantiles,
+        "minimizer_sigs": q_minimizer_sigs,
+        "minimizer_pairs": q_minimizer_pairs,
+        "calibration_bins": q_calibration_bins,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -7014,6 +7180,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": ORACLE_BIGRAM_LM,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "hist_quantiles": ORACLE_HIST_QUANTILES,
+        "minimizer_sigs": ORACLE_MINIMIZER_SIGS,
+        "minimizer_pairs": ORACLE_MINIMIZER_PAIRS,
+        "calibration_bins": ORACLE_CALIBRATION_BINS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -180,3 +180,83 @@ def logreg_fit(
         )
     finally:
         proj.unpersist()
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier: bucket scores
+    (assumed in [0, 1]) into ``bins`` equal-width bins and report, per
+    bin: row count, positive count, empirical positive fraction, and the
+    mean predicted score — the table behind reliability diagrams and ECE
+    (Guo et al., ICML 2017), i.e. the QA step after training a
+    FineWeb-Edu-style quality classifier.
+
+    One keyed hash aggregate with map-side partial combine; output is at
+    most ``bins`` rows. ``frac_pos`` is a single integer/integer
+    division (bit-deterministic). ``avg_score`` is a float mean: when
+    ``key_col`` is given it folds in sorted key order
+    (bit-reproducible across engines/partitionings — the repo's
+    hash-gate discipline); when None it uses the native unordered
+    ``avg`` (engine-grade path, cheaper at scale)."""
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.lit(bins - 1), F.floor(s * F.lit(bins)).cast("int")
+    ).alias("bin")
+    y = F.col(label_col).cast("long")
+    base = scored.select(
+        b,
+        s.alias("_s"),
+        y.alias("_y"),
+        *( [F.col(key_col).alias("_k")] if key_col else [] ),
+    )
+    if key_col is None:
+        sum_score = F.sum("_s")
+    else:
+        sum_score = F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_k"), F.col("_s").alias("s")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["s"],
+        )
+    n = F.count(F.lit(1))
+    return (
+        base.groupBy("bin")
+        .agg(
+            n.alias("n"),
+            F.sum("_y").alias("n_pos"),
+            (F.sum("_y") / n.cast("double")).alias("frac_pos"),
+            (sum_score / n.cast("double")).alias("avg_score"),
+        )
+    )
+
+
+def expected_calibration_error(bins_df: DataFrame) -> DataFrame:
+    """ECE off a ``calibration_bins`` table: sum_b (n_b / N) *
+    |frac_pos_b - avg_score_b|. Folds the <= ``bins`` terms in bin order
+    so the scalar is bit-reproducible. Returns a 1-row (n, ece) frame —
+    the whole reduction runs over the dimension-sized bin table."""
+    term = F.struct(
+        F.col("bin"),
+        (
+            F.col("n").cast("double")
+            * F.abs(F.col("frac_pos") - F.col("avg_score"))
+        ).alias("t"),
+    )
+    return bins_df.agg(
+        F.sum("n").alias("n"),
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(term)),
+                F.lit(0.0),
+                lambda acc, r: acc + r["t"],
+            )
+            / F.sum("n").cast("double")
+        ).alias("ece"),
+    )

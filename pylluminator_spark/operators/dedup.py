@@ -568,3 +568,150 @@ def tfidf_cosine_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "n_shared", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimizer signatures (winnowing) — exact-substring candidate generation
+# ---------------------------------------------------------------------------
+
+_MINI_P = 1_000_003  # same prime as doc_fingerprint / sampling arith hashes
+_MINI_MULT = 31
+
+
+def _kmer_pows(k: int) -> list[int]:
+    """31^(k-1-j) mod P for j in 0..k-1 — precomputed so the k-mer hash is
+    a plain weighted sum (no fold-initialisation headaches in the DuckDB
+    twin, which only has seedless ``list_reduce``)."""
+    return [pow(_MINI_MULT, k - 1 - j, _MINI_P) for j in range(k)]
+
+
+def kmer_hash_array_expr(text, k: int = 8):
+    """Array of polynomial hashes of every ``k``-char substring of
+    ``text`` (positions 1..len-k+1), entirely inside codegen:
+
+        h(i) = ( sum_j ascii(text[i+j]) * 31^(k-1-j) ) mod 1_000_003
+
+    Exact integer arithmetic (max partial sum k*255*P < 2^63), identical
+    in ANSI SQL — the winnowing (Schleimer et al., SIGMOD 2003) k-gram
+    hash stream. Texts shorter than ``k`` chars yield an empty array."""
+    pows = _kmer_pows(k)
+    pow_arr = F.array(*[F.lit(p) for p in pows])
+    n_kmers = F.length(text) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_kmers),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.ascii(text.substr(i + j, F.lit(1))).cast("long")
+            * F.element_at(pow_arr, j + 1),
+        )
+        % _MINI_P,
+    )
+    # sequence(1, n) runs DESCENDING for n < 1 — guard short texts
+    return F.when(n_kmers >= 1, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def minimizers_of_hashes_expr(hs, w: int = 8):
+    """Distinct w-window minima of an ALREADY-MATERIALIZED hash-array
+    column: slide a ``w``-window over ``hs`` and keep each window's
+    minimum. ``hs`` MUST be a plain column reference (not the
+    ``kmer_hash_array_expr`` tree itself): it is referenced inside the
+    per-window lambda, and Spark re-evaluates lambda-captured expression
+    trees per element — an inlined hash expression would turn the
+    O(len·w) window scan into O(len²·k) per document. Stage it with a
+    projection first (see ``minimizer_signatures``)."""
+    n = F.size(hs)
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(hs, i, w)),
+        ),
+    ).otherwise(
+        F.when(n >= 1, F.array(F.array_min(hs))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return F.array_distinct(mins)
+
+
+def minimizer_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """(doc_col, minimizer) — one row per distinct minimizer per document,
+    the winnowing fingerprint scheme (Schleimer et al., SIGMOD 2003;
+    MOSS / sourmash / minimap2). Any two documents sharing an exact
+    substring of length >= w + k - 1 share at least one minimizer, so
+    the signature is a LOSSLESS blocking key for exact-substring
+    candidate generation (unlike MinHash, which is probabilistic).
+    Expected signature size ~ 2·len/(w+1) — documents compress ~4x at
+    the defaults.
+
+    Two chained projections, both map-side: (1) materialize the k-mer
+    hash array (O(len·k) per doc), (2) window minima over the COLUMN
+    reference (O(len·w)) — keeping the hash tree out of the window
+    lambda, which would otherwise re-evaluate it per window position
+    (O(len²·k)). The explode emits the ~4x-compressed minimizer stream,
+    never the raw k-mer stream; the only shuffle is whatever consumes
+    the signatures."""
+    staged = docs.select(
+        doc_col,
+        kmer_hash_array_expr(F.col(text_col), k).alias("_hs"),
+    )
+    return staged.select(
+        doc_col,
+        F.explode(
+            minimizers_of_hashes_expr(F.col("_hs"), w)
+        ).alias("minimizer"),
+    )
+
+
+def minimizer_candidate_pairs(
+    sigs: DataFrame,
+    doc_col: str = "doc_id",
+    *,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared minimizers:
+    (id_a, id_b, n_shared) for pairs sharing >= ``min_shared``
+    minimizers, id_a < id_b.
+
+    Scale design — the same blocked-join discipline as LSH bands /
+    PPJoin prefixes: pairs are generated ONLY inside per-minimizer
+    buckets (self-equi-join on the minimizer value, never all-pairs),
+    and ``max_df`` drops stop-word-like minimizers whose document
+    frequency exceeds the cap BEFORE the join, bounding the worst
+    bucket at C(max_df, 2) pairs. Each surviving pair carries the
+    exact count of shared minimizers for downstream verification
+    (``jaccard_verify`` / exact substring extension)."""
+    if max_df is not None:
+        df_counts = sigs.groupBy("minimizer").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        sigs = (
+            sigs.join(df_counts, "minimizer")
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    a = sigs.select(
+        F.col(doc_col).alias("id_a"), F.col("minimizer").alias("_m")
+    )
+    b = sigs.select(
+        F.col(doc_col).alias("id_b"), F.col("minimizer").alias("_m")
+    )
+    return (
+        a.join(b, "_m")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -141,3 +141,65 @@ def test_end_to_end_quality_model_separates(spark):
     ).groupBy("y").agg(F.avg("p").alias("avg_p")).collect()
     by_y = {r["y"]: r["avg_p"] for r in scored}
     assert by_y[1.0] > by_y[0.0] + 0.2
+
+
+class TestCalibration:
+    def _scored(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(400):
+            p = rng.random()
+            # well-calibrated by construction: label ~ Bernoulli(p)
+            rows.append((i, p, 1 if rng.random() < p else 0))
+        return rows, spark.createDataFrame(rows, ["id", "score", "label"])
+
+    def test_bins_match_python(self, spark):
+        from pylluminator_spark.operators.classifier import calibration_bins
+
+        rows, df = self._scored(spark)
+        got = {
+            r["bin"]: r
+            for r in calibration_bins(
+                df, "score", "label", bins=10, key_col="id"
+            ).collect()
+        }
+        for b in range(10):
+            sub = [r for r in rows if min(9, int(r[1] * 10)) == b]
+            assert got[b]["n"] == len(sub)
+            assert got[b]["n_pos"] == sum(r[2] for r in sub)
+            assert got[b]["frac_pos"] == pytest.approx(
+                sum(r[2] for r in sub) / len(sub)
+            )
+            assert got[b]["avg_score"] == pytest.approx(
+                sum(r[1] for r in sub) / len(sub)
+            )
+
+    def test_edge_scores_clamp_to_last_bin(self, spark):
+        from pylluminator_spark.operators.classifier import calibration_bins
+
+        df = spark.createDataFrame(
+            [(0, 1.0, 1), (1, 0.0, 0), (2, 0.999, 1)],
+            ["id", "score", "label"],
+        )
+        got = {r["bin"]: r["n"] for r in
+               calibration_bins(df, "score", "label", bins=10).collect()}
+        assert got == {0: 1, 9: 2}  # score 1.0 clamps into bin 9
+
+    def test_ece_well_calibrated_is_small(self, spark):
+        from pylluminator_spark.operators.classifier import (
+            calibration_bins,
+            expected_calibration_error,
+        )
+
+        _, df = self._scored(spark)
+        bins_df = calibration_bins(df, "score", "label", bins=10, key_col="id")
+        row = expected_calibration_error(bins_df).collect()[0]
+        assert row["n"] == 400
+        assert 0.0 <= row["ece"] < 0.15  # Bernoulli(p) labels: near-calibrated
+        # miscalibrated scores must raise ECE: shift all scores toward 1
+        shifted = df.withColumn("score", F.sqrt(F.col("score")))
+        b2 = calibration_bins(shifted, "score", "label", bins=10, key_col="id")
+        row2 = expected_calibration_error(b2).collect()[0]
+        assert row2["ece"] > row["ece"]

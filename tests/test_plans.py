@@ -94,6 +94,11 @@ CLEAN = [
     # on the quasi key; bloom prune — inlined-literal codegen probe, the
     # fact side reaches the join pre-filtered with zero extra shuffle
     "apply_changes", "k_anonymity", "bloom_prune",
+    # winnowing minimizers: array exprs map-side, then explode -> keyed
+    # aggregate; the pair stage is a df-capped minimizer equi self-join
+    "minimizer_sigs", "minimizer_pairs",
+    # calibration: codegen score expr + one <=10-row keyed aggregate
+    "calibration_bins",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -125,6 +130,14 @@ SCALAR_AGG_OK = [
     # bigram LM: corpus-sized model table joins by HASH (never
     # broadcast); the only broadcast is the 1-row corpus scalar
     "bigram_lm",
+    # DSIR: data-bearing stages are one (doc, bucket) hash aggregate +
+    # a broadcast join on the <=buckets-row log-ratio table; the
+    # corpus-total scalars are 1-row broadcast crossJoins
+    "dsir_weights",
+    # histogram sketch: one bucketed hash aggregate over the fact table;
+    # the quantile stage windows/joins the <=bins-row sketch and
+    # broadcasts the 5-row quantile grid
+    "hist_quantiles",
     # Welch z-test: one conditional-sum global aggregate row
     "ab_test",
     # association stats: the cross/window stages run on the CELL table
