@@ -6609,7 +6609,8 @@ def q_minimizer_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pylluminator_spark.operators.dedup import minimizer_signatures
 
     sigs = minimizer_signatures(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8,
+        num_partitions=32,
     )
     return sigs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_minimizers"),
@@ -6634,24 +6635,29 @@ FROM sigs GROUP BY doc_id
 
 def q_minimizer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimizer-blocked candidate pairs (operators.dedup
-    minimizer_candidate_pairs): documents sharing >= 40 distinct
+    minimizer_candidate_pairs): documents sharing >= 3 distinct
     (8,8)-minimizers, with stop-word-like minimizers (document frequency
-    > 400) dropped BEFORE the self-join — the same bounded-bucket
-    discipline as LSH bands/PPJoin prefixes, worst bucket C(400, 2).
+    > 60) dropped BEFORE the self-join — the same bounded-bucket
+    discipline as LSH bands/PPJoin prefixes, worst bucket C(60, 2).
+    The synthetic corpus's tiny vocabulary makes minimizers collide
+    corpus-wide, so the gate uses the aggressive stop-minimizer cap a
+    duplicate-heavy shard would need (joined rows drop ~40x vs df<=400;
+    the cap binds at every SF, so the cap path is hash-verified).
     Winnowing guarantee: any shared exact substring of >= 15 chars
     shares a minimizer, so the blocking is LOSSLESS for long-substring
-    dup detection (contrast probabilistic MinHash). max_df binds at
-    sf0.1 (hot minimizers exist), so the cap path is hash-verified."""
+    dup detection (contrast probabilistic MinHash); dropping hot
+    minimizers is the standard recall/cost dial (as in MOSS)."""
     from pylluminator_spark.operators.dedup import (
         minimizer_candidate_pairs,
         minimizer_signatures,
     )
 
     sigs = minimizer_signatures(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8,
+        num_partitions=32,
     )
     return minimizer_candidate_pairs(
-        sigs, "doc_id", min_shared=40, max_df=400
+        sigs, "doc_id", min_shared=3, max_df=60, bucket_partitions=32
     )
 
 
@@ -6660,13 +6666,13 @@ ORACLE_MINIMIZER_PAIRS = (
     + """
 , capped AS (
   SELECT * FROM sigs
-  QUALIFY COUNT(*) OVER (PARTITION BY minimizer) <= 400
+  QUALIFY COUNT(*) OVER (PARTITION BY minimizer) <= 60
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM capped a
 JOIN capped b ON a.minimizer = b.minimizer AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING COUNT(*) >= 40
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
 """
 )
 
@@ -6732,6 +6738,46 @@ SELECT LEAST(9, CAST(FLOOR(score * 10) AS INT)) AS bin,
              / COUNT(*), 6) AS avg_score
 FROM scored
 GROUP BY 1
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (operators.impute.winsorize): clamp
+    events.value into the per-event-type exact [p5, p95] band — one
+    grouped exact-percentile pass broadcast back onto the stream, then a
+    pure codegen least/greatest clamp (the impute scale shape: stats
+    pass + map-side edit, no second shuffle). The gate hash-compares a
+    1-in-17 systematic sample of the full clamped rows (clamped value
+    ROUND(6): Spark exact percentile and DuckDB quantile_cont share the
+    linear-interpolation definition; only the interp arithmetic can
+    differ by an ulp)."""
+    from pylluminator_spark.operators.impute import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(
+        ev, ["value"], group_cols=["event_type"], lower=0.05, upper=0.95
+    )
+    return out.filter(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "value_winsorized",
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(CASE WHEN e.value IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(e.value, b.lo), b.hi) END, 6) AS value,
+       COALESCE(e.value < b.lo OR e.value > b.hi, FALSE) AS value_winsorized
+FROM events e JOIN bands b ON e.event_type = b.event_type
+WHERE e.event_id % 17 = 0
 """
 
 
@@ -6989,6 +7035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_sigs": q_minimizer_sigs,
         "minimizer_pairs": q_minimizer_pairs,
         "calibration_bins": q_calibration_bins,
+        "winsorize": q_winsorize,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -7183,6 +7230,7 @@ def oracle_sql() -> dict[str, str]:
         "minimizer_sigs": ORACLE_MINIMIZER_SIGS,
         "minimizer_pairs": ORACLE_MINIMIZER_PAIRS,
         "calibration_bins": ORACLE_CALIBRATION_BINS,
+        "winsorize": ORACLE_WINSORIZE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -595,19 +595,31 @@ def kmer_hash_array_expr(text, k: int = 8):
     in ANSI SQL — the winnowing (Schleimer et al., SIGMOD 2003) k-gram
     hash stream. Texts shorter than ``k`` chars yield an empty array."""
     pows = _kmer_pows(k)
-    pow_arr = F.array(*[F.lit(p) for p in pows])
     n_kmers = F.length(text) - F.lit(k - 1)
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_kmers),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc
-            + F.ascii(text.substr(i + j, F.lit(1))).cast("long")
-            * F.element_at(pow_arr, j + 1),
-        )
-        % _MINI_P,
+    # HOF lambdas are interpreted (no whole-stage codegen) AND re-evaluate
+    # captured expression subtrees per element — so (1) the char-code
+    # array is let-bound (computed once per row, O(len) ascii calls, not
+    # O(len*k)), and (2) the per-position hash is an UNROLLED k-term
+    # weighted sum over cheap element_at int lookups (no per-position
+    # nested aggregate, no substr object churn).
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
     )
+
+    def _hashes(cv):
+        def at(i, j):
+            return F.element_at(cv, i + j) * F.lit(pows[j])
+
+        return F.transform(
+            F.sequence(F.lit(1), n_kmers),
+            lambda i: sum(
+                (at(i, j) for j in range(1, k)), at(i, 0)
+            )
+            % _MINI_P,
+        )
+
+    hashes = let_expr(codes, _hashes)
     # sequence(1, n) runs DESCENDING for n < 1 — guard short texts
     return F.when(n_kmers >= 1, hashes).otherwise(
         F.array().cast("array<long>")
@@ -624,12 +636,17 @@ def minimizers_of_hashes_expr(hs, w: int = 8):
     O(len·w) window scan into O(len²·k) per document. Stage it with a
     projection first (see ``minimizer_signatures``)."""
     n = F.size(hs)
+    # unrolled least() over w element_at lookups — no per-window slice
+    # allocation (array_min(slice(...)) builds a w-array per position)
+    if w == 1:
+        window_min = lambda i: F.element_at(hs, i)  # noqa: E731
+    else:
+        window_min = lambda i: F.least(  # noqa: E731
+            *[F.element_at(hs, i + j) for j in range(w)]
+        )
     mins = F.when(
         n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(w - 1)),
-            lambda i: F.array_min(F.slice(hs, i, w)),
-        ),
+        F.transform(F.sequence(F.lit(1), n - F.lit(w - 1)), window_min),
     ).otherwise(
         F.when(n >= 1, F.array(F.array_min(hs))).otherwise(
             F.array().cast("array<long>")
@@ -645,6 +662,7 @@ def minimizer_signatures(
     *,
     k: int = 8,
     w: int = 8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_col, minimizer) — one row per distinct minimizer per document,
     the winnowing fingerprint scheme (Schleimer et al., SIGMOD 2003;
@@ -662,6 +680,14 @@ def minimizer_signatures(
     (O(len²·k)). The explode emits the ~4x-compressed minimizer stream,
     never the raw k-mer stream; the only shuffle is whatever consumes
     the signatures."""
+    if num_partitions is not None:
+        # the signature map is interpreted HOF work (~ms/doc); when the
+        # input arrives in a handful of partitions (single small parquet
+        # file locally), spread the RAW docs before the heavy projection
+        # (repartitioning after it would still run the map single-
+        # threaded upstream of the exchange). At real scale the scan
+        # already has thousands of partitions — leave None, shuffle-free.
+        docs = docs.repartition(num_partitions, doc_col)
     staged = docs.select(
         doc_col,
         kmer_hash_array_expr(F.col(text_col), k).alias("_hs"),
@@ -680,6 +706,7 @@ def minimizer_candidate_pairs(
     *,
     min_shared: int = 2,
     max_df: int | None = 1000,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from shared minimizers:
     (id_a, id_b, n_shared) for pairs sharing >= ``min_shared``
@@ -693,12 +720,25 @@ def minimizer_candidate_pairs(
     bucket at C(max_df, 2) pairs. Each surviving pair carries the
     exact count of shared minimizers for downstream verification
     (``jaccard_verify`` / exact substring extension)."""
+    if bucket_partitions is not None:
+        # the bucket self-join amplifies rows ~Σ df² / Σ df downstream of
+        # this exchange, which AQE CANNOT see when it coalesces the
+        # (small) signature shuffle — pin the join-stage parallelism by
+        # pre-partitioning on the join key (the same exchange the df
+        # window and the join require, so it adds no shuffle).
+        sigs = sigs.repartition(bucket_partitions, "minimizer")
     if max_df is not None:
-        df_counts = sigs.groupBy("minimizer").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
+        # document frequency via an unordered window (one exchange on
+        # minimizer, no self-join back) — the downstream bucket join
+        # needs that same hash partitioning, so the exchange is shared
+        # (ReusedExchange), and the expensive signature map runs once
+        from pyspark.sql import Window
+
         sigs = (
-            sigs.join(df_counts, "minimizer")
+            sigs.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy("minimizer")),
+            )
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )

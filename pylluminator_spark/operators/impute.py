@@ -108,3 +108,56 @@ def impute(
     return out.drop(
         *[f"_fill_{c}" for c, s in strategies.items() if not isinstance(s, tuple)]
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    *,
+    group_cols: Sequence[str] = (),
+    lower: float = 0.01,
+    upper: float = 0.99,
+    flag: bool = True,
+) -> DataFrame:
+    """Winsorization (percentile clipping): clamp each column into its
+    per-group [``lower``, ``upper``] exact-percentile band — the
+    standard outlier treatment before robust statistics / model
+    features. Same scale shape as ``impute``: ONE grouped statistics
+    pass (Spark's exact ``percentile`` with linear interpolation, per
+    group — bounded by group size; substitute ``approx_quantiles`` for
+    giant single groups), broadcast back, then a pure codegen
+    ``least/greatest`` clamp — no second shuffle, no collect.
+
+    NULLs pass through (nothing to clamp). ``flag`` adds a
+    ``<col>_winsorized`` boolean marking clamped rows."""
+    gcols = list(group_cols)
+    stats = df.groupBy(*gcols).agg(
+        *[
+            F.expr(
+                f"percentile({c}, array({lower}, {upper}))"
+            ).alias(f"_b_{c}")
+            for c in value_cols
+        ]
+    )
+    joined = (
+        df.join(F.broadcast(stats), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    out_cols = [c for c in df.columns]
+    proj = [F.col(c) for c in df.columns]
+    for c in value_cols:
+        lo = F.element_at(f"_b_{c}", 1)
+        hi = F.element_at(f"_b_{c}", 2)
+        v = F.col(c).cast("double")
+        clamped = F.when(
+            v.isNull(), F.lit(None).cast("double")
+        ).otherwise(F.least(F.greatest(v, lo), hi))
+        proj[out_cols.index(c)] = clamped.alias(c)
+        if flag:
+            proj.append(
+                F.coalesce((v < lo) | (v > hi), F.lit(False)).alias(
+                    f"{c}_winsorized"
+                )
+            )
+    return joined.select(*proj)

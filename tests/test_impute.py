@@ -47,3 +47,61 @@ def test_constant(spark, idf):
 def test_unknown_strategy(spark, idf):
     with pytest.raises(ValueError):
         impute(idf, {"v": "banana"})
+
+
+class TestWinsorize:
+    def _df(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for g in ("a", "b"):
+            vals = rng.normal(0 if g == "a" else 100, 10, 200)
+            rows += [(g, i, float(v)) for i, v in enumerate(vals)]
+        rows.append(("a", 999, None))  # NULL passes through
+        return rows, spark.createDataFrame(rows, ["g", "id", "v"])
+
+    def test_matches_numpy_clip(self, spark):
+        import numpy as np
+
+        from pylluminator_spark.operators.impute import winsorize
+
+        rows, df = self._df(spark)
+        out = {
+            (r["g"], r["id"]): r
+            for r in winsorize(
+                df, ["v"], group_cols=["g"], lower=0.05, upper=0.95
+            ).collect()
+        }
+        for g in ("a", "b"):
+            vals = np.array([r[2] for r in rows if r[0] == g and r[2] is not None])
+            # numpy linear interpolation == Spark exact percentile
+            lo, hi = np.percentile(vals, [5, 95])
+            for r in rows:
+                if r[0] != g or r[2] is None:
+                    continue
+                got = out[(g, r[1])]
+                assert got["v"] == pytest.approx(min(max(r[2], lo), hi))
+                assert got["v_winsorized"] == (r[2] < lo or r[2] > hi)
+
+    def test_null_passthrough_and_flag(self, spark):
+        from pylluminator_spark.operators.impute import winsorize
+
+        _, df = self._df(spark)
+        row = [
+            r
+            for r in winsorize(df, ["v"], group_cols=["g"]).collect()
+            if r["id"] == 999
+        ][0]
+        assert row["v"] is None and row["v_winsorized"] is False
+
+    def test_global_no_groups(self, spark):
+        from pylluminator_spark.operators.impute import winsorize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(101)], ["id", "v"]
+        )
+        out = winsorize(df, ["v"], lower=0.1, upper=0.9, flag=False)
+        vals = sorted(r["v"] for r in out.collect())
+        assert vals[0] == 10.0 and vals[-1] == 90.0
+        assert "v_winsorized" not in out.columns

@@ -99,6 +99,8 @@ CLEAN = [
     "minimizer_sigs", "minimizer_pairs",
     # calibration: codegen score expr + one <=10-row keyed aggregate
     "calibration_bins",
+    # winsorize: grouped percentile stats broadcast back + codegen clamp
+    "winsorize",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
