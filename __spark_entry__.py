@@ -6572,7 +6572,9 @@ WHERE c.c - c.cnt < q.q * t.n AND q.q * t.n <= c.c
 """
 
 
-_MINI_POWS = [pow(31, 7 - j, 1_000_003) for j in range(8)]
+from pylluminator_spark.operators.dedup import _kmer_pows as _mini_kmer_pows
+
+_MINI_POWS = _mini_kmer_pows(8)  # one source of truth for the hash params
 _MINI_SQL_SIGS = f"""
 WITH kh AS (
   SELECT doc_id,
@@ -6692,9 +6694,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     x1 = F.col("n_chars").cast("double") / F.lit(100.0)
-    x2 = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast(
-        "double"
-    )
+    x2 = token_count_expr(F.col("text")).cast("double")
     x3 = (
         F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
         / F.greatest(F.length("text"), F.lit(1))

@@ -197,7 +197,9 @@ def calibration_bins(
     (Guo et al., ICML 2017), i.e. the QA step after training a
     FineWeb-Edu-style quality classifier.
 
-    One keyed hash aggregate with map-side partial combine; output is at
+    Rows with a NULL score are excluded (nothing to bin — and they would
+    otherwise poison the bin mean). One keyed hash aggregate with
+    map-side partial combine; output is at
     most ``bins`` rows. ``frac_pos`` is a single integer/integer
     division (bit-deterministic). ``avg_score`` is a float mean: when
     ``key_col`` is given it folds in sorted key order
@@ -209,7 +211,10 @@ def calibration_bins(
         F.lit(bins - 1), F.floor(s * F.lit(bins)).cast("int")
     ).alias("bin")
     y = F.col(label_col).cast("long")
-    base = scored.select(
+    # NULL scores are excluded up front: F.least skips NULLs, so a NULL
+    # score would otherwise land in bin bins-1 AND poison that bin's
+    # avg_score fold (and any downstream ECE) to NULL
+    base = scored.filter(s.isNotNull()).select(
         b,
         s.alias("_s"),
         y.alias("_y"),

@@ -139,8 +139,11 @@ def winsorize(
             for c in value_cols
         ]
     )
+    # LEFT join (as impute does): a NULL group key must not drop the row
+    # — unmatched rows get NULL bounds, and least/greatest skip NULL, so
+    # they pass through unclamped with flag=False
     joined = (
-        df.join(F.broadcast(stats), gcols)
+        df.join(F.broadcast(stats), gcols, "left")
         if gcols
         else df.crossJoin(F.broadcast(stats))
     )

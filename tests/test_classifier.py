@@ -203,3 +203,20 @@ class TestCalibration:
         b2 = calibration_bins(shifted, "score", "label", bins=10, key_col="id")
         row2 = expected_calibration_error(b2).collect()[0]
         assert row2["ece"] > row["ece"]
+
+    def test_null_scores_excluded(self, spark):
+        from pylluminator_spark.operators.classifier import (
+            calibration_bins,
+            expected_calibration_error,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 0.5, 1), (1, None, 0), (2, 0.95, 1)],
+            ["id", "score", "label"],
+        )
+        bins_df = calibration_bins(df, "score", "label", bins=10, key_col="id")
+        got = {r["bin"]: r for r in bins_df.collect()}
+        assert set(got) == {5, 9}
+        assert got[9]["n"] == 1 and got[9]["avg_score"] is not None
+        row = expected_calibration_error(bins_df).collect()[0]
+        assert row["n"] == 2 and row["ece"] is not None

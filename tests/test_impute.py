@@ -105,3 +105,17 @@ class TestWinsorize:
         vals = sorted(r["v"] for r in out.collect())
         assert vals[0] == 10.0 and vals[-1] == 90.0
         assert "v_winsorized" not in out.columns
+
+    def test_null_group_key_rows_pass_through(self, spark):
+        from pylluminator_spark.operators.impute import winsorize
+
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+             (None, 3, 99.0), (None, 4, -5.0)],
+            ["g", "id", "v"],
+        )
+        out = {r["id"]: r for r in
+               winsorize(df, ["v"], group_cols=["g"]).collect()}
+        assert len(out) == 5  # inner join would drop the NULL-key rows
+        assert out[3]["v"] == 99.0 and out[3]["v_winsorized"] is False
+        assert out[4]["v"] == -5.0 and out[4]["v_winsorized"] is False
