@@ -6960,7 +6960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row (registered this round; ADVICE r5 flagged it as dead
     # code). After this round every oracle-bearing entry has a green row
     # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
-    # k_anonymity, bloom_prune, bigram_lm, dsir_weights, hist_quantiles)
+    # k_anonymity, bloom_prune, bigram_lm, dsir_weights, hist_quantiles,
+    # minimizer_sigs, minimizer_pairs, calibration_bins, winsorize)
     # queue BEHIND the 50 gated slots, never
     # displacing the rotation; they lead the r7 gate. Each was verified
     # by hand-run driver emulation at sf0.001/0.01/0.1 this round, and
