@@ -6781,6 +6781,51 @@ WHERE e.event_id % 17 = 0
 """
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature discretization (operators.ordered
+    quantile_discretize): exact NTILE(12) semantics over the global
+    (l_extendedprice, l_orderkey, l_linenumber) order, derived
+    arithmetically from the two-phase distributed global rank — never a
+    single-partition NTILE window (the gate runs the SCALE path: range
+    partition -> per-partition row_number + offset join). Per-bucket
+    exact-integer aggregates (count + cent-scaled min/max/sum) pin every
+    bucket boundary."""
+    from pylluminator_spark.operators.ordered import quantile_discretize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    binned = quantile_discretize(
+        li, "l_extendedprice", 12, ["l_orderkey", "l_linenumber"]
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(_cents(F.col("l_extendedprice"))).alias("min_cents"),
+        F.max(_cents(F.col("l_extendedprice"))).alias("max_cents"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
+    )
+
+
+ORACLE_QUANTILE_BINS = """
+WITH binned AS (
+  SELECT l_extendedprice,
+         NTILE(12) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM binned GROUP BY bucket
+"""
+
+
 def q_combat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 ComBat's DISTRIBUTED stage with an oracle (reference
     samples.py:1609-1701 wraps pycombat_norm whole; combat.py here
@@ -6961,7 +7006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code). After this round every oracle-bearing entry has a green row
     # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
     # k_anonymity, bloom_prune, bigram_lm, dsir_weights, hist_quantiles,
-    # minimizer_sigs, minimizer_pairs, calibration_bins, winsorize)
+    # minimizer_sigs, minimizer_pairs, calibration_bins, winsorize,
+    # quantile_bins)
     # queue BEHIND the 50 gated slots, never
     # displacing the rotation; they lead the r7 gate. Each was verified
     # by hand-run driver emulation at sf0.001/0.01/0.1 this round, and
@@ -7037,6 +7083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_pairs": q_minimizer_pairs,
         "calibration_bins": q_calibration_bins,
         "winsorize": q_winsorize,
+        "quantile_bins": q_quantile_bins,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -7232,6 +7279,7 @@ def oracle_sql() -> dict[str, str]:
         "minimizer_pairs": ORACLE_MINIMIZER_PAIRS,
         "calibration_bins": ORACLE_CALIBRATION_BINS,
         "winsorize": ORACLE_WINSORIZE,
+        "quantile_bins": ORACLE_QUANTILE_BINS,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

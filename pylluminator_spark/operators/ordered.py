@@ -348,3 +348,58 @@ def bh_adjust_global(
         out.withColumn(out_col, F.least(F.lit(1.0), F.col("_bh_min")))
         .drop("_bh_rank", "_bh_raw", "_neg_rank", "_bh_min")
     )
+
+
+def quantile_discretize(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    tiebreak_cols: list[str],
+    bucket_col: str = "bucket",
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning with EXACT ``NTILE(n_bins)``
+    semantics over the global (``value_col``, ``tiebreak_cols``) order —
+    the feature-discretization step of GBDT-style pipelines and a
+    monotone rank transform for drift monitoring. With ``total = q *
+    n_bins + r``, the first ``r`` buckets hold ``q + 1`` rows and the
+    rest ``q`` (the ANSI NTILE contract), derived arithmetically from
+    the scale-safe two-phase global rank (``with_global_rank``) — NO
+    single-partition NTILE window at scale, and the result is
+    bit-identical to any engine's NTILE given the same total order
+    (ties are broken by ``tiebreak_cols``, so make value+tiebreak a
+    total order for determinism).
+
+    Pure integer arithmetic after the rank: ``total`` rides in as a
+    broadcast 1-row aggregate of the ranked stream (max rank == count,
+    no second scan of the input)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    order = [value_col, *tiebreak_cols]
+    ranked = with_global_rank(
+        df, order, "_qd_rank",
+        num_partitions=num_partitions, n_rows=n_rows,
+    )
+    total = ranked.agg(F.max("_qd_rank").alias("_qd_total"))
+    rnk = F.col("_qd_rank")
+    tot = F.col("_qd_total")
+    n = F.lit(n_bins).cast("long")
+    # exact integer division: the numerator is a multiple of the divisor,
+    # so the double quotient is exact (< 2^53) and the cast is lossless
+    q = ((tot - tot % n) / n).cast("long")
+    r = tot % n
+    cutoff = r * (q + 1)
+    # ceil(a/b) over positive longs as (a + b - 1 - (a + b - 1) % b) / b
+    a1 = rnk + q
+    first = ((a1 - a1 % (q + 1)) / (q + 1)).cast("long")
+    qs = F.greatest(q, F.lit(1).cast("long"))  # q == 0 => cutoff == total,
+    a2 = rnk - cutoff + qs - 1                 # the branch is never taken
+    rest = r + ((a2 - a2 % qs) / qs).cast("long")
+    bucket = F.when(rnk <= cutoff, first).otherwise(rest)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("_qd_rank", "_qd_total")
+    )

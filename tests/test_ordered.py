@@ -131,3 +131,55 @@ def test_running_min_null_prefix_stays_null(spark):
     }
     for i in range(200):
         assert got[i] == (None if i < 40 else 40), i
+
+
+class TestQuantileDiscretize:
+    def test_matches_ntile_window(self, spark, values):
+        from pylluminator_spark.operators.ordered import quantile_discretize
+
+        for n_bins in (1, 3, 7, 13):
+            got = quantile_discretize(
+                values, "v", n_bins, ["id"], num_partitions=8
+            )
+            w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+            ref = values.withColumn("_nt", F.ntile(n_bins).over(w))
+            joined = got.join(ref.select("id", "_nt"), "id")
+            assert (
+                joined.filter(F.col("bucket") != F.col("_nt")).count() == 0
+            ), n_bins
+
+    def test_two_phase_path_forced(self, spark, values):
+        # n_rows above the threshold forces the distributed rank path
+        from pylluminator_spark.operators.ordered import quantile_discretize
+
+        got = quantile_discretize(
+            values, "v", 4, ["id"], num_partitions=8, n_rows=10**9
+        )
+        sizes = sorted(
+            r["n"]
+            for r in got.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        )
+        assert sizes == [1250, 1250, 1250, 1250]
+
+    def test_remainder_buckets_lead(self, spark):
+        from pylluminator_spark.operators.ordered import quantile_discretize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], ["id", "v"]
+        )
+        got = quantile_discretize(df, "v", 3, ["id"]).collect()
+        by_bucket = {}
+        for r in got:
+            by_bucket.setdefault(r["bucket"], []).append(r["id"])
+        # 10 = 3*3 + 1: bucket 1 gets 4 rows, buckets 2-3 get 3
+        assert sorted(len(v) for v in by_bucket.values()) == [3, 3, 4]
+        assert len(by_bucket[1]) == 4
+        assert sorted(by_bucket[1]) == [0, 1, 2, 3]
+
+    def test_n_bins_validation(self, spark, values):
+        from pylluminator_spark.operators.ordered import quantile_discretize
+
+        with pytest.raises(ValueError):
+            quantile_discretize(values, "v", 0, ["id"])

@@ -140,6 +140,10 @@ SCALAR_AGG_OK = [
     # the quantile stage windows/joins the <=bins-row sketch and
     # broadcasts the 5-row quantile grid
     "hist_quantiles",
+    # quantile binning: the two-phase distributed rank (range exchange +
+    # per-partition window + offset join) everywhere data-bearing; the
+    # NTILE total is a broadcast 1-row max-rank aggregate
+    "quantile_bins",
     # Welch z-test: one conditional-sum global aggregate row
     "ab_test",
     # association stats: the cross/window stages run on the CELL table
