@@ -321,3 +321,42 @@ def test_windows_are_partitioned(spark):
     for name in ("sessionize", "running_total", "topk_per_group", "value_segments"):
         plan = _plan(spark, name)
         assert "SinglePartition" not in plan, name
+
+
+def test_winsorize_broadcasts_stats_no_second_shuffle(spark):
+    # the percentile stats table rides a broadcast; the clamp itself adds
+    # no exchange — the only shuffles are the grouped stats aggregate
+    plan = _plan(spark, "winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minimizer_signature_map_precedes_only_shuffle(spark):
+    # signatures: the k-mer hash + window-min map is a projection; the
+    # only exchanges are the parallelism repartition and the doc-keyed
+    # aggregate — no join anywhere
+    plan = _plan(spark, "minimizer_sigs")
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_minimizer_pairs_exchange_budget(spark):
+    # the bucket self-join is an equi join on the minimizer value; both
+    # branches hash-partition on the SAME key below the join, so AQE
+    # dedupes the expensive signature-map stage at runtime (stage cache
+    # keys on the canonical subplan — ReusedExchange never prints under
+    # AQE, so the static assertions are the join shape + the exchange
+    # budget: 2x(repartition + minimizer) + the final pair aggregate)
+    plan = _plan(spark, "minimizer_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # an EQUI join (broadcast at toy size is fine)
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_quantile_bins_rank_is_range_partitioned(spark):
+    # the two-phase rank runs on a range exchange; the NTILE total is the
+    # only single-partition stage (1-row max-rank scalar)
+    plan = _plan(spark, "quantile_bins")
+    assert "rangepartitioning" in plan
+    assert "ntile" not in plan.lower()  # arithmetic, not a global window
