@@ -75,6 +75,12 @@ def _offsets_df(df: DataFrame, mapping: dict[int, float], col_name: str, dtype=N
     may be None (schema inference cannot handle all-null columns)."""
     spark = df.sparkSession
     rows = [(int(pid), v) for pid, v in mapping.items()]
+    if dtype is None and not rows:
+        # empty input: nothing to infer a value type from — offsets are
+        # integral whenever the caller doesn't say otherwise
+        from pyspark.sql.types import LongType
+
+        dtype = LongType()
     if dtype is not None:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -101,9 +107,29 @@ def with_global_rank(
     """Global 1-based row_number over ``order_cols`` (ascending), O(rows /
     num_partitions) per-task state. With ``n_rows`` below the small-input
     threshold, falls back to a plain window (cheaper at that size)."""
+    return _ranked_with_total(
+        df, order_cols, rank_col,
+        num_partitions=num_partitions, n_rows=n_rows,
+    )[0]
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str,
+    *,
+    num_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, int | None]:
+    """``with_global_rank`` plus the exact row total the distributed path
+    already knows on the driver (the end of its offsets scan) — None on
+    the small-window path, where the caller can afford a count()."""
     if n_rows is not None and n_rows < SMALL_INPUT_ROWS:
         w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
-        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        ranked = df.withColumn(
+            rank_col, F.row_number().over(w).cast("long")
+        )
+        return ranked, None
     d = _range_partitioned(df, order_cols, num_partitions)
     stats = (
         d.groupBy(_PID)
@@ -125,7 +151,7 @@ def with_global_rank(
         .withColumn(rank_col, (F.col("_local") + F.col("_off")).cast("long"))
         .drop(_PID, "_local", "_off")
     )
-    return out
+    return out, acc
 
 
 def with_running_sum(
@@ -372,34 +398,36 @@ def quantile_discretize(
     (ties are broken by ``tiebreak_cols``, so make value+tiebreak a
     total order for determinism).
 
-    Pure integer arithmetic after the rank: ``total`` rides in as a
-    broadcast 1-row aggregate of the ranked stream (max rank == count,
-    no second scan of the input)."""
+    Preconditions (module-wide): ``value_col`` and ``tiebreak_cols``
+    must be non-NULL — the two-phase partitioner orders partition
+    minima driver-side and engines disagree on NULL placement anyway
+    (Spark ASC is NULLS FIRST, DuckDB NULLS LAST). Filter or impute
+    NULLs first.
+
+    Pure integer LITERAL arithmetic after the rank: the distributed
+    rank already collects per-partition counts, so ``total`` is known
+    on the driver for free (no second pass, no 1-row aggregate join);
+    only the sub-threshold small path pays a count()."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     order = [value_col, *tiebreak_cols]
-    ranked = with_global_rank(
+    ranked, total = _ranked_with_total(
         df, order, "_qd_rank",
         num_partitions=num_partitions, n_rows=n_rows,
     )
-    total = ranked.agg(F.max("_qd_rank").alias("_qd_total"))
-    rnk = F.col("_qd_rank")
-    tot = F.col("_qd_total")
-    n = F.lit(n_bins).cast("long")
-    # exact integer division: the numerator is a multiple of the divisor,
-    # so the double quotient is exact (< 2^53) and the cast is lossless
-    q = ((tot - tot % n) / n).cast("long")
-    r = tot % n
+    if total is None:  # small-window path: the input is cheap to count
+        total = df.count()
+    q, r = divmod(total, n_bins)
     cutoff = r * (q + 1)
-    # ceil(a/b) over positive longs as (a + b - 1 - (a + b - 1) % b) / b
-    a1 = rnk + q
-    first = ((a1 - a1 % (q + 1)) / (q + 1)).cast("long")
-    qs = F.greatest(q, F.lit(1).cast("long"))  # q == 0 => cutoff == total,
-    a2 = rnk - cutoff + qs - 1                 # the branch is never taken
-    rest = r + ((a2 - a2 % qs) / qs).cast("long")
-    bucket = F.when(rnk <= cutoff, first).otherwise(rest)
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn(bucket_col, bucket.cast("int"))
-        .drop("_qd_rank", "_qd_total")
+    qs = max(q, 1)  # q == 0 => cutoff == total, the div is never taken
+    # integral `div` over longs — exact, no double round-trip;
+    # ceil(a/b) == (a + b - 1) div b for positive a, b
+    bucket = F.expr(
+        f"CASE WHEN _qd_rank <= {cutoff}L"
+        f" THEN (_qd_rank + {q}L) div {q + 1}L"
+        f" ELSE {r}L + ((_qd_rank - {cutoff}L + {qs - 1}L) div {qs}L)"
+        f" END"
+    )
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop(
+        "_qd_rank"
     )

@@ -183,3 +183,9 @@ class TestQuantileDiscretize:
 
         with pytest.raises(ValueError):
             quantile_discretize(values, "v", 0, ["id"])
+
+    def test_empty_input(self, spark):
+        from pylluminator_spark.operators.ordered import quantile_discretize
+
+        df = spark.createDataFrame([], "id bigint, v double")
+        assert quantile_discretize(df, "v", 4, ["id"]).count() == 0

@@ -101,6 +101,10 @@ CLEAN = [
     "calibration_bins",
     # winsorize: grouped percentile stats broadcast back + codegen clamp
     "winsorize",
+    # quantile binning: the two-phase distributed rank (range exchange +
+    # per-partition window + offset join); the NTILE total is a driver
+    # literal the rank's offsets scan already knew — no scalar aggregate
+    "quantile_bins",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
@@ -140,10 +144,7 @@ SCALAR_AGG_OK = [
     # the quantile stage windows/joins the <=bins-row sketch and
     # broadcasts the 5-row quantile grid
     "hist_quantiles",
-    # quantile binning: the two-phase distributed rank (range exchange +
-    # per-partition window + offset join) everywhere data-bearing; the
-    # NTILE total is a broadcast 1-row max-rank aggregate
-    "quantile_bins",
+
     # Welch z-test: one conditional-sum global aggregate row
     "ab_test",
     # association stats: the cross/window stages run on the CELL table
@@ -355,8 +356,9 @@ def test_minimizer_pairs_exchange_budget(spark):
 
 
 def test_quantile_bins_rank_is_range_partitioned(spark):
-    # the two-phase rank runs on a range exchange; the NTILE total is the
-    # only single-partition stage (1-row max-rank scalar)
+    # the two-phase rank runs on a range exchange; the NTILE total is a
+    # driver-side literal (no scalar-aggregate branch, no global window)
     plan = _plan(spark, "quantile_bins")
     assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
     assert "ntile" not in plan.lower()  # arithmetic, not a global window
