@@ -120,3 +120,55 @@ def test_apply_changes_1m_snapshot(spark):
     changed = out.filter(F.col("k") < 100_000)
     assert changed.count() == 80_000
     assert changed.filter(F.col("v") != -1).count() == 0
+
+
+def test_minimizer_pipeline_100k_docs(spark):
+    # 100k docs, 500 planted exact-dup pairs: every planted pair shares
+    # ALL its minimizers (texts identical), unrelated docs are token-
+    # disjoint 12-hex streams, so cross-pair minimizer collisions can
+    # only come from hash collisions in the 1e6 bucket space — the pair
+    # stage must recover the planted pairs and nothing else at
+    # min_shared=3, and stay join-shaped (no cartesian)
+    from pylluminator_spark.operators.dedup import (
+        minimizer_candidate_pairs,
+        minimizer_signatures,
+    )
+
+    n, dups = 100_000, 500
+    docs = _synthetic_docs(spark, n, dups)
+    sigs = minimizer_signatures(docs, "text", "doc_id", k=8, w=8)
+    pairs = minimizer_candidate_pairs(
+        sigs, "doc_id", min_shared=3, max_df=50, bucket_partitions=32
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    planted = pairs.filter(
+        F.col("id_b") - F.col("id_a") == dups
+    )
+    assert planted.count() == dups
+    # planted duplicates share their whole signature: n_shared == the
+    # doc's distinct-minimizer count (~2*len/(w+1) > 3)
+    assert pairs.agg(F.min("n_shared")).collect()[0][0] >= 3
+
+
+def test_quantile_bins_1m_rows_exact_sizes(spark):
+    # 1M-row two-phase NTILE: bucket sizes must follow the exact ANSI
+    # contract (first r buckets q+1 rows, rest q) with zero drift — the
+    # arithmetic path has no window wider than one range partition
+    from pylluminator_spark.operators.ordered import quantile_discretize
+
+    n, bins = 1_000_000, 7
+    df = spark.range(0, n, 1, 32).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 999983).alias("v"),
+    )
+    got = quantile_discretize(df, "v", bins, ["id"], num_partitions=32)
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in got.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    q, r = divmod(n, bins)
+    expect = {b: q + 1 if b <= r else q for b in range(1, bins + 1)}
+    assert sizes == expect
