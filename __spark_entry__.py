@@ -6781,6 +6781,44 @@ WHERE e.event_id % 17 = 0
 """
 
 
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust standardization (operators.impute
+    robust_zscore): per-event-type outlier scores that survive the
+    outliers themselves — two grouped exact-percentile passes broadcast
+    back, final score pure codegen (the winsorize shape doubled). The
+    gate hash-compares a 1-in-13 systematic sample; both engines share
+    the linear-interpolation percentile definition, ROUND(6) absorbs
+    the division ulp."""
+    from pylluminator_spark.operators.impute import robust_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_zscore(ev, ["value"], group_cols=["event_type"])
+    return out.filter(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_rz", 6).alias("value_rz"),
+    )
+
+
+ORACLE_ROBUST_ZSCORE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.m), 0.5) AS d
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND((e.value - m.m) / (1.4826 * NULLIF(d.d, 0)), 6) AS value_rz
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE e.event_id % 13 = 0
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature discretization (operators.ordered
     quantile_discretize): exact NTILE(12) semantics over the global
@@ -7007,7 +7045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and none is older than r4. NEW entries (tfidf_pairs, apply_changes,
     # k_anonymity, bloom_prune, bigram_lm, dsir_weights, hist_quantiles,
     # minimizer_sigs, minimizer_pairs, calibration_bins, winsorize,
-    # quantile_bins)
+    # quantile_bins, robust_zscore)
     # queue BEHIND the 50 gated slots, never
     # displacing the rotation; they lead the r7 gate. Each was verified
     # by hand-run driver emulation at sf0.001/0.01/0.1 this round, and
@@ -7084,6 +7122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "winsorize": q_winsorize,
         "quantile_bins": q_quantile_bins,
+        "robust_zscore": q_robust_zscore,
         # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -7280,6 +7319,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": ORACLE_CALIBRATION_BINS,
         "winsorize": ORACLE_WINSORIZE,
         "quantile_bins": ORACLE_QUANTILE_BINS,
+        "robust_zscore": ORACLE_ROBUST_ZSCORE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

@@ -164,3 +164,60 @@ def winsorize(
                 )
             )
     return joined.select(*proj)
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    *,
+    group_cols: Sequence[str] = (),
+    scale_factor: float = 1.4826,
+    suffix: str = "_rz",
+) -> DataFrame:
+    """Median/MAD robust standardization: per group,
+    ``rz = (x - median) / (scale_factor * MAD)`` with
+    ``MAD = median(|x - median|)`` — the outlier score that survives the
+    outliers themselves (mean/std breaks down past 50% contamination;
+    1.4826 makes MAD consistent for a normal distribution).
+
+    TWO grouped exact-percentile passes (medians, then abs-deviation
+    medians over the median-joined stream), each a broadcast-back stats
+    table — the winsorize/impute scale shape doubled; the data never
+    collects and the final score is pure codegen. Groups with MAD == 0
+    (a majority-constant column) yield NULL scores rather than a
+    division error; NULL values pass through as NULL scores."""
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        *[
+            F.expr(f"percentile({c}, 0.5)").alias(f"_med_{c}")
+            for c in value_cols
+        ]
+    )
+    # LEFT joins throughout (the winsorize rule): NULL group keys must
+    # not drop rows — they surface as NULL scores instead
+    j1 = (
+        df.join(F.broadcast(med), gcols, "left")
+        if gcols
+        else df.crossJoin(F.broadcast(med))
+    )
+    mad = j1.groupBy(*gcols).agg(
+        *[
+            F.expr(
+                f"percentile(abs({c} - _med_{c}), 0.5)"
+            ).alias(f"_mad_{c}")
+            for c in value_cols
+        ]
+    )
+    j2 = (
+        j1.join(F.broadcast(mad), gcols, "left")
+        if gcols
+        else j1.crossJoin(F.broadcast(mad))
+    )
+    proj = [F.col(c) for c in df.columns]
+    for c in value_cols:
+        denom = F.lit(scale_factor) * F.col(f"_mad_{c}")
+        rz = (F.col(c).cast("double") - F.col(f"_med_{c}")) / F.nullif(
+            denom, F.lit(0.0)
+        )
+        proj.append(rz.alias(f"{c}{suffix}"))
+    return j2.select(*proj)

@@ -119,3 +119,60 @@ class TestWinsorize:
         assert len(out) == 5  # inner join would drop the NULL-key rows
         assert out[3]["v"] == 99.0 and out[3]["v_winsorized"] is False
         assert out[4]["v"] == -5.0 and out[4]["v_winsorized"] is False
+
+
+class TestRobustZscore:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from pylluminator_spark.operators.impute import robust_zscore
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for g in ("a", "b"):
+            vals = rng.normal(0 if g == "a" else 50, 5, 151)
+            vals[0] = 1e6  # an outlier MAD must shrug off
+            rows += [(g, i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["g", "id", "v"])
+        out = {
+            (r["g"], r["id"]): r["v_rz"]
+            for r in robust_zscore(df, ["v"], group_cols=["g"]).collect()
+        }
+        for g in ("a", "b"):
+            vals = np.array([r[2] for r in rows if r[0] == g])
+            med = np.median(vals)
+            mad = np.median(np.abs(vals - med))
+            for r in rows:
+                if r[0] != g:
+                    continue
+                exp = (r[2] - med) / (1.4826 * mad)
+                assert out[(g, r[1])] == pytest.approx(exp, rel=1e-9)
+        # the planted outlier scores huge, the bulk stays moderate
+        assert abs(out[("a", 0)]) > 1000
+        bulk = [v for (g, i), v in out.items() if g == "a" and i != 0]
+        assert max(abs(v) for v in bulk) < 10
+
+    def test_zero_mad_yields_null(self, spark):
+        from pylluminator_spark.operators.impute import robust_zscore
+
+        df = spark.createDataFrame(
+            [("a", i, 7.0) for i in range(5)] + [("a", 99, 8.0)],
+            ["g", "id", "v"],
+        )
+        out = robust_zscore(df, ["v"], group_cols=["g"]).collect()
+        assert all(r["v_rz"] is None for r in out)  # MAD == 0
+
+    def test_null_value_and_null_group(self, spark):
+        from pylluminator_spark.operators.impute import robust_zscore
+
+        df = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+             ("a", 3, None), (None, 4, 5.0)],
+            ["g", "id", "v"],
+        )
+        out = {r["id"]: r for r in
+               robust_zscore(df, ["v"], group_cols=["g"]).collect()}
+        assert len(out) == 5
+        assert out[3]["v_rz"] is None  # NULL value
+        assert out[4]["v_rz"] is None  # NULL group key
+        assert out[1]["v_rz"] == 0.0   # the median row

@@ -100,7 +100,8 @@ CLEAN = [
     # calibration: codegen score expr + one <=10-row keyed aggregate
     "calibration_bins",
     # winsorize: grouped percentile stats broadcast back + codegen clamp
-    "winsorize",
+    # (robust_zscore is the same shape twice: median pass, MAD pass)
+    "winsorize", "robust_zscore",
     # quantile binning: the two-phase distributed rank (range exchange +
     # per-partition window + offset join); the NTILE total is a driver
     # literal the rank's offsets scan already knew — no scalar aggregate
