@@ -207,8 +207,12 @@ def calibration_bins(
     hash-gate discipline); when None it uses the native unordered
     ``avg`` (engine-grade path, cheaper at scale)."""
     s = F.col(score_col).cast("double")
-    b = F.least(
-        F.lit(bins - 1), F.floor(s * F.lit(bins)).cast("int")
+    # symmetric clamp (ADVICE r6): score 1.0 folds into the last bin,
+    # and an out-of-range score < 0 folds into bin 0 instead of silently
+    # emitting negative bin ids that downstream ECE would still weight
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.lit(bins - 1), F.floor(s * F.lit(bins)).cast("int")),
     ).alias("bin")
     y = F.col(label_col).cast("long")
     # NULL scores are excluded up front: F.least skips NULLs, so a NULL
