@@ -35,9 +35,32 @@ def test_global_rank_matches_window(values):
     g = {r.id: r.rk for r in got.collect()}
     w = {r.id: r.rk for r in ref.collect()}
     assert g == w
-    # no single-partition exchange in the distributed plan
+    # the persist-free design: buckets come from literal boundaries, so
+    # there is NO range exchange at all — the data moves once, through
+    # the hash shuffle the per-bucket window needs, and the data-bearing
+    # window is partitioned (never a global sort over the data)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "windowspecdefinition(_ord_pid" in plan, plan
+
+
+def test_ordered_ops_leave_no_persisted_rdds(spark, values):
+    """VERDICT r6 #3: the two-phase helpers persist NOTHING — offsets
+    come from a shared-exchange stats branch, not a cached collect."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with_global_rank(values, ["v", "id"], "rk", num_partitions=8).collect()
+    with_running_sum(values, ["v", "id"], "w", "cs", num_partitions=8).collect()
+    with_running_min(values, ["v", "id"], "w", "cm", num_partitions=8).collect()
+    with_lead(values, ["v", "id"], {"nv": "v"}, num_partitions=8).collect()
+    bh_adjust_global(
+        values.withColumn("p", (F.col("id") % 1000) / 1000.0),
+        "p", tie_cols=["id"], num_partitions=8,
+    ).collect()
+    from pylluminator_spark.operators.ordered import quantile_discretize
+
+    quantile_discretize(values, "v", 7, ["id"], num_partitions=8).collect()
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_running_sum_matches_window(values):
@@ -83,8 +106,11 @@ def test_with_lead_matches_window(values):
     g = {r.id: (r.next_s, r.next_grp) for r in got.collect()}
     r_ = {r.id: (r.next_s, r.next_grp) for r in ref.collect()}
     assert g == r_
+    # no range exchange; the data-bearing lead window is bucket-keyed
+    # (the only single-partition work is the <= n-row stats branch)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "windowspecdefinition(_ord_pid" in plan, plan
 
 
 def test_with_lead_small_path(values):
@@ -93,6 +119,34 @@ def test_with_lead_small_path(values):
     assert {r.id: r.nx for r in got.collect()} == {
         r.id: r.nx for r in ref.collect()
     }
+
+
+def test_global_rank_correct_on_cached_input(spark):
+    """Regression for the failure mode that killed the two previous
+    designs: over a CACHED input, AQE compiles the stats branch and the
+    data branch as separate TableCacheQueryStages, so a
+    repartitionByRange-based split re-samples different boundaries per
+    branch (exchange reuse silently stops firing) and ranks come out
+    wrong. Literal-boundary buckets are a pure function of the row, so
+    the cached path must be exact too."""
+    df = (
+        spark.range(0, 5000, 1, 16)
+        .withColumn("v", ((F.col("id") * 40503) % 9973) / 3.0)
+        .cache()
+    )
+    try:
+        df.count()
+        got = with_global_rank(df, ["v", "id"], "rk", num_partitions=8)
+        ranks = sorted(r.rk for r in got.collect())
+        assert ranks == list(range(1, 5001))  # exact permutation
+        ref = df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "id"))
+        )
+        assert {r.id: r.rk for r in got.collect()} == {
+            r.id: r.rk for r in ref.collect()
+        }
+    finally:
+        df.unpersist()
 
 
 def test_bh_adjust_global_matches_reference(spark):

@@ -102,16 +102,18 @@ CLEAN = [
     # winsorize: grouped percentile stats broadcast back + codegen clamp
     # (robust_zscore is the same shape twice: median pass, MAD pass)
     "winsorize", "robust_zscore",
-    # quantile binning: the two-phase distributed rank (range exchange +
-    # per-partition window + offset join); the NTILE total is a driver
-    # literal the rank's offsets scan already knew — no scalar aggregate
-    "quantile_bins",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
 # partial-agg rows, not data — SinglePartition is correct there (and a
 # 1-row broadcast scalar compared via crossJoin plans as a BNLJ by design)
 SCALAR_AGG_OK = [
+    # quantile binning: the two-phase distributed rank (literal-boundary
+    # buckets + per-bucket window + offset join — no range exchange, no
+    # persist); the <= n-row offsets/total stats branch is the
+    # SinglePartition + 1-row-crossJoin shape this category allows
+    # (asserted precisely in test_quantile_bins_rank_is_bucketized)
+    "quantile_bins",
     "agg_equals_max", "filter_scan_revenue", "promo_revenue",
     "disjunctive_pred", "important_parts", "bulk_suppliers",
     "idle_customers",
@@ -356,10 +358,12 @@ def test_minimizer_pairs_exchange_budget(spark):
     assert plan.count("Exchange hashpartitioning") <= 5
 
 
-def test_quantile_bins_rank_is_range_partitioned(spark):
-    # the two-phase rank runs on a range exchange; the NTILE total is a
-    # driver-side literal (no scalar-aggregate branch, no global window)
+def test_quantile_bins_rank_is_bucketized(spark):
+    # the two-phase rank buckets on literal boundaries (no range
+    # exchange, no persisted cache); the data-bearing window is
+    # bucket-keyed, and the NTILE total is a broadcast scalar off the
+    # <= n-row stats branch — never an ntile window over the data
     plan = _plan(spark, "quantile_bins")
-    assert "rangepartitioning" in plan
-    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "windowspecdefinition(_ord_pid" in plan
     assert "ntile" not in plan.lower()  # arithmetic, not a global window
