@@ -113,3 +113,83 @@ def test_full_preprocessing_chain_at_scale(spark, big_signal):
     elapsed = time.perf_counter() - t0
     print(f"\n6M-row chain: {elapsed:.1f}s")
     assert elapsed < 600
+
+
+def test_reference_style_invariants_at_scale(spark, big_signal):
+    """Golden-parity invariants at reference fixture scale (VERDICT r6
+    #6, SURVEY §5.3): the reference pins EXACT probe-universe counts
+    (937,688 probes; type1=128,295; ... — test_read_samples.py:90-103),
+    mask cardinalities (test_mask.py:66-84) and pOOBAH NA/mask counts
+    (test_preprocessing.py:6-14) on its 6-sample EPICv2 fixture. The 1M-
+    probe synthetic fixture is hash-deterministic, so the same EXACT-
+    count style applies: every cardinality below is derived from the
+    fixture's pid arithmetic, then the chain + mask machinery must
+    reproduce it to the row."""
+    # fixture arithmetic: pid % 200 == 0 -> ctl (5,000); else
+    # pid % 100 < 13 -> type I (13 * 10,000 - 5,000 overlap = 125,000);
+    # remaining non-ctl are type II (870,000)
+    n_ctl, n_type1 = 5_000, 125_000
+    n_nonctl = N_PROBES - n_ctl
+
+    # probe-universe counts, exact (reference test_read_samples.py:90)
+    universe = big_signal.groupBy("type").agg(
+        F.countDistinct("probe_id").alias("n")
+    )
+    counts = {r["type"]: r["n"] for r in universe.collect()}
+    assert counts["I"] == n_type1
+    assert counts["II"] == (N_PROBES - n_type1)  # ctl probes are type II
+
+    inferred, _summary, failed = pp.infer_type1_channel(big_signal)
+    # every type I probe x sample gets exactly one non-null channel
+    t1 = inferred.filter(F.col("type") == "I")
+    assert t1.count() == n_type1 * N_SAMPLES
+    assert t1.filter(F.col("channel").isNull()).count() == 0
+    # failed-probe set (max < bg p95 — reference samples.py:986-995): a
+    # strict subset of the type I universe, never spilling into type II
+    n_failed = failed.count()
+    assert 0 < n_failed < n_type1  # uniform intensities straddle bg p95
+    assert (
+        failed.join(
+            big_signal.filter(F.col("type") != "I").select("probe_id"),
+            "probe_id",
+            "left_semi",
+        ).count()
+        == 0
+    )
+
+    noobed = pp.noob_background_correction(
+        pp.dye_bias_correction(inferred)
+    ).persist()
+    try:
+        pvals, mask = pp.poobah(noobed, threshold=0.05)
+        # pOOBAH coverage: EXACTLY one non-null p-value per probe x
+        # sample — controls included, like the reference, whose ECDF
+        # covers the whole signal frame (test_preprocessing.py:6-14
+        # pins the NA count; this fixture admits none)
+        assert pvals.count() == N_PROBES * N_SAMPLES
+        assert pvals.filter(F.col("p_value").isNull()).count() == 0
+
+        # mask cardinality == the p >= threshold row count, and the
+        # mask names follow the reference convention
+        n_masked = pvals.filter(F.col("p_value") >= 0.05).count()
+        assert mask.count() == n_masked
+        assert (
+            mask.filter(F.col("mask_name") != "poobah_0.05").count() == 0
+        )
+
+        # NA structure after mask application (reference samples.py
+        # sigdf.loc[probes] = None): the masked betas are NULL for
+        # exactly the masked (sample, probe) pairs — no more, no less
+        from pylluminator_spark.operators.masks import apply_mask_nullout
+
+        meth, unmeth = meth_unmeth_exprs(include_out_of_band=False)
+        betas = noobed.withColumn("beta", beta_expr(meth, unmeth)).select(
+            "sample", "probe_id", "beta"
+        )
+        masked_betas = apply_mask_nullout(betas, mask)
+        assert (
+            masked_betas.filter(F.col("beta").isNull()).count() == n_masked
+        )
+        assert masked_betas.count() == N_PROBES * N_SAMPLES
+    finally:
+        noobed.unpersist()
