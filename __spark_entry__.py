@@ -7032,6 +7032,115 @@ FROM best WHERE rk = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-7 additions: suffix-array machinery + exact substring dedup
+# (Lee et al. 2021 ExactSubstr — the exact method repeated_spans
+# approximates; operators/suffix.py)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_L = 15  # duplicated-window length for the gate corpus
+
+
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-duplication spans (operators.suffix
+    exact_substring_spans — Lee et al. 2021 ExactSubstr, keep-first
+    semantics): prefix-doubling rank tables decide length-15 window
+    equality by integer rank pairs (zero hash-collision risk), flagged
+    windows merge into maximal per-document islands. The oracle groups
+    LITERAL substrings — a formulation sharing no code with the
+    doubling machinery — so a hash match verifies the whole suffix
+    stack. Doc subset (doc_id % 5 == 0) keeps the char-level row count
+    gate-sized at any SF."""
+    from pylluminator_spark.operators.suffix import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", "text")
+    out = exact_substring_spans(docs, _SUBSTR_L, keep_first=True)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+ORACLE_EXACT_SUBSTR_SPANS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INT), {_SUBSTR_L}) AS gram
+  FROM docs, LATERAL (
+    SELECT UNNEST(range(1, GREATEST(LENGTH(text) - {_SUBSTR_L} + 2, 1))) AS i
+  )
+),
+grp AS (
+  SELECT doc_id, i,
+         COUNT(*) OVER (PARTITION BY gram) AS c,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, i) AS fd,
+         FIRST_VALUE(i) OVER (PARTITION BY gram ORDER BY doc_id, i) AS fi
+  FROM pos
+),
+flagged AS (
+  SELECT doc_id, i FROM grp
+  WHERE c >= 2 AND NOT (doc_id = fd AND i = fi)
+),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {_SUBSTR_L}) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM brk
+)
+SELECT doc_id,
+       MIN(i) AS span_start,
+       MAX(i) + {_SUBSTR_L} AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def q_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document suffix array (operators.suffix suffix_array): the
+    1-based lexicographic rank of every suffix, built by prefix doubling
+    (global dense ranks via the two-phase with_global_rank — each round
+    is joins + a distinct + a rank, no single-partition sort of the
+    data). The oracle is DuckDB's own string sort of the literal
+    suffixes (binary collation == code-point order on this ASCII
+    corpus) — zero shared code with the doubling path. Doc subset keeps
+    the suffix universe gate-sized."""
+    from pylluminator_spark.operators.suffix import suffix_array
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).select("doc_id", "text")
+    out = suffix_array(docs)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("sa_rank").cast("long").alias("sa_rank"),
+    )
+
+
+ORACLE_SUFFIX_ARRAY = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, CAST(i AS INT)) AS suf
+  FROM docs, LATERAL (SELECT UNNEST(range(1, LENGTH(text) + 1)) AS i)
+)
+SELECT doc_id, pos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY suf) AS BIGINT)
+         AS sa_rank
+FROM pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-7 rotation (VERDICT r6
@@ -7125,6 +7234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
+        # -- 3b. round-7 additions (never gated — per the rotation
+        # policy they take r8 slots FIRST, before the deferred tier
+        # above; emu-verified at sf0.01 + sf0.1 this round) ------------
+        "exact_substr_spans": q_exact_substr_spans,
+        "suffix_array_ranks": q_suffix_array_ranks,
         # -- 4. r6-green rows (all 50 green in CORRECTNESS_r06) -------
         "bloom_filter": q_bloom_filter,
         "combat_stats": q_combat_stats,
@@ -7322,6 +7436,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": ORACLE_WINSORIZE,
         "quantile_bins": ORACLE_QUANTILE_BINS,
         "robust_zscore": ORACLE_ROBUST_ZSCORE,
+        "exact_substr_spans": ORACLE_EXACT_SUBSTR_SPANS,
+        "suffix_array_ranks": ORACLE_SUFFIX_ARRAY,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

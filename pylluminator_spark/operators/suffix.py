@@ -1,0 +1,295 @@
+"""Distributed suffix-array machinery and EXACT substring deduplication.
+
+The full Lee et al. 2021 ("Deduplicating Training Data Makes Language
+Models Better", ExactSubstr) method, Spark-first: the repo's
+`repeated_spans` (operators/corpus.py) is the strided HASHED
+approximation — collision-prone and window-stride quantized; this
+module is the exact machinery it approximates.
+
+Design — prefix doubling as relational algebra (Manber-Myers):
+
+    rank_1(i)   = code point of S[i]
+    rank_2w(i)  = dense_rank( (rank_w(i), rank_w(i+w)) )
+
+Each doubling round is: one positional self-equijoin (shuffled on
+(doc, pos) — co-partitioned both sides), one DISTINCT over the rank
+pairs, one GLOBAL DENSE RANK of the distinct pairs (the scale-safe
+two-phase `with_global_rank` — never a single-partition sort of the
+data), and one join back. After ceil(log2 L) - 1 rounds two length-L
+windows are equal IFF their (rank_w(i), rank_w(i + L - w)) pairs are
+equal — EXACT equality, no hash collisions, decided by integer pairs.
+
+Scale story: rows are per-CHARACTER (the inherent cost of suffix
+methods — Lee et al. pay the same O(n)); every stage is a keyed
+equi-join / hash aggregate / per-document window, so the plan scales
+with partitions. log2(L) rounds of 3-4 shuffles each; ranks never
+leave the cluster. Documents are independent suffix universes (windows
+never cross documents), while RANKS are global — equal substrings in
+different documents compare equal, which is what makes cross-document
+duplicate detection work.
+
+Oracle story: on a testable corpus the same flagged-window set is
+computable by grouping literal length-L substrings (DuckDB
+substr + COUNT OVER) — a cross-check of the entire doubling machinery
+against a formulation that shares no code with it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.ordered import with_global_rank
+
+
+def _char_ranks(
+    docs: DataFrame, doc_col: str, text_col: str
+) -> DataFrame:
+    """(doc, pos 1-based, rank) with rank = the character's code point —
+    a valid dense-ish initial ranking (equal chars <=> equal ranks)."""
+    return docs.select(
+        F.col(doc_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("_pos0", "_ch"),
+    ).select(
+        "_doc",
+        (F.col("_pos0") + 1).alias("_pos"),
+        F.ascii("_ch").cast("long").alias("_rank"),
+    )
+
+
+def _double_round(ranks: DataFrame, w: int) -> DataFrame:
+    """One prefix-doubling round: width w -> 2w."""
+    right = ranks.select(
+        F.col("_doc"),
+        (F.col("_pos") - w).alias("_pos"),
+        F.col("_rank").alias("_r2"),
+    )
+    paired = (
+        ranks.join(right, ["_doc", "_pos"], "left")
+        # suffixes shorter than 2w pair with sentinel 0 — real dense
+        # ranks are >= 1, so short suffixes can never collide with a
+        # full-width substring's pair
+        .withColumn("_r2", F.coalesce(F.col("_r2"), F.lit(0)))
+    )
+    distinct_pairs = paired.select("_rank", "_r2").distinct()
+    rank_map = with_global_rank(
+        distinct_pairs,
+        ["_rank", "_r2"],
+        "_new_rank",
+        n_rows=distinct_pairs.count(),
+    )
+    return paired.join(rank_map, ["_rank", "_r2"]).select(
+        "_doc", "_pos", F.col("_new_rank").alias("_rank")
+    )
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+) -> tuple[DataFrame, int]:
+    """Prefix-doubling rank table up to substring width >= ``width``
+    (the next power of two). Returns ``((doc, pos, rank), w)`` where two
+    positions with equal ``rank`` start equal length-``w`` substrings
+    (short suffixes rank by their actual remainder, sentinel-padded)."""
+    ranks = _char_ranks(docs, doc_col, text_col)
+    w = 1
+    while w < width:
+        # localCheckpoint per round: each round's plan references the
+        # previous round ~3 times (self-join + rank-map join), so an
+        # unbroken lineage re-executes earlier rounds 3^t times — the
+        # standard iterative-algorithm cliff. Eager checkpoint truncates
+        # the lineage to the materialized blocks; the previous round's
+        # blocks are released by the ContextCleaner once the new round
+        # replaces them (nothing references their RDD any more). On a
+        # real cluster prefer a reliable checkpoint dir for
+        # executor-loss replayability.
+        ranks = _double_round(ranks, w).localCheckpoint(eager=True)
+        w *= 2
+    return ranks, w
+
+
+def suffix_array(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_width: int = 1 << 20,
+) -> DataFrame:
+    """Per-document suffix array: (doc, pos, sa_rank) where ``sa_rank``
+    is the 1-based lexicographic rank of suffix ``text[pos:]`` among the
+    document's suffixes. Doubling stops once every suffix's GLOBAL rank
+    is unique (checked with one tiny aggregate per round), so total
+    rounds = ceil(log2(longest repeated prefix)) not log2(doc length).
+    """
+    ranks = _char_ranks(docs, doc_col, text_col).localCheckpoint(
+        eager=True
+    )
+    w = 1
+    while w < max_width:
+        dup = (
+            ranks.groupBy("_rank")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup == 0:
+            break
+        # per-round checkpoint — see suffix_ranks for the lineage note
+        ranks = _double_round(ranks, w).localCheckpoint(eager=True)
+        w *= 2
+    win = Window.partitionBy("_doc").orderBy("_rank", "_pos")
+    return ranks.select(
+        F.col("_doc").alias(doc_col),
+        F.col("_pos").alias("pos"),
+        F.row_number().over(win).alias("sa_rank"),
+    )
+
+
+def exact_substring_windows(
+    docs: DataFrame,
+    min_len: int = 50,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Positions whose length-``min_len`` window occurs elsewhere in the
+    corpus — EXACTLY (rank-pair equality, zero hash-collision risk).
+
+    ``keep_first=True`` (the Lee et al. dedup semantic) exempts the
+    first occurrence of each equality group — the (doc, pos)-minimal
+    one — so a later excision keeps one copy; ``False`` flags every
+    occurrence (the symmetric "is duplicated" predicate).
+
+    Returns (doc, pos) of flagged window starts.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    # width w = next power of two with w < min_len <= 2w (w = 1 covers
+    # min_len <= 2); windows [i, i+L) compare equal iff the rank pairs
+    # (rank_w(i), rank_w(i + L - w)) compare equal
+    w = 1 if min_len <= 2 else 1 << (math.ceil(math.log2(min_len)) - 1)
+    ranks, w = suffix_ranks(docs, doc_col, text_col, width=w)
+    lens = docs.select(
+        F.col(doc_col).alias("_doc"), F.length(text_col).alias("_len")
+    )
+    shifted = ranks.select(
+        "_doc",
+        (F.col("_pos") - (min_len - w)).alias("_pos"),
+        F.col("_rank").alias("_rB"),
+    )
+    keyed = (
+        ranks.join(shifted, ["_doc", "_pos"])
+        .join(F.broadcast(lens), "_doc")
+        .filter(F.col("_pos") <= F.col("_len") - min_len + 1)
+        .select("_doc", "_pos", F.col("_rank").alias("_rA"), "_rB")
+    )
+    groups = keyed.groupBy("_rA", "_rB").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_doc", "_pos")).alias("_first"),
+    )
+    flagged = keyed.join(groups, ["_rA", "_rB"]).filter(F.col("_n") >= 2)
+    if keep_first:
+        flagged = flagged.filter(
+            (F.col("_doc") != F.col("_first._doc"))
+            | (F.col("_pos") != F.col("_first._pos"))
+        )
+    return flagged.select(
+        F.col("_doc").alias(doc_col), F.col("_pos").alias("pos")
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Maximal duplicated spans per document: the union of the flagged
+    length-``min_len`` windows, merged into maximal intervals
+    (gaps-and-islands over a per-document keyed window — bounded by
+    document length, scale-safe). Returns
+    (doc, span_start 1-based, span_end exclusive, n_windows)."""
+    flagged = exact_substring_windows(
+        docs, min_len, doc_col, text_col, keep_first=keep_first
+    )
+    wprev = (
+        Window.partitionBy(doc_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a window [i, i+L) extends the current island iff i <= max prior
+    # end; islands = running count of breaks
+    brk = (
+        F.col("pos")
+        > F.coalesce(F.max(F.col("pos") + min_len).over(wprev), F.lit(-1))
+    ).cast("int")
+    islanded = flagged.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(
+            Window.partitionBy(doc_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islanded.groupBy(doc_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_island")
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 50,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise duplicated spans (keep-first semantics: one occurrence of
+    each duplicated substring survives somewhere in the corpus) and
+    return every document with a ``deduped`` text column. The rebuild is
+    a sorted fold over the document's own spans — pure expressions, at
+    most (doc's span count) iterations per row, no UDF."""
+    spans = exact_substring_spans(
+        docs, min_len, doc_col, text_col, keep_first=True
+    )
+    per_doc = spans.groupBy(doc_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = docs.join(per_doc, doc_col, "left")
+    t = F.col(text_col)
+    # fold: acc = (cursor, kept-so-far); each span appends the clean gap
+    # before it and advances the cursor past the span; finish() appends
+    # the tail. Spans are merged+sorted, so cursor only moves forward.
+    rebuilt = F.when(F.col("_spans").isNull(), t).otherwise(
+        F.aggregate(
+            F.col("_spans"),
+            F.struct(
+                F.lit(1).cast("long").alias("cur"),
+                F.lit("").alias("kept"),
+            ),
+            lambda acc, s: F.struct(
+                s["span_end"].cast("long").alias("cur"),
+                F.concat(
+                    acc["kept"],
+                    t.substr(
+                        acc["cur"], (s["span_start"] - acc["cur"]).cast("int")
+                    ),
+                ).alias("kept"),
+            ),
+            lambda acc: F.concat(
+                acc["kept"], t.substr(acc["cur"], F.length(t))
+            ),
+        )
+    )
+    return joined.withColumn("deduped", rebuilt).drop("_spans")

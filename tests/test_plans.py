@@ -194,6 +194,11 @@ DISPATCHED = [
     # the frontier window runs on the DISTINCT pair table (see skyline.py
     # note — ordered.with_running_min is the large-input path)
     "skyline_frontier",
+    # suffix machinery: each doubling round's dense rank is the
+    # size-dispatched with_global_rank (small-window path at gate SF;
+    # distributed path covered by test_ordered + test_suffix), and
+    # suffix_array's per-doc sa_rank window is doc-keyed
+    "exact_substr_spans", "suffix_array_ranks",
 ]
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design

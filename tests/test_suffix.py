@@ -1,0 +1,143 @@
+"""Suffix-array machinery vs brute-force Python references.
+
+The module's claim is EXACTNESS (no hash collisions, no stride
+quantization), so every test compares against a literal-substring
+reference that shares no code with the doubling implementation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.suffix import (
+    exact_substring_dedup,
+    exact_substring_spans,
+    exact_substring_windows,
+    suffix_array,
+    suffix_ranks,
+)
+
+
+def _corpus(spark, seed=11, n_docs=12, alpha="ab", length=60):
+    rng = random.Random(seed)
+    rows = []
+    for d in range(n_docs):
+        text = "".join(rng.choice(alpha) for _ in range(length))
+        rows.append((d, text))
+    # plant exact cross-document duplicates (when the corpus is big enough)
+    if n_docs > 3 and length >= 40:
+        rows[3] = (3, rows[0][1][:25] + rows[3][1][25:])
+    if n_docs > 7 and length >= 40:
+        rows[7] = (7, rows[7][1][:10] + rows[1][1][5:35] + rows[7][1][40:])
+    return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _flag_ref(rows, L, keep_first):
+    """Brute force: group literal L-grams, flag non-first occurrences."""
+    grams = {}
+    for d, t in rows:
+        for i in range(1, len(t) - L + 2):
+            grams.setdefault(t[i - 1 : i - 1 + L], []).append((d, i))
+    flagged = set()
+    for occ in grams.values():
+        if len(occ) < 2:
+            continue
+        first = min(occ)
+        for o in occ:
+            if keep_first and o == first:
+                continue
+            flagged.add(o)
+    return flagged
+
+
+def test_suffix_array_matches_python_sort(spark):
+    rows, df = _corpus(spark, n_docs=5, length=40)
+    got = {
+        (r.doc_id, r.pos): r.sa_rank for r in suffix_array(df).collect()
+    }
+    for d, t in rows:
+        order = sorted(range(1, len(t) + 1), key=lambda i: t[i - 1 :])
+        for rank, pos in enumerate(order, start=1):
+            assert got[(d, pos)] == rank, (d, pos)
+
+
+@pytest.mark.parametrize("L", [2, 7, 15, 16])
+@pytest.mark.parametrize("keep_first", [True, False])
+def test_flagged_windows_match_bruteforce(spark, L, keep_first):
+    rows, df = _corpus(spark)
+    got = {
+        (r.doc_id, r.pos)
+        for r in exact_substring_windows(
+            df, L, keep_first=keep_first
+        ).collect()
+    }
+    assert got == _flag_ref(rows, L, keep_first)
+
+
+def test_spans_are_merged_maximal_islands(spark):
+    rows, df = _corpus(spark)
+    L = 12
+    flagged = _flag_ref(rows, L, keep_first=True)
+    # reference island merge
+    ref = set()
+    by_doc: dict[int, list[int]] = {}
+    for d, i in flagged:
+        by_doc.setdefault(d, []).append(i)
+    for d, ps in by_doc.items():
+        ps.sort()
+        start, end, n = ps[0], ps[0] + L, 1
+        for i in ps[1:]:
+            if i <= end:
+                end, n = i + L, n + 1
+            else:
+                ref.add((d, start, end, n))
+                start, end, n = i, i + L, 1
+        ref.add((d, start, end, n))
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in exact_substring_spans(df, L).collect()
+    }
+    assert got == ref
+
+
+def test_dedup_excises_exactly_the_spans(spark):
+    rows, df = _corpus(spark)
+    L = 12
+    spans = {
+        (r.doc_id): []
+        for r in exact_substring_spans(df, L).collect()
+    }
+    for r in exact_substring_spans(df, L).collect():
+        spans[r.doc_id].append((r.span_start, r.span_end))
+    out = {r.doc_id: r.deduped for r in exact_substring_dedup(df, L).collect()}
+    for d, t in rows:
+        if d not in spans:
+            assert out[d] == t
+            continue
+        kept, cur = [], 1
+        for s, e in sorted(spans[d]):
+            kept.append(t[cur - 1 : s - 1])
+            cur = e
+        kept.append(t[cur - 1 :])
+        assert out[d] == "".join(kept), d
+    # at least one doc actually shrank (the planted duplicates)
+    assert any(len(out[d]) < len(t) for d, t in rows)
+
+
+def test_ranks_group_equal_substrings_only(spark):
+    rows, df = _corpus(spark, alpha="abc", length=30, n_docs=6)
+    ranks, w = suffix_ranks(df, width=8)
+    texts = dict(rows)
+    sub = {}
+    for r in ranks.collect():
+        t = texts[r._doc]
+        sub.setdefault(r._rank, set()).add(t[r._pos - 1 : r._pos - 1 + w])
+    # a rank class contains exactly one literal width-w substring
+    assert all(len(v) == 1 for v in sub.values())
+    # and distinct rank classes hold distinct substrings of FULL width
+    full = {
+        rk: next(iter(v)) for rk, v in sub.items() if len(next(iter(v))) == w
+    }
+    assert len(set(full.values())) == len(full)
