@@ -7106,6 +7106,69 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_lineage_stage_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed stage manifests (plans.manifest
+    PipelineManifest — the reference's pickle save/load scaled to
+    pipelines): a 2-stage pipeline (per-lang doc stats -> shares) runs
+    TWICE against the same manifest root; the second pass must resolve
+    both stages from their content-keyed parquet without recompute.
+    The returned `cache_hit` column is 1 only if it did — so the gate
+    hash verifies the caching behavior itself along with the data,
+    which round-trips parquet (stage outputs are always read back from
+    the store)."""
+    import hashlib
+    import tempfile
+
+    from pylluminator_spark.plans.manifest import PipelineManifest
+
+    def stats_fn(spark, docs):
+        return docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+
+    def share_fn(spark, stats):
+        total = stats.agg(F.sum("n").alias("t"))
+        return stats.crossJoin(F.broadcast(total)).select(
+            "lang", "n", "chars",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+
+    root = (
+        tempfile.gettempdir()
+        + "/pylluminator_manifest_gate_"
+        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    m = PipelineManifest(spark, root)
+    docs = m.source("docs", f"{sf_dir}/documents.parquet")
+    s1 = m.stage("lang_stats", stats_fn, [docs], {})
+    m.stage("lang_share", share_fn, [s1], {})
+    # second pass: both stages must come back from the store
+    s1b = m.stage("lang_stats", stats_fn, [docs], {})
+    s2b = m.stage("lang_share", share_fn, [s1b], {})
+    hit = int(s1b.from_cache and s2b.from_cache)
+    return s2b.df.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+        "share",
+        F.lit(hit).cast("long").alias("cache_hit"),
+    )
+
+
+ORACLE_LINEAGE_STAGE_CACHE = """
+WITH stats AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n, chars,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+       CAST(1 AS BIGINT) AS cache_hit
+FROM stats
+"""
+
+
 def q_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document suffix array (operators.suffix suffix_array): the
     1-based lexicographic rank of every suffix, built by prefix doubling
@@ -7239,6 +7302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above; emu-verified at sf0.01 + sf0.1 this round) ------------
         "exact_substr_spans": q_exact_substr_spans,
         "suffix_array_ranks": q_suffix_array_ranks,
+        "lineage_stage_cache": q_lineage_stage_cache,
         # -- 4. r6-green rows (all 50 green in CORRECTNESS_r06) -------
         "bloom_filter": q_bloom_filter,
         "combat_stats": q_combat_stats,
@@ -7438,6 +7502,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_zscore": ORACLE_ROBUST_ZSCORE,
         "exact_substr_spans": ORACLE_EXACT_SUBSTR_SPANS,
         "suffix_array_ranks": ORACLE_SUFFIX_ARRAY,
+        "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,
         "beta_values": ORACLE_BETA_VALUES,

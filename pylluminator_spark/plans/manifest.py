@@ -1,0 +1,235 @@
+"""Content-addressed pipeline-stage manifests + incremental recompute.
+
+The reference persists whole sessions by pickling
+(utils.py:144-183, samples.py:445-462); `MethylSession.save/load`
+(plans/session.py) is the per-table parquet replacement. This module is
+that idea scaled to PIPELINES: every stage's output parquet is keyed by
+a content hash of (stage name, canonicalized params, input keys), so
+
+- re-running an unchanged pipeline reads every stage from parquet and
+  recomputes NOTHING;
+- changing a parameter or an upstream source invalidates exactly the
+  downstream stages whose Merkle chain includes it — untouched branches
+  keep their cached outputs;
+- the ledger is itself a table (`lineage()`), so provenance questions
+  ("which source produced this model's training set, under which
+  params?") are one DataFrame query.
+
+Scale design: the ledger holds one small JSON row per stage RUN —
+metadata only, never data. Source tables are fingerprinted by their
+FILE LISTING (relative path, size, mtime — an O(#files) namenode
+listing, never a data scan; 100 TB fingerprints in milliseconds).
+Stage outputs are parquet directories named by their key — immutable
+once written, safe to share across sessions, garbage-collectable by
+key age. A stage's Spark plan is read back from parquet on reuse, so
+downstream stages of a cached stage start from a pruned columnar scan
+rather than a re-derived lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _canon(obj) -> str:
+    """Deterministic JSON canonicalization for hashing params."""
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"))
+
+
+def source_fingerprint(path: str) -> str:
+    """Listing-based fingerprint of a source file or directory: relative
+    name, size, and mtime of every data file, hashed. Metadata-only — no
+    data is read, so this is O(#files) at any data volume. Any rewrite,
+    append, or touch changes the fingerprint and thereby every
+    downstream stage key."""
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(("", st.st_size, int(st.st_mtime)))
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):  # _SUCCESS, .crc side files
+                    continue
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                entries.append(
+                    (os.path.relpath(full, path), st.st_size, int(st.st_mtime))
+                )
+    entries.sort()
+    return hashlib.sha256(_canon(entries).encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class StageRef:
+    """Handle to a pipeline stage's output: its content key, its
+    DataFrame, and whether this run reused the cached parquet."""
+
+    name: str
+    key: str
+    df: DataFrame
+    path: str | None
+    from_cache: bool
+
+
+class PipelineManifest:
+    """A content-addressed stage store rooted at ``root``.
+
+    >>> m = PipelineManifest(spark, "/data/pipeline")
+    >>> docs = m.source("docs", "/data/raw/documents.parquet")
+    >>> clean = m.stage("clean", clean_fn, [docs], {"min_len": 50})
+    >>> stats = m.stage("stats", stats_fn, [clean], {})
+    second run: every .stage() call returns from_cache=True instantly.
+    """
+
+    _LEDGER = "ledger.jsonl"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._entries: dict[str, dict] = {}
+        ledger = os.path.join(root, self._LEDGER)
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                for line in fh:
+                    if line.strip():
+                        e = json.loads(line)
+                        self._entries[e["key"]] = e
+
+    # -- sources ---------------------------------------------------------
+
+    def source(self, name: str, path: str, fmt: str = "parquet") -> StageRef:
+        """Register an external source table. Its key is the listing
+        fingerprint, so upstream data changes propagate downstream."""
+        key = f"src-{source_fingerprint(path)}"
+        reader = getattr(self.spark.read, fmt)
+        return StageRef(
+            name=name, key=key, df=reader(path), path=path, from_cache=True
+        )
+
+    # -- stages ----------------------------------------------------------
+
+    def stage_key(
+        self, name: str, inputs: list[StageRef], params: dict
+    ) -> str:
+        payload = _canon(
+            {
+                "name": name,
+                "inputs": [i.key for i in inputs],
+                "params": params,
+            }
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def stage(
+        self,
+        name: str,
+        fn,
+        inputs: list[StageRef],
+        params: dict | None = None,
+    ) -> StageRef:
+        """Run ``fn(spark, *input_dfs, **params)`` — or skip it entirely
+        if an output with the same content key already exists. The
+        returned DataFrame always reads from the stage's parquet, so
+        downstream plans start from a columnar scan either way."""
+        params = params or {}
+        key = self.stage_key(name, inputs, params)
+        out_dir = os.path.join(self.root, key)
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if key in self._entries and os.path.exists(marker):
+            return StageRef(
+                name=name,
+                key=key,
+                df=self.spark.read.parquet(out_dir),
+                path=out_dir,
+                from_cache=True,
+            )
+        df = fn(self.spark, *[i.df for i in inputs], **params)
+        df.write.mode("overwrite").parquet(out_dir)
+        out = self.spark.read.parquet(out_dir)
+        entry = {
+            "key": key,
+            "name": name,
+            "inputs": [i.key for i in inputs],
+            "input_names": [i.name for i in inputs],
+            "params": params,
+            "path": out_dir,
+            "written_at": time.time(),
+        }
+        self._append(entry)
+        return StageRef(
+            name=name, key=key, df=out, path=out_dir, from_cache=False
+        )
+
+    def _append(self, entry: dict) -> None:
+        self._entries[entry["key"]] = entry
+        with open(os.path.join(self.root, self._LEDGER), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    # -- introspection ---------------------------------------------------
+
+    def lineage(self) -> DataFrame:
+        """The ledger as a DataFrame: one row per materialized stage,
+        with its key, parent keys, and params — provenance as a table."""
+        rows = [
+            (
+                e["key"],
+                e["name"],
+                e["inputs"],
+                e["input_names"],
+                _canon(e["params"]),
+                e["path"],
+            )
+            for e in self._entries.values()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "key string, name string, inputs array<string>, "
+            "input_names array<string>, params string, path string",
+        )
+
+    def ancestors(self, key: str) -> list[str]:
+        """Transitive input keys of a stage (provenance chain), oldest
+        last. Source keys terminate the walk."""
+        seen: list[str] = []
+        frontier = [key]
+        while frontier:
+            k = frontier.pop(0)
+            e = self._entries.get(k)
+            if e is None:
+                continue
+            for parent in e["inputs"]:
+                if parent not in seen:
+                    seen.append(parent)
+                    frontier.append(parent)
+        return seen
+
+    def gc(self, keep_keys: set[str]) -> list[str]:
+        """Remove cached stage outputs whose key is not in
+        ``keep_keys`` (nor an ancestor of one). Returns removed keys.
+        Ledger entries for removed outputs are dropped so a later
+        identical stage recomputes cleanly."""
+        import shutil
+
+        keep = set(keep_keys)
+        for k in list(keep_keys):
+            keep.update(self.ancestors(k))
+        removed = []
+        for k in list(self._entries):
+            if k not in keep:
+                path = self._entries[k].get("path")
+                if path and os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                del self._entries[k]
+                removed.append(k)
+        with open(os.path.join(self.root, self._LEDGER), "w") as fh:
+            for e in self._entries.values():
+                fh.write(json.dumps(e) + "\n")
+        return removed

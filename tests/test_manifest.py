@@ -1,0 +1,130 @@
+"""Content-addressed stage manifests: cache hits, Merkle invalidation,
+source fingerprints, lineage introspection, GC."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pylluminator_spark.plans.manifest import (
+    PipelineManifest,
+    source_fingerprint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _counting(fn):
+    calls = {"n": 0}
+
+    def wrapped(spark, *dfs, **params):
+        calls["n"] += 1
+        return fn(spark, *dfs, **params)
+
+    return wrapped, calls
+
+
+def _stats_fn(spark, docs, min_chars=0):
+    return (
+        docs.filter(F.col("n_chars") >= min_chars)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _share_fn(spark, stats):
+    total = stats.agg(F.sum("n").alias("t"))
+    return stats.crossJoin(F.broadcast(total)).select(
+        "lang", "n", (F.col("n") / F.col("t")).alias("share")
+    )
+
+
+def test_second_run_is_pure_cache(spark, tmp_path):
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+    f1, c1 = _counting(_stats_fn)
+    f2, c2 = _counting(_share_fn)
+
+    s1 = m.stage("stats", f1, [docs], {"min_chars": 10})
+    s2 = m.stage("share", f2, [s1], {})
+    first = {r.lang: (r.n, r.share) for r in s2.df.collect()}
+    assert (c1["n"], c2["n"]) == (1, 1)
+    assert not s1.from_cache and not s2.from_cache
+
+    # second run: both stages reused, zero recompute, same data
+    r1 = m.stage("stats", f1, [docs], {"min_chars": 10})
+    r2 = m.stage("share", f2, [r1], {})
+    assert r1.from_cache and r2.from_cache
+    assert (c1["n"], c2["n"]) == (1, 1)
+    assert {r.lang: (r.n, r.share) for r in r2.df.collect()} == first
+
+    # a FRESH manifest over the same root also reuses (ledger persisted)
+    m2 = PipelineManifest(spark, str(tmp_path / "pl"))
+    rr = m2.stage("stats", f1, [m2.source("docs", f"{SF}/documents.parquet")], {"min_chars": 10})
+    assert rr.from_cache and c1["n"] == 1
+
+
+def test_param_change_invalidates_only_downstream(spark, tmp_path):
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+    f1, c1 = _counting(_stats_fn)
+    f2, c2 = _counting(_share_fn)
+    s1 = m.stage("stats", f1, [docs], {"min_chars": 10})
+    m.stage("share", f2, [s1], {})
+    # different upstream param -> new keys for BOTH stages
+    s1b = m.stage("stats", f1, [docs], {"min_chars": 200})
+    s2b = m.stage("share", f2, [s1b], {})
+    assert s1b.key != s1.key and not s1b.from_cache and not s2b.from_cache
+    assert (c1["n"], c2["n"]) == (2, 2)
+    # the ORIGINAL chain is still cached (no invalidation of siblings)
+    again = m.stage("stats", f1, [docs], {"min_chars": 10})
+    assert again.from_cache and c1["n"] == 2
+
+
+def test_source_fingerprint_tracks_file_changes(tmp_path):
+    p = tmp_path / "src"
+    p.mkdir()
+    (p / "a.parquet").write_bytes(b"xxxx")
+    fp1 = source_fingerprint(str(p))
+    assert fp1 == source_fingerprint(str(p))  # stable
+    time.sleep(1.05)  # mtime granularity
+    (p / "a.parquet").write_bytes(b"yyyy")
+    assert source_fingerprint(str(p)) != fp1
+    (p / "b.parquet").write_bytes(b"zz")
+    fp3 = source_fingerprint(str(p))
+    assert fp3 != fp1
+    # side files are ignored
+    (p / "_SUCCESS").write_bytes(b"")
+    assert source_fingerprint(str(p)) == fp3
+
+
+def test_lineage_and_ancestors(spark, tmp_path):
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+    s1 = m.stage("stats", _stats_fn, [docs], {"min_chars": 10})
+    s2 = m.stage("share", _share_fn, [s1], {})
+    led = {r.key: r for r in m.lineage().collect()}
+    assert set(led) == {s1.key, s2.key}
+    assert led[s2.key].inputs == [s1.key]
+    assert led[s2.key].input_names == ["stats"]
+    assert m.ancestors(s2.key) == [s1.key, docs.key]
+
+
+def test_gc_keeps_chain_drops_orphans(spark, tmp_path):
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+    keep1 = m.stage("stats", _stats_fn, [docs], {"min_chars": 10})
+    keep2 = m.stage("share", _share_fn, [keep1], {})
+    orphan = m.stage("stats", _stats_fn, [docs], {"min_chars": 999})
+    removed = m.gc({keep2.key})
+    assert removed == [orphan.key]
+    assert not os.path.isdir(orphan.path)
+    # kept chain still reads from cache
+    again = m.stage("share", _share_fn, [keep1], {})
+    assert again.from_cache
+    # the orphan recomputes cleanly after gc
+    f, c = _counting(_stats_fn)
+    re = m.stage("stats", f, [docs], {"min_chars": 999})
+    assert not re.from_cache and c["n"] == 1

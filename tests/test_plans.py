@@ -180,6 +180,11 @@ SCALAR_AGG_OK = [
     "jaccard_pairs",
     # bloom filter build: k map-side projections + one keyed bit_or agg
     "bloom_filter",
+    # manifest stage-cache: the returned frame is a pruned parquet scan
+    # of the content-keyed stage store (stages materialize eagerly in
+    # the query function; the scalar-agg share stage lives in the
+    # STORED parquet, not the returned plan)
+    "lineage_stage_cache",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
