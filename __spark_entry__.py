@@ -7106,6 +7106,89 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr EXCISION (operators.suffix exact_substring_dedup):
+    rebuild each document with its duplicated spans cut out — a sorted
+    expression fold over the doc's own spans (no UDF). The oracle
+    rebuilds via the COMPLEMENT: gap intervals from a LAG window over
+    the literal-substring spans, concatenated with string_agg — a
+    different construction of the same text, so the hash proves the
+    excision itself. Same doc subset + window length as
+    exact_substr_spans."""
+    from pylluminator_spark.operators.suffix import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id", "text")
+    out = exact_substring_dedup(docs, _SUBSTR_L)
+    return out.select(
+        "doc_id",
+        F.length("deduped").cast("long").alias("kept_chars"),
+        "deduped",
+    )
+
+
+ORACLE_EXACT_SUBSTR_DEDUP = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INT), {_SUBSTR_L}) AS gram
+  FROM docs, LATERAL (
+    SELECT UNNEST(range(1, GREATEST(LENGTH(text) - {_SUBSTR_L} + 2, 1))) AS i
+  )
+),
+grp AS (
+  SELECT doc_id, i,
+         COUNT(*) OVER (PARTITION BY gram) AS c,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, i) AS fd,
+         FIRST_VALUE(i) OVER (PARTITION BY gram ORDER BY doc_id, i) AS fi
+  FROM pos
+),
+flagged AS (
+  SELECT doc_id, i FROM grp
+  WHERE c >= 2 AND NOT (doc_id = fd AND i = fi)
+),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {_SUBSTR_L}) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, MIN(i) AS s, MAX(i) + {_SUBSTR_L} AS e
+  FROM isl GROUP BY doc_id, island
+),
+gaps AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs,
+         CAST(s AS BIGINT) AS ge
+  FROM spans
+  UNION ALL
+  SELECT doc_id, MAX(e) AS gs, CAST(NULL AS BIGINT) AS ge
+  FROM spans GROUP BY doc_id
+),
+kept AS (
+  SELECT g.doc_id,
+         string_agg(
+           substr(d.text, CAST(g.gs AS INT),
+                  CAST(COALESCE(g.ge, LENGTH(d.text) + 1) - g.gs AS INT)),
+           '' ORDER BY g.gs) AS deduped
+  FROM gaps g JOIN docs d USING (doc_id) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(COALESCE(k.deduped, d.text)) AS BIGINT) AS kept_chars,
+       COALESCE(k.deduped, d.text) AS deduped
+FROM docs d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def q_lineage_stage_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed stage manifests (plans.manifest
     PipelineManifest — the reference's pickle save/load scaled to
@@ -7302,6 +7385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above; emu-verified at sf0.01 + sf0.1 this round) ------------
         "exact_substr_spans": q_exact_substr_spans,
         "suffix_array_ranks": q_suffix_array_ranks,
+        "exact_substr_dedup": q_exact_substr_dedup,
         "lineage_stage_cache": q_lineage_stage_cache,
         # -- 4. r6-green rows (all 50 green in CORRECTNESS_r06) -------
         "bloom_filter": q_bloom_filter,
@@ -7502,6 +7586,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_zscore": ORACLE_ROBUST_ZSCORE,
         "exact_substr_spans": ORACLE_EXACT_SUBSTR_SPANS,
         "suffix_array_ranks": ORACLE_SUFFIX_ARRAY,
+        "exact_substr_dedup": ORACLE_EXACT_SUBSTR_DEDUP,
         "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,
         "median_by_brand": ORACLE_MEDIAN_BY_BRAND,

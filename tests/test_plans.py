@@ -203,7 +203,7 @@ DISPATCHED = [
     # size-dispatched with_global_rank (small-window path at gate SF;
     # distributed path covered by test_ordered + test_suffix), and
     # suffix_array's per-doc sa_rank window is doc-keyed
-    "exact_substr_spans", "suffix_array_ranks",
+    "exact_substr_spans", "suffix_array_ranks", "exact_substr_dedup",
 ]
 
 # deliberate broadcast nested-loop shapes: tiny broadcast side by design
