@@ -101,10 +101,10 @@ def _bucket_boundaries(
     k = min(_SAMPLE_CAP, _SAMPLE_PER_BUCKET * n)
     h = F.xxhash64(*[F.col(c) for c in order_cols])
     rows = (
-        df.select(*[F.col(c) for c in order_cols], h.alias("_h"))
-        .orderBy("_h")
+        df.select(*[F.col(c) for c in order_cols], h.alias("_ord_smp_h"))
+        .orderBy("_ord_smp_h")
         .limit(k)
-        .drop("_h")
+        .drop("_ord_smp_h")
         .collect()
     )
     keys = sorted(tuple(r) for r in rows)

@@ -113,6 +113,8 @@ def signatures_arrow(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not planes_by_table or not planes_by_table[0]:
+        raise ValueError("planes_by_table must hold >= 1 table of planes")
     P = np.asarray(
         [p for planes in planes_by_table for p in planes], dtype=np.float64
     )  # (T*B, dim)

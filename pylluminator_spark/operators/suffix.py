@@ -44,23 +44,48 @@ from pyspark.sql import functions as F
 from pylluminator_spark.operators.ordered import with_global_rank
 
 
-def _char_ranks(
-    docs: DataFrame, doc_col: str, text_col: str
+# width of the LITERAL-substring base ranking: ranking length-8 grams
+# directly replaces the first three doubling rounds (1->2->4->8), each of
+# which would cost a checkpoint + rank pass of its own
+_BASE_WIDTH = 8
+
+
+def _base_ranks(
+    docs: DataFrame, doc_col: str, text_col: str, w0: int, n_bound: int
 ) -> DataFrame:
-    """(doc, pos 1-based, rank) with rank = the character's code point —
-    a valid dense-ish initial ranking (equal chars <=> equal ranks)."""
-    return docs.select(
-        F.col(doc_col).alias("_doc"),
-        F.posexplode(F.split(F.col(text_col), "")).alias("_pos0", "_ch"),
-    ).select(
-        "_doc",
-        (F.col("_pos0") + 1).alias("_pos"),
-        F.ascii("_ch").cast("long").alias("_rank"),
+    """(doc, pos 1-based, rank): dense global rank of the LITERAL
+    length-``w0`` substring at each position (suffixes shorter than w0
+    rank by their actual remainder — a shorter string sorts before any
+    extension, exactly like the doubling sentinel). Binary UTF-8 string
+    order == code-point order, so the ordering agrees with the integer
+    doubling rounds stacked on top."""
+    grams = (
+        docs.filter(F.length(text_col) >= 1)  # sequence(1,0) is [1,0]!
+        .select(
+            F.col(doc_col).alias("_doc"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col))
+            ).alias("_pos"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            "_doc",
+            "_pos",
+            F.expr(f"substring(_t, _pos, {w0})").alias("_gram"),
+        )
     )
+    distinct = grams.select("_gram").distinct()
+    rank_map = with_global_rank(
+        distinct, ["_gram"], "_rank", n_rows=n_bound
+    )
+    return grams.join(rank_map, "_gram").select("_doc", "_pos", "_rank")
 
 
-def _double_round(ranks: DataFrame, w: int) -> DataFrame:
-    """One prefix-doubling round: width w -> 2w."""
+def _double_round(ranks: DataFrame, w: int, n_bound: int) -> DataFrame:
+    """One prefix-doubling round: width w -> 2w. ``n_bound`` is an upper
+    bound on the distinct-pair count (total positions — computed ONCE by
+    the caller), used only for the rank's size dispatch: no per-round
+    count job."""
     right = ranks.select(
         F.col("_doc"),
         (F.col("_pos") - w).alias("_pos"),
@@ -78,11 +103,19 @@ def _double_round(ranks: DataFrame, w: int) -> DataFrame:
         distinct_pairs,
         ["_rank", "_r2"],
         "_new_rank",
-        n_rows=distinct_pairs.count(),
+        n_rows=n_bound,
     )
     return paired.join(rank_map, ["_rank", "_r2"]).select(
         "_doc", "_pos", F.col("_new_rank").alias("_rank")
     )
+
+
+def _corpus_dims(docs: DataFrame, text_col: str) -> tuple[int, int]:
+    """(total positions, longest document) in one aggregate job."""
+    row = docs.agg(
+        F.sum(F.length(text_col)), F.max(F.length(text_col))
+    ).collect()[0]
+    return int(row[0] or 0), int(row[1] or 0)
 
 
 def suffix_ranks(
@@ -92,12 +125,20 @@ def suffix_ranks(
     width: int = 16,
 ) -> tuple[DataFrame, int]:
     """Prefix-doubling rank table up to substring width >= ``width``
-    (the next power of two). Returns ``((doc, pos, rank), w)`` where two
-    positions with equal ``rank`` start equal length-``w`` substrings
-    (short suffixes rank by their actual remainder, sentinel-padded)."""
-    ranks = _char_ranks(docs, doc_col, text_col)
+    (the next power of two; widths up to ``_BASE_WIDTH`` are ranked as
+    literal substrings in one pass, no doubling). Returns
+    ``((doc, pos, rank), w)`` where two positions with equal ``rank``
+    start equal length-``w`` substrings (short suffixes rank by their
+    actual remainder, sentinel-padded). One count job total (the
+    position total, reused as the rank-dispatch bound every round)."""
+    n_bound, _ = _corpus_dims(docs, text_col)
     w = 1
     while w < width:
+        w *= 2
+    base = min(w, _BASE_WIDTH)
+    ranks = _base_ranks(docs, doc_col, text_col, base, n_bound)
+    cur = base
+    while cur < w:
         # localCheckpoint per round: each round's plan references the
         # previous round ~3 times (self-join + rank-map join), so an
         # unbroken lineage re-executes earlier rounds 3^t times — the
@@ -107,8 +148,10 @@ def suffix_ranks(
         # replaces them (nothing references their RDD any more). On a
         # real cluster prefer a reliable checkpoint dir for
         # executor-loss replayability.
-        ranks = _double_round(ranks, w).localCheckpoint(eager=True)
-        w *= 2
+        ranks = _double_round(ranks, cur, n_bound).localCheckpoint(
+            eager=True
+        )
+        cur *= 2
     return ranks, w
 
 
@@ -120,26 +163,31 @@ def suffix_array(
 ) -> DataFrame:
     """Per-document suffix array: (doc, pos, sa_rank) where ``sa_rank``
     is the 1-based lexicographic rank of suffix ``text[pos:]`` among the
-    document's suffixes. Doubling stops once every suffix's GLOBAL rank
-    is unique (checked with one tiny aggregate per round), so total
-    rounds = ceil(log2(longest repeated prefix)) not log2(doc length).
+    document's suffixes. Doubling stops once no two suffixes of the SAME
+    document share a rank (one tiny aggregate over the just-checkpointed
+    table per round) — NOT on global uniqueness: equal full suffixes in
+    different documents keep equal global ranks at every width, which is
+    correct and must not keep the loop alive. ``w >= longest document``
+    is the job-free hard bound (suffixes of one document always differ,
+    being distinct lengths of the same tail).
     """
-    ranks = _char_ranks(docs, doc_col, text_col).localCheckpoint(
-        eager=True
-    )
-    w = 1
-    while w < max_width:
-        dup = (
-            ranks.groupBy("_rank")
+    n_pos, max_len = _corpus_dims(docs, text_col)
+    ranks = _base_ranks(
+        docs, doc_col, text_col, _BASE_WIDTH, n_pos
+    ).localCheckpoint(eager=True)
+    w = _BASE_WIDTH
+    while w < min(max_len, max_width):
+        dup_in_doc = (
+            ranks.groupBy("_doc", "_rank")
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
             .count()
         )
-        if dup == 0:
+        if dup_in_doc == 0:
             break
         # per-round checkpoint — see suffix_ranks for the lineage note
-        ranks = _double_round(ranks, w).localCheckpoint(eager=True)
+        ranks = _double_round(ranks, w, n_pos).localCheckpoint(eager=True)
         w *= 2
     win = Window.partitionBy("_doc").orderBy("_rank", "_pos")
     return ranks.select(
@@ -183,7 +231,10 @@ def exact_substring_windows(
     )
     keyed = (
         ranks.join(shifted, ["_doc", "_pos"])
-        .join(F.broadcast(lens), "_doc")
+        # lens is one row per DOCUMENT — corpus-sized, so no broadcast
+        # hint: the doc-keyed shuffle join co-partitions with the char
+        # table's own (_doc, _pos) exchange and stays scale-safe
+        .join(lens, "_doc")
         .filter(F.col("_pos") <= F.col("_len") - min_len + 1)
         .select("_doc", "_pos", F.col("_rank").alias("_rA"), "_rB")
     )

@@ -47,8 +47,16 @@ def test_global_rank_matches_window(values):
 def test_ordered_ops_leave_no_persisted_rdds(spark, values):
     """VERDICT r6 #3: the two-phase helpers persist NOTHING — offsets
     come from a shared-exchange stats branch, not a cached collect."""
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def _ids():
+        # id SET, not size: another module's localCheckpoint blocks may
+        # be GC-cleaned asynchronously mid-test, shrinking a raw count
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    before = _ids()
     with_global_rank(values, ["v", "id"], "rk", num_partitions=8).collect()
     with_running_sum(values, ["v", "id"], "w", "cs", num_partitions=8).collect()
     with_running_min(values, ["v", "id"], "w", "cm", num_partitions=8).collect()
@@ -60,7 +68,7 @@ def test_ordered_ops_leave_no_persisted_rdds(spark, values):
     from pylluminator_spark.operators.ordered import quantile_discretize
 
     quantile_discretize(values, "v", 7, ["id"], num_partitions=8).collect()
-    assert jsc.getPersistentRDDs().size() == before
+    assert _ids() - before == set()
 
 
 def test_running_sum_matches_window(values):
