@@ -42,6 +42,34 @@ def _canon(obj) -> str:
     return json.dumps(obj, sort_keys=True, separators=(",", ":"))
 
 
+def _fn_fingerprint(fn) -> str:
+    """Deterministic fingerprint of a stage function's CODE: bytecode,
+    names, and nested code objects, recursively. Editing the function
+    body therefore changes its stages' keys and forces recompute —
+    without this, a code change would silently reuse stale cached
+    outputs. Stable for unchanged source within a Python version
+    (bytecode changes across interpreter versions — then caches simply
+    recompute once, which is the safe direction). Closed-over VALUES
+    are not hashable in general and are NOT captured: pass anything
+    that varies through ``params`` instead (documented contract)."""
+    import types
+
+    h = hashlib.sha256()
+
+    def walk(code):
+        h.update(code.co_code)
+        h.update(",".join(code.co_names).encode())
+        h.update(",".join(code.co_varnames).encode())
+        for c in code.co_consts:
+            if isinstance(c, types.CodeType):
+                walk(c)
+            else:
+                h.update(repr(c).encode())
+
+    walk(fn.__code__)
+    return h.hexdigest()[:12]
+
+
 def source_fingerprint(path: str) -> str:
     """Listing-based fingerprint of a source file or directory: relative
     name, size, and mtime of every data file, hashed. Metadata-only — no
@@ -117,13 +145,18 @@ class PipelineManifest:
     # -- stages ----------------------------------------------------------
 
     def stage_key(
-        self, name: str, inputs: list[StageRef], params: dict
+        self,
+        name: str,
+        inputs: list[StageRef],
+        params: dict,
+        code_version: str = "",
     ) -> str:
         payload = _canon(
             {
                 "name": name,
                 "inputs": [i.key for i in inputs],
                 "params": params,
+                "code": code_version,
             }
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -134,13 +167,22 @@ class PipelineManifest:
         fn,
         inputs: list[StageRef],
         params: dict | None = None,
+        code_version: str | None = None,
     ) -> StageRef:
         """Run ``fn(spark, *input_dfs, **params)`` — or skip it entirely
         if an output with the same content key already exists. The
         returned DataFrame always reads from the stage's parquet, so
-        downstream plans start from a columnar scan either way."""
+        downstream plans start from a columnar scan either way.
+
+        The key includes a fingerprint of ``fn``'s CODE (bytecode walk —
+        see ``_fn_fingerprint``), so editing the stage function
+        invalidates its cache; pass ``code_version`` explicitly to pin
+        it (e.g. a semantic version, when bytecode-level sensitivity is
+        unwanted). Values ``fn`` closes over are NOT fingerprinted —
+        route anything that varies through ``params``."""
         params = params or {}
-        key = self.stage_key(name, inputs, params)
+        cv = code_version if code_version is not None else _fn_fingerprint(fn)
+        key = self.stage_key(name, inputs, params, cv)
         out_dir = os.path.join(self.root, key)
         marker = os.path.join(out_dir, "_SUCCESS")
         if key in self._entries and os.path.exists(marker):

@@ -83,6 +83,31 @@ def test_param_change_invalidates_only_downstream(spark, tmp_path):
     assert again.from_cache and c1["n"] == 2
 
 
+def test_code_change_invalidates_cache(spark, tmp_path):
+    """Editing the stage FUNCTION must invalidate its cache — without
+    bytecode fingerprinting a code change would silently reuse stale
+    outputs. An explicit code_version pins the key instead."""
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+
+    def v1(spark, d):
+        return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+    def v2(spark, d):  # different body, same name/signature/params
+        return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).filter(
+            F.col("n") > 0
+        )
+
+    s1 = m.stage("stats", v1, [docs], {})
+    s2 = m.stage("stats", v2, [docs], {})
+    assert s1.key != s2.key and not s2.from_cache
+    # pinned code_version: both functions share the key -> v2 is served
+    # from v1's cache
+    p1 = m.stage("stats", v1, [docs], {}, code_version="1")
+    p2 = m.stage("stats", v2, [docs], {}, code_version="1")
+    assert p1.key == p2.key and p2.from_cache
+
+
 def test_source_fingerprint_tracks_file_changes(tmp_path):
     p = tmp_path / "src"
     p.mkdir()
