@@ -127,16 +127,30 @@ def _bucketized(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cuts = _bucket_boundaries(df, order_cols, n)
     key = F.struct(*[F.col(c) for c in order_cols])
-    bucket = F.lit(0)
-    for b in cuts:
-        blit = F.struct(
+    lits = [
+        F.struct(
             *[
                 F.lit(v).cast(df.schema[c].dataType).alias(c)
                 for c, v in zip(order_cols, b)
             ]
         )
-        bucket = bucket + (key >= blit).cast("int")
-    return df.withColumn(_PID, bucket)
+        for b in cuts
+    ]
+
+    # balanced comparison tree: bucket id in log2(n) struct compares per
+    # row instead of a linear n-1 chain (struct comparisons evaluate in
+    # the interpreted expression path, so depth is the per-row cost)
+    def tree(lo: int, hi: int):
+        # rows >= cuts[i] belong to bucket > i; bucket ids lo..hi
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            F.when(key >= lits[mid - 1], tree(mid, hi))
+            .otherwise(tree(lo, mid - 1))
+        )
+
+    return df.withColumn(_PID, tree(0, len(cuts)))
 
 
 def _prefix_window() -> Window:
@@ -183,17 +197,23 @@ def _ranked_with_stats(
         )
         return ranked, None
     d = _bucketized(df, order_cols, num_partitions)
-    stats = d.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order_cols])
+    local = d.withColumn("_local", F.row_number().over(w))
+    # stats derive from the WINDOWED frame, not from d: both branches
+    # then share the _PID hash exchange (ReuseExchange — an optimization
+    # only; buckets are literal-deterministic, so a failed reuse costs a
+    # recompute, never correctness). max(_local) == the bucket count.
+    stats = local.groupBy(_PID).agg(
+        F.max("_local").cast("long").alias("_n")
+    )
     offs = stats.select(
         _PID,
         F.coalesce(
             F.sum("_n").over(_prefix_window()), F.lit(0).cast("long")
         ).alias("_off"),
     )
-    w = Window.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order_cols])
     out = (
-        d.withColumn("_local", F.row_number().over(w))
-        .join(F.broadcast(offs), _PID)
+        local.join(F.broadcast(offs), _PID)
         .withColumn(rank_col, (F.col("_local") + F.col("_off")).cast("long"))
         .drop(_PID, "_local", "_off")
     )
@@ -219,24 +239,34 @@ def with_running_sum(
         )
         return df.withColumn(out_col, F.sum(v).over(w))
     d = _bucketized(df.withColumn("_v", v), order_cols, num_partitions)
-    stats = d.groupBy(_PID).agg(F.sum("_v").alias("_s"))
-    # the prefix sum folds per-bucket sums in bucket (= key) order — the
-    # same left fold the window's running frame uses, so the split is
-    # exact for integer sums (SUM(long) stays long: no float offset
-    # losing bits past 2^53 on a 100 TB token/byte cumsum)
-    zero = F.lit(0).cast(stats.schema["_s"].dataType)
-    offs = stats.select(
-        _PID,
-        F.coalesce(F.sum("_s").over(_prefix_window()), zero).alias("_off"),
-    )
     w = (
         Window.partitionBy(_PID)
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    local = d.withColumn("_local", F.sum("_v").over(w))
+    # bucket total = the running sum AT THE BUCKET'S LAST ROW (max_by on
+    # the sort key), read off the WINDOWED frame — the stats branch then
+    # shares the _PID hash exchange with the data branch (ReuseExchange;
+    # an optimization only — buckets are literal-deterministic, so a
+    # failed reuse costs a recompute, never correctness). The prefix
+    # offsets fold the bucket totals left-to-right in key order — exact
+    # for integer sums (stays long: no float offset losing bits past
+    # 2^53 on a 100 TB token cumsum); for doubles the totals-of-totals
+    # association still differs from one global element fold (the
+    # module-head double caveat stands)
+    stats = local.groupBy(_PID).agg(
+        F.max_by(
+            F.col("_local"), F.struct(*[F.col(c) for c in order_cols])
+        ).alias("_s")
+    )
+    zero = F.lit(0).cast(stats.schema["_s"].dataType)
+    offs = stats.select(
+        _PID,
+        F.coalesce(F.sum("_s").over(_prefix_window()), zero).alias("_off"),
+    )
     return (
-        d.withColumn("_local", F.sum("_v").over(w))
-        .join(F.broadcast(offs), _PID)
+        local.join(F.broadcast(offs), _PID)
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop(_PID, "_local", "_off", "_v")
     )
@@ -259,22 +289,24 @@ def with_running_min(
         )
         return df.withColumn(out_col, F.min(v).over(w))
     d = _bucketized(df.withColumn("_v", v), order_cols, num_partitions)
-    stats = d.groupBy(_PID).agg(F.min("_v").alias("_m"))
-    # NULL offset (first bucket / all-null prefix) stays NULL — `least`
-    # ignores nulls, so no sentinel value can leak into results (a numeric
-    # sentinel would pose as a legitimate running min); the prefix MIN
-    # keeps _v's exact type (no float(id) bit loss past 2^53)
-    offs = stats.select(
-        _PID, F.min("_m").over(_prefix_window()).alias("_off")
-    )
     w = (
         Window.partitionBy(_PID)
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    local = d.withColumn("_local", F.min("_v").over(w))
+    # stats off the WINDOWED frame (shared _PID exchange — see
+    # with_running_sum). NULL offset (first bucket / all-null prefix)
+    # stays NULL — `least` ignores nulls, so no sentinel value can leak
+    # into results (a numeric sentinel would pose as a legitimate
+    # running min); the prefix MIN keeps _v's exact type (no float(id)
+    # bit loss past 2^53)
+    stats = local.groupBy(_PID).agg(F.min("_v").alias("_m"))
+    offs = stats.select(
+        _PID, F.min("_m").over(_prefix_window()).alias("_off")
+    )
     return (
-        d.withColumn("_local", F.min("_v").over(w))
-        .join(F.broadcast(offs), _PID)
+        local.join(F.broadcast(offs), _PID)
         .withColumn(out_col, F.least(F.col("_local"), F.col("_off")))
         .drop(_PID, "_local", "_off", "_v")
     )
@@ -308,13 +340,21 @@ def with_lead(
 
     srcs = sorted(set(lead_cols.values()))
     d = _bucketized(df, order_cols, num_partitions)
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order_cols])
+    # order cols are non-null, so a null local lead of one of them marks the
+    # bucket's last row (a legitimately-null source value does not).
+    local = d.withColumn("_at_end", F.lead(order_cols[0]).over(w).isNull())
+    for out_col, src in lead_cols.items():
+        local = local.withColumn(f"_lead_{out_col}", F.lead(src).over(w))
     # first row (in sort order) of each bucket: min of a struct whose
     # leading fields are the full (total) ordering key, trailing fields
     # the source values — lexicographic struct min selects that row's
-    # values. (dedupe: a source that IS an order column reuses its key
-    # field, so getField stays unambiguous)
+    # values. Derived from the WINDOWED frame so the stats branch shares
+    # the _PID exchange (see with_running_sum). (dedupe: a source that
+    # IS an order column reuses its key field, so getField stays
+    # unambiguous)
     extra = [s for s in srcs if s not in order_cols]
-    firsts = d.groupBy(_PID).agg(
+    firsts = local.groupBy(_PID).agg(
         F.min(F.struct(*order_cols, *extra)).alias("_lo")
     )
     # each bucket's successor-first-row values: lead(1) over the tiny
@@ -331,13 +371,7 @@ def with_lead(
     )
     nxt_df = F.broadcast(nxt)
 
-    w = Window.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order_cols])
-    # order cols are non-null, so a null local lead of one of them marks the
-    # bucket's last row (a legitimately-null source value does not).
-    out = d.withColumn("_at_end", F.lead(order_cols[0]).over(w).isNull())
-    for out_col, src in lead_cols.items():
-        out = out.withColumn(f"_lead_{out_col}", F.lead(src).over(w))
-    out = out.join(nxt_df, _PID)
+    out = local.join(nxt_df, _PID)
     for out_col, src in lead_cols.items():
         out = out.withColumn(
             out_col,
