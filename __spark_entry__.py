@@ -7382,7 +7382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         # -- 3b. round-7 additions (never gated — per the rotation
         # policy they take r8 slots FIRST, before the deferred tier
-        # above; emu-verified at sf0.01 + sf0.1 this round) ------------
+        # above; emu-verified at sf0.01 + sf0.1 this round).
+        # r8 gate plan: slots 1-4 = this section, slots 5-17 = the 13
+        # r4-aged entries in section 3, slots 18-50 = the first 33
+        # entries of the r5-green section (oldest-green next) ----------
         "exact_substr_spans": q_exact_substr_spans,
         "suffix_array_ranks": q_suffix_array_ranks,
         "exact_substr_dedup": q_exact_substr_dedup,
