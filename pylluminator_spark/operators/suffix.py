@@ -152,6 +152,10 @@ def suffix_ranks(
             eager=True
         )
         cur *= 2
+    # NOTE: a base-only result (no doubling) is deliberately NOT
+    # checkpointed even though window consumers read it twice — measured
+    # at sf0.1, the eager materialization write costs more than the
+    # duplicate lazy evaluation of the one-pass gram-rank plan
     return ranks, w
 
 
