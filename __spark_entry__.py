@@ -7199,10 +7199,12 @@ def q_lineage_stage_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash verifies the caching behavior itself along with the data,
     which round-trips parquet (stage outputs are always read back from
     the store)."""
-    import hashlib
     import tempfile
 
-    from pylluminator_spark.plans.manifest import PipelineManifest
+    from pylluminator_spark.plans.manifest import (
+        PipelineManifest,
+        source_fingerprint,
+    )
 
     def stats_fn(spark, docs):
         return docs.groupBy("lang").agg(
@@ -7217,13 +7219,18 @@ def q_lineage_stage_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("t"), 6).alias("share"),
         )
 
+    # the root is keyed by the SOURCE FINGERPRINT (size + mtime_ns +
+    # inode listing), not just the path: regenerated test data at the
+    # same path gets a fresh store, so the gate can never replay stale
+    # stage parquet from a previous run against new data
+    src_path = f"{sf_dir}/documents.parquet"
     root = (
         tempfile.gettempdir()
         + "/pylluminator_manifest_gate_"
-        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        + source_fingerprint(src_path)
     )
     m = PipelineManifest(spark, root)
-    docs = m.source("docs", f"{sf_dir}/documents.parquet")
+    docs = m.source("docs", src_path)
     s1 = m.stage("lang_stats", stats_fn, [docs], {})
     m.stage("lang_share", share_fn, [s1], {})
     # second pass: both stages must come back from the store

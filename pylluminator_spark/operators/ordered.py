@@ -97,7 +97,18 @@ def _bucket_boundaries(
     thinned to evenly-spaced cut points. UTF-8 byte order (Spark's
     string comparison) equals code-point order, so Python tuple sort
     agrees with Spark struct ordering for every type the module
-    contract admits (no NULLs / NaNs)."""
+    contract admits (no NULLs / NaNs).
+
+    Balance caveat: because the hash is of the key VALUES, all rows of
+    one key tuple share a hash — the sample draws DISTINCT key values
+    uniformly, not rows. Under duplicate-heavy keys (few distinct
+    values, many rows each) the cut points thin out to those few values
+    and buckets approach one-per-distinct-value — coarser than a
+    row-sampling range partitioner, degrading toward a near-single-task
+    window in the extreme. Correctness is unaffected (ties must share a
+    bucket anyway); callers with heavy ties who care about balance
+    should append a row-unique tie-breaker to ``order_cols`` (which the
+    deterministic-rank contract wants anyway) so the hash mixes it in."""
     k = min(_SAMPLE_CAP, _SAMPLE_PER_BUCKET * n)
     h = F.xxhash64(*[F.col(c) for c in order_cols])
     rows = (

@@ -174,25 +174,42 @@ def suffix_array(
     correct and must not keep the loop alive. ``w >= longest document``
     is the job-free hard bound (suffixes of one document always differ,
     being distinct lengths of the same tail).
+
+    ``max_width`` is a cost circuit-breaker, not a semantic knob: if the
+    cap halts doubling while some document still has duplicate ranks,
+    the result would silently fall back to the ``_pos`` tie-break —
+    non-lexicographic for those suffixes — so that case RAISES instead
+    (one extra tiny aggregate, paid only when the cap actually binds).
+    Raise ``max_width`` past the longest repeated prefix to proceed.
     """
     n_pos, max_len = _corpus_dims(docs, text_col)
     ranks = _base_ranks(
         docs, doc_col, text_col, _BASE_WIDTH, n_pos
     ).localCheckpoint(eager=True)
     w = _BASE_WIDTH
-    while w < min(max_len, max_width):
-        dup_in_doc = (
+
+    def _dup_in_doc() -> int:
+        return (
             ranks.groupBy("_doc", "_rank")
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
             .count()
         )
-        if dup_in_doc == 0:
+
+    while w < min(max_len, max_width):
+        if _dup_in_doc() == 0:
             break
         # per-round checkpoint — see suffix_ranks for the lineage note
         ranks = _double_round(ranks, w, n_pos).localCheckpoint(eager=True)
         w *= 2
+    if w >= max_width and w < max_len and _dup_in_doc() > 0:
+        raise ValueError(
+            f"suffix_array: max_width={max_width} reached at w={w} with "
+            "duplicate in-document ranks remaining — sa_rank would be "
+            "non-lexicographic for the tied suffixes. Raise max_width "
+            "past the longest repeated prefix."
+        )
     win = Window.partitionBy("_doc").orderBy("_rank", "_pos")
     return ranks.select(
         F.col("_doc").alias(doc_col),

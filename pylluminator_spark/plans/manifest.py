@@ -17,7 +17,7 @@ a content hash of (stage name, canonicalized params, input keys), so
 
 Scale design: the ledger holds one small JSON row per stage RUN —
 metadata only, never data. Source tables are fingerprinted by their
-FILE LISTING (relative path, size, mtime — an O(#files) namenode
+FILE LISTING (relative path, size, mtime_ns, inode — an O(#files) namenode
 listing, never a data scan; 100 TB fingerprints in milliseconds).
 Stage outputs are parquet directories named by their key — immutable
 once written, safe to share across sessions, garbage-collectable by
@@ -42,16 +42,35 @@ def _canon(obj) -> str:
     return json.dumps(obj, sort_keys=True, separators=(",", ":"))
 
 
+def _const_repr(c) -> bytes:
+    """Order-independent repr for hashable consts: ``repr`` of a
+    frozenset (e.g. the literal behind an ``x in {...}`` test) iterates
+    in hash order, which is PYTHONHASHSEED-dependent for strings —
+    hashing it raw would churn stage keys across processes (a
+    safe-direction miss, but it defeats cross-session cache sharing).
+    Sets are therefore hashed as their element reprs, sorted."""
+    if isinstance(c, frozenset):
+        return ("{" + ",".join(sorted(repr(e) for e in c)) + "}").encode()
+    return repr(c).encode()
+
+
 def _fn_fingerprint(fn) -> str:
-    """Deterministic fingerprint of a stage function's CODE: bytecode,
-    names, and nested code objects, recursively. Editing the function
-    body therefore changes its stages' keys and forces recompute —
-    without this, a code change would silently reuse stale cached
-    outputs. Stable for unchanged source within a Python version
-    (bytecode changes across interpreter versions — then caches simply
-    recompute once, which is the safe direction). Closed-over VALUES
-    are not hashable in general and are NOT captured: pass anything
-    that varies through ``params`` instead (documented contract)."""
+    """Deterministic fingerprint of a stage function's OWN CODE:
+    bytecode, names, default argument values, and nested code objects,
+    recursively. Editing the function body (or a default argument)
+    therefore changes its stages' keys and forces recompute — without
+    this, a code change would silently reuse stale cached outputs.
+    Stable for unchanged source within a Python version (bytecode
+    changes across interpreter versions — then caches simply recompute
+    once, which is the safe direction).
+
+    SCOPE CONTRACT (what is deliberately NOT fingerprinted):
+    - values the function CLOSES OVER (not hashable in general) — pass
+      anything that varies through ``params``;
+    - OTHER functions the stage function calls (module-level helpers,
+      imports): only ``fn``'s own code objects are walked. When a
+      called helper's behavior changes, bump ``code_version`` (or fold
+      the helper's version into ``params``) to invalidate."""
     import types
 
     h = hashlib.sha256()
@@ -64,22 +83,34 @@ def _fn_fingerprint(fn) -> str:
             if isinstance(c, types.CodeType):
                 walk(c)
             else:
-                h.update(repr(c).encode())
+                h.update(_const_repr(c))
 
     walk(fn.__code__)
+    # default argument values are part of the function's behavior but
+    # live outside __code__ — a changed default must invalidate
+    for d in fn.__defaults__ or ():
+        h.update(b"|d:")
+        h.update(_const_repr(d))
+    for k in sorted(fn.__kwdefaults__ or {}):
+        h.update(f"|kw:{k}:".encode())
+        h.update(_const_repr((fn.__kwdefaults__ or {})[k]))
     return h.hexdigest()[:12]
 
 
 def source_fingerprint(path: str) -> str:
     """Listing-based fingerprint of a source file or directory: relative
-    name, size, and mtime of every data file, hashed. Metadata-only — no
-    data is read, so this is O(#files) at any data volume. Any rewrite,
-    append, or touch changes the fingerprint and thereby every
-    downstream stage key."""
+    name, size, mtime (ns), and inode of every data file, hashed.
+    Metadata-only — no data is read, so this is O(#files) at any data
+    volume. Any rewrite, append, or touch changes the fingerprint and
+    thereby every downstream stage key."""
+    # mtime at NANOSECOND resolution + inode: whole-second mtime would
+    # let a same-size rewrite within one second produce an identical
+    # fingerprint (stale downstream caches); the inode additionally
+    # catches atomic replace-with-same-content-timestamps rewrites
     entries = []
     if os.path.isfile(path):
         st = os.stat(path)
-        entries.append(("", st.st_size, int(st.st_mtime)))
+        entries.append(("", st.st_size, st.st_mtime_ns, st.st_ino))
     else:
         for root, _dirs, files in os.walk(path):
             for f in sorted(files):
@@ -88,7 +119,12 @@ def source_fingerprint(path: str) -> str:
                 full = os.path.join(root, f)
                 st = os.stat(full)
                 entries.append(
-                    (os.path.relpath(full, path), st.st_size, int(st.st_mtime))
+                    (
+                        os.path.relpath(full, path),
+                        st.st_size,
+                        st.st_mtime_ns,
+                        st.st_ino,
+                    )
                 )
     entries.sort()
     return hashlib.sha256(_canon(entries).encode()).hexdigest()[:16]

@@ -153,3 +153,44 @@ def test_gc_keeps_chain_drops_orphans(spark, tmp_path):
     f, c = _counting(_stats_fn)
     re = m.stage("stats", f, [docs], {"min_chars": 999})
     assert not re.from_cache and c["n"] == 1
+
+
+def test_default_arg_change_invalidates(spark, tmp_path):
+    """ADVICE r7: fn.__defaults__ / __kwdefaults__ are part of the
+    fingerprint — changing a default must change the stage key."""
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+
+    def v1(spark, docs, min_chars=0):
+        return docs.filter(F.col("n_chars") >= min_chars).groupBy("lang").count()
+
+    def v2(spark, docs, min_chars=25):
+        return docs.filter(F.col("n_chars") >= min_chars).groupBy("lang").count()
+
+    def v3(spark, docs, *, min_chars=25):
+        return docs.filter(F.col("n_chars") >= min_chars).groupBy("lang").count()
+
+    k1 = m.stage("s", v1, [docs], {}).key
+    k2 = m.stage("s", v2, [docs], {}).key
+    k3 = m.stage("s", v3, [docs], {}).key
+    assert len({k1, k2, k3}) == 3
+
+
+def test_frozenset_consts_hash_sorted(tmp_path):
+    """ADVICE r7: repr() of a frozenset literal iterates in hash order;
+    the fingerprint must sort it so keys are stable across hash seeds."""
+    from pylluminator_spark.plans.manifest import _const_repr
+
+    fs = frozenset({"zz", "aa", "mm"})
+    assert _const_repr(fs) == b"{'aa','mm','zz'}"
+
+
+def test_same_size_rewrite_changes_fingerprint(tmp_path):
+    """ADVICE r7: mtime at ns resolution + inode — a same-size rewrite
+    within the same second must still change the fingerprint."""
+    p = tmp_path / "data.bin"
+    p.write_bytes(b"a" * 64)
+    f1 = source_fingerprint(str(p))
+    p.write_bytes(b"b" * 64)  # same size, sub-second rewrite
+    f2 = source_fingerprint(str(p))
+    assert f1 != f2

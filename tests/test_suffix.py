@@ -141,3 +141,17 @@ def test_ranks_group_equal_substrings_only(spark):
         rk: next(iter(v)) for rk, v in sub.items() if len(next(iter(v))) == w
     }
     assert len(set(full.values())) == len(full)
+
+
+def test_suffix_array_max_width_cap_raises_on_residual_ties(spark):
+    """ADVICE r7: if max_width halts doubling while in-document
+    duplicate ranks remain, the result would be silently
+    non-lexicographic — it must raise instead."""
+    from pylluminator_spark.operators.suffix import _BASE_WIDTH
+
+    docs = spark.createDataFrame([(0, "a" * (3 * _BASE_WIDTH))], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_width"):
+        suffix_array(docs, max_width=_BASE_WIDTH)
+    # and a cap that is never the binding constraint still succeeds
+    out = suffix_array(docs, max_width=1 << 20)
+    assert out.count() == 3 * _BASE_WIDTH
