@@ -1611,8 +1611,17 @@ def _probes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_interval_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — interval anti-join (reference tiles-minus-gaps cnv.py:169):
-    5 kb bins with NO overlap from the sparse probe subset, counted per
-    chromosome, via the bucketed range_join left_anti path."""
+    5 kb bins tiling the FULL chromosome span with NO overlap from the
+    sparse probe subset, counted per chromosome, via the bucketed
+    range_join left_anti path.
+
+    The bins tile [0, 1M) — the reference's actual shape (tile the
+    whole sequence, subtract covered regions) — NOT just buckets that
+    contain a probe: probe starts are (l_partkey * 37) % 1e6, bounded
+    by 37 * max(l_partkey), so the span's tail bins are genuinely empty
+    at every test SF and the gate exercises nonzero anti-join output
+    (VERDICT r7 "what's wrong" #2: the probe-derived-bins variant
+    hash-matched on 0 rows every round)."""
     from pylluminator_spark.operators.range_join import range_join as rj
 
     probes = _probes_df(spark, sf_dir)
@@ -1620,11 +1629,18 @@ def q_interval_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chromosome", "start", "end"
     )
     bins = (
-        probes.select(
-            "chromosome",
-            (F.floor(F.col("start") / 5000) * 5000).alias("start"),
-        )
+        probes.select("chromosome")
         .distinct()
+        .select(
+            "chromosome",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(995000).cast("long"),
+                    F.lit(5000).cast("long"),
+                )
+            ).alias("start"),
+        )
         .withColumn("end", F.col("start") + 4999)
     )
     empty = rj(bins, sparse, bucket=5000, how="left_anti")
@@ -1635,9 +1651,10 @@ ORACLE_INTERVAL_ANTI_JOIN = f"""
 WITH {_INTERVALS_CTE},
 sparse AS (SELECT chromosome, start, "end" FROM probes WHERE l_partkey % 17 = 0),
 bins AS (
-  SELECT DISTINCT chromosome, (start // 5000) * 5000 AS start,
-         (start // 5000) * 5000 + 4999 AS "end"
-  FROM probes
+  SELECT c.chromosome, CAST(x.s AS BIGINT) AS start,
+         CAST(x.s AS BIGINT) + 4999 AS "end"
+  FROM (SELECT DISTINCT chromosome FROM probes) c,
+       LATERAL (SELECT UNNEST(range(0, 1000000, 5000)) AS s) x
 )
 SELECT b.chromosome, COUNT(*) AS n_empty_bins
 FROM bins b
@@ -7296,19 +7313,19 @@ FROM pos
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
-    # against the DuckDB oracle each round. Round-7 rotation (VERDICT r6
-    # #1): slots 1-13 are the 13 never-gated round-6 additions (each
-    # pre-verified emu-green at sf0.01 AND sf0.1 — tests/driver_emu.py);
-    # slots 14-50 re-gate 37 of the 50 entries whose latest green row is
-    # r4 (in their r4 gate order). The 13 remaining r4-aged entries
-    # (section 3 below) could not fit in the 50-slot budget; they lead
-    # the r8 gate and are re-verified THIS round by the opt-in emu sweep
-    # (tests/test_gate_rotation.py, SPARK_GRAFT_SCALE=1) so no entry is
-    # ever >1 round without an independent re-verification.
+    # against the DuckDB oracle each round. Round-8 rotation (VERDICT r7
+    # #1, exactly the plan the r7 registry queued): slots 1-4 are the 4
+    # round-7 additions (never gated; emu-green at sf0.01 AND sf0.1 —
+    # judge-verified in VERDICT r7); slots 5-17 are the 13 r4-aged
+    # entries the r7 slot budget deferred (emu-green sf0.01); slots
+    # 18-50 are the 33 oldest r5-green entries in their r5 gate order.
+    # After this round no oracle-bearing entry's latest driver row is
+    # older than r5, and the r9 queue head (section 4) is the 17
+    # remaining r5-green entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 163 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with 167 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(163/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(167/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -7317,63 +7334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays <= 13 (one gate section). A driver row is the gold signal;
     # the emu sweep is the bridge that keeps the interval covered.
     return {
-        # -- 1. slots 1-13: r7 gate debut — the 13 round-6 additions
-        # (never gated; emu-green at sf0.01 + sf0.1 pre-verified) ------
-        "tfidf_pairs": q_tfidf_pairs,
-        "apply_changes": q_apply_changes,
-        "k_anonymity": q_k_anonymity,
-        "bloom_prune": q_bloom_prune,
-        "bigram_lm": q_bigram_lm,
-        "dsir_weights": q_dsir_weights,
-        "hist_quantiles": q_hist_quantiles,
-        "minimizer_sigs": q_minimizer_sigs,
-        "minimizer_pairs": q_minimizer_pairs,
-        "calibration_bins": q_calibration_bins,
-        "winsorize": q_winsorize,
-        "quantile_bins": q_quantile_bins,
-        "robust_zscore": q_robust_zscore,
-        # -- 2. slots 14-50: re-gate 37 of the 50 r4-aged entries
-        # (oldest-green first, in their r4 gate order) -----------------
-        "hash_split": q_hash_split,
-        "priority_shipmode": _tpch.QUERIES["priority_shipmode"],
-        "ols_dmp": q_ols_dmp,
-        "sample_distances": q_sample_distances,
-        "beta_density": q_beta_density,
-        "stream_tumbling": q_stream_tumbling,
-        "media_decode_jpeg": q_media_decode_jpeg,
-        "pca_gram": q_pca_gram,
-        "gopher_quality": q_gopher_quality,
-        "repetition_ratios": q_repetition_ratios,
-        "decontaminate": q_decontaminate,
-        "bm25_rank": q_bm25_rank,
-        "stream_sliding": q_stream_sliding,
-        "stream_session": q_stream_session,
-        "repeated_spans": q_repeated_spans,
-        "kmeans_assign": q_kmeans_assign,
-        "lm_score": q_lm_score,
-        "bh_adjust": q_bh_adjust,
-        "mask_nullout": q_mask_nullout,
-        "merge_by_group": q_merge_by_group,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "cosine_topk": q_cosine_topk,
-        "range_join_count": q_range_join_count,
-        "ecdf_pvalue": q_ecdf_pvalue,
-        "stouffer_groups": q_stouffer_groups,
-        "quantile_normalize": q_quantile_normalize,
-        "cnv_regression": q_cnv_regression,
-        "pivot_wide": q_pivot_wide,
-        "cube_agg": q_cube_agg,
-        "union_except": q_union_except,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "infer_channel": q_infer_channel,
-        "total_ib_intensity": q_total_ib_intensity,
-        "corr_by_brand": q_corr_by_brand,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 3. r8 queue head: the 13 r4-aged entries deferred by the
-        # slot budget — emu-re-verified this round (test_gate_rotation) -
+        # -- 1. slots 1-4: the 4 round-7 additions (never gated;
+        # emu-green at sf0.01 + sf0.1, VERDICT r7) -------------------
+        "exact_substr_spans": q_exact_substr_spans,
+        "suffix_array_ranks": q_suffix_array_ranks,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "lineage_stage_cache": q_lineage_stage_cache,
+        # -- 2. slots 5-17: the 13 r4-aged entries deferred by the r7
+        # slot budget (emu-green sf0.01, VERDICT r7) ------------------
         "explode_tokens": q_explode_tokens,
         "mask_builders": q_mask_builders,
         "probe_suffix_merge": q_probe_suffix_merge,
@@ -7387,17 +7355,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
-        # -- 3b. round-7 additions (never gated — per the rotation
-        # policy they take r8 slots FIRST, before the deferred tier
-        # above; emu-verified at sf0.01 + sf0.1 this round).
-        # r8 gate plan: slots 1-4 = this section, slots 5-17 = the 13
-        # r4-aged entries in section 3, slots 18-50 = the first 33
-        # entries of the r5-green section (oldest-green next) ----------
-        "exact_substr_spans": q_exact_substr_spans,
-        "suffix_array_ranks": q_suffix_array_ranks,
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "lineage_stage_cache": q_lineage_stage_cache,
-        # -- 4. r6-green rows (all 50 green in CORRECTNESS_r06) -------
+        # -- 3. slots 18-50: the 33 oldest r5-green entries (in their
+        # r5 gate order) ----------------------------------------------
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "semantic_near_dup": q_semantic_near_dup,
+        "stream_dedup": q_stream_dedup,
+        "table_profile": q_table_profile,
+        "top_ngrams": q_top_ngrams,
+        "source_mixing": q_source_mixing,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "clean_html": q_clean_html,
+        "url_normalize": q_url_normalize,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "domain_cap": q_domain_cap,
+        "weighted_sample": q_weighted_sample,
+        "logreg_predict": q_logreg_predict,
+        "logreg_step": q_logreg_step,
+        "pq_encode": q_pq_encode,
+        "bpe_pairs": q_bpe_pairs,
+        "prototype_prune": q_prototype_prune,
+        "pq_adc": q_pq_adc,
+        "event_transitions": q_event_transitions,
+        "value_histogram": q_value_histogram,
+        "validate_rules": q_validate_rules,
+        "ts_resample": q_ts_resample,
+        "ts_ewma": q_ts_ewma,
+        "ts_anomalies": q_ts_anomalies,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "zorder_key": q_zorder_key,
+        "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 4. r9 queue head: the 17 remaining r5-green entries
+        # (oldest driver rows after this round) ------------------------
+        "chi_square_assoc": q_chi_square_assoc,
+        "mutual_info": q_mutual_info,
+        "psi_drift": q_psi_drift,
+        "fk_check": q_fk_check,
+        "scd2_history": q_scd2_history,
+        "skyline_frontier": q_skyline_frontier,
+        "snapshot_diff": q_snapshot_diff,
+        "inverted_postings": q_inverted_postings,
+        "json_extract_agg": q_json_extract_agg,
+        "ab_test": q_ab_test,
+        "geo_radius_pairs": q_geo_radius_pairs,
+        "impute_mean": q_impute_mean,
+        "last_touch_attr": q_last_touch_attr,
+        "linear_attr": q_linear_attr,
+        "basket_rules": q_basket_rules,
+        "rolling_corr": q_rolling_corr,
+        "jaccard_pairs": q_jaccard_pairs,
+        # -- 5. r6-green rows (all 50 green in CORRECTNESS_r06) --------
         "bloom_filter": q_bloom_filter,
         "combat_stats": q_combat_stats,
         "cbs_tstat": q_cbs_tstat,
@@ -7448,58 +7461,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "stream_join": q_stream_join,
-        # -- 5. r5-green rows (all 50 green in CORRECTNESS_r05) -------
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "pack_sequences": q_pack_sequences,
-        "semantic_near_dup": q_semantic_near_dup,
-        "stream_dedup": q_stream_dedup,
-        "table_profile": q_table_profile,
-        "top_ngrams": q_top_ngrams,
-        "source_mixing": q_source_mixing,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "clean_html": q_clean_html,
-        "url_normalize": q_url_normalize,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "domain_cap": q_domain_cap,
-        "weighted_sample": q_weighted_sample,
-        "logreg_predict": q_logreg_predict,
-        "logreg_step": q_logreg_step,
-        "pq_encode": q_pq_encode,
-        "bpe_pairs": q_bpe_pairs,
-        "prototype_prune": q_prototype_prune,
-        "pq_adc": q_pq_adc,
-        "event_transitions": q_event_transitions,
-        "value_histogram": q_value_histogram,
-        "validate_rules": q_validate_rules,
-        "ts_resample": q_ts_resample,
-        "ts_ewma": q_ts_ewma,
-        "ts_anomalies": q_ts_anomalies,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "zorder_key": q_zorder_key,
-        "hll_registers": q_hll_registers,
-        "cms_counters": q_cms_counters,
-        "chi_square_assoc": q_chi_square_assoc,
-        "mutual_info": q_mutual_info,
-        "psi_drift": q_psi_drift,
-        "fk_check": q_fk_check,
-        "scd2_history": q_scd2_history,
-        "skyline_frontier": q_skyline_frontier,
-        "snapshot_diff": q_snapshot_diff,
-        "inverted_postings": q_inverted_postings,
-        "json_extract_agg": q_json_extract_agg,
-        "ab_test": q_ab_test,
-        "geo_radius_pairs": q_geo_radius_pairs,
-        "impute_mean": q_impute_mean,
-        "last_touch_attr": q_last_touch_attr,
-        "linear_attr": q_linear_attr,
-        "basket_rules": q_basket_rules,
-        "rolling_corr": q_rolling_corr,
-        "jaccard_pairs": q_jaccard_pairs,
-        # -- 6. rows-only (no oracle possible) — keep OUT of the gate -
+        # -- 6. r7-gated rows (all 50 green in CORRECTNESS_r07) --------
+        "tfidf_pairs": q_tfidf_pairs,
+        "apply_changes": q_apply_changes,
+        "k_anonymity": q_k_anonymity,
+        "bloom_prune": q_bloom_prune,
+        "bigram_lm": q_bigram_lm,
+        "dsir_weights": q_dsir_weights,
+        "hist_quantiles": q_hist_quantiles,
+        "minimizer_sigs": q_minimizer_sigs,
+        "minimizer_pairs": q_minimizer_pairs,
+        "calibration_bins": q_calibration_bins,
+        "winsorize": q_winsorize,
+        "quantile_bins": q_quantile_bins,
+        "robust_zscore": q_robust_zscore,
+        "hash_split": q_hash_split,
+        "priority_shipmode": _tpch.QUERIES["priority_shipmode"],
+        "ols_dmp": q_ols_dmp,
+        "sample_distances": q_sample_distances,
+        "beta_density": q_beta_density,
+        "stream_tumbling": q_stream_tumbling,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "pca_gram": q_pca_gram,
+        "gopher_quality": q_gopher_quality,
+        "repetition_ratios": q_repetition_ratios,
+        "decontaminate": q_decontaminate,
+        "bm25_rank": q_bm25_rank,
+        "stream_sliding": q_stream_sliding,
+        "stream_session": q_stream_session,
+        "repeated_spans": q_repeated_spans,
+        "kmeans_assign": q_kmeans_assign,
+        "lm_score": q_lm_score,
+        "bh_adjust": q_bh_adjust,
+        "mask_nullout": q_mask_nullout,
+        "merge_by_group": q_merge_by_group,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "cosine_topk": q_cosine_topk,
+        "range_join_count": q_range_join_count,
+        "ecdf_pvalue": q_ecdf_pvalue,
+        "stouffer_groups": q_stouffer_groups,
+        "quantile_normalize": q_quantile_normalize,
+        "cnv_regression": q_cnv_regression,
+        "pivot_wide": q_pivot_wide,
+        "cube_agg": q_cube_agg,
+        "union_except": q_union_except,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "infer_channel": q_infer_channel,
+        "total_ib_intensity": q_total_ib_intensity,
+        "corr_by_brand": q_corr_by_brand,
+        # -- 7. rows-only (no oracle possible) — keep OUT of the gate --
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         "audio_spectral": q_audio_spectral,
