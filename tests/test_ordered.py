@@ -251,3 +251,67 @@ class TestQuantileDiscretize:
 
         df = spark.createDataFrame([], "id bigint, v double")
         assert quantile_discretize(df, "v", 4, ["id"]).count() == 0
+
+
+def test_bh_adjust_global_scale_path_matches_small(spark, monkeypatch):
+    """The fused single-exchange scale path (r8 rewrite) must agree with
+    the small-window path bit-for-bit — min is order-insensitive, so the
+    suffix-frame + cross-bucket composition is exact, not approximate."""
+    import pylluminator_spark.operators.ordered as ordered
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {"probe": [f"p{i}" for i in range(2000)],
+         "p": rng.uniform(0, 1, 2000).round(3)}  # force p-value ties
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    small = bh_adjust_global(df, "p", "p_adj", tie_cols=["probe"]).toPandas()
+    monkeypatch.setattr(ordered, "SMALL_INPUT_ROWS", 0)
+    fused = bh_adjust_global(
+        df, "p", "p_adj", tie_cols=["probe"], num_partitions=8
+    ).toPandas()
+    s = small.set_index("probe")["p_adj"]
+    f = fused.set_index("probe")["p_adj"]
+    assert len(s) == len(f) == 2000
+    for k in s.index:
+        assert s[k] == f[k], (k, s[k], f[k])
+
+
+def test_rank_with_custom_bucket_expr_matches_sampled(spark, monkeypatch):
+    """bucket_expr contract: any order-consistent (possibly sparse)
+    bucket id expression yields the identical global rank."""
+    import pylluminator_spark.operators.ordered as ordered
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"id": np.arange(3000), "v": rng.uniform(0, 100, 3000)})
+    df = spark.createDataFrame(pdf).repartition(8)
+    monkeypatch.setattr(ordered, "SMALL_INPUT_ROWS", 0)
+    base = with_global_rank(df, ["v", "id"], "rk", num_partitions=8).toPandas()
+    # sparse, uneven, order-consistent bucketing on v alone
+    expr = (F.floor(F.col("v") / 10) * 3).cast("int")
+    custom = with_global_rank(
+        df, ["v", "id"], "rk", bucket_expr=expr
+    ).toPandas()
+    b = base.sort_values("id")["rk"].to_numpy()
+    c = custom.sort_values("id")["rk"].to_numpy()
+    assert (b == c).all()
+
+
+def test_rank_with_boundaries_matches_sampled(spark, monkeypatch):
+    """boundaries contract: caller-supplied cut tuples (skipping the
+    sample pass) yield the identical global rank."""
+    import pylluminator_spark.operators.ordered as ordered
+
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({"id": np.arange(2500), "v": rng.uniform(0, 1, 2500)})
+    df = spark.createDataFrame(pdf).repartition(8)
+    monkeypatch.setattr(ordered, "SMALL_INPUT_ROWS", 0)
+    base = with_global_rank(df, ["v", "id"], "rk", num_partitions=8).toPandas()
+    cuts = [(0.2, -1), (0.5, -1), (0.8, -1)]
+    given = with_global_rank(
+        df, ["v", "id"], "rk", boundaries=cuts
+    ).toPandas()
+    assert (
+        base.sort_values("id")["rk"].to_numpy()
+        == given.sort_values("id")["rk"].to_numpy()
+    ).all()
