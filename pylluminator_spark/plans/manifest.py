@@ -130,6 +130,27 @@ def source_fingerprint(path: str) -> str:
     return hashlib.sha256(_canon(entries).encode()).hexdigest()[:16]
 
 
+def content_fingerprint(df: DataFrame) -> str:
+    """ACTUAL-content fingerprint of a DataFrame: row count + the sum of
+    per-row ``xxhash64`` over all columns (order-independent — sum
+    commutes — and overflow-safe via decimal accumulation). Costs ONE
+    aggregation job over the frame; use it to root a pipeline at an
+    in-memory table whose lineage can't identify it (see
+    ``frame_source``). Sized for dimension tables — for a fact table
+    prefer a listing fingerprint of its backing files."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.xxhash64(F.struct(*df.columns)).cast("decimal(38,0)")
+        ).alias("_h"),
+    ).collect()[0]
+    return hashlib.sha256(f"{row['_n']}:{row['_h']}".encode()).hexdigest()[
+        :16
+    ]
+
+
 @dataclass(frozen=True)
 class StageRef:
     """Handle to a pipeline stage's output: its content key, its
@@ -176,6 +197,58 @@ class PipelineManifest:
         reader = getattr(self.spark.read, fmt)
         return StageRef(
             name=name, key=key, df=reader(path), path=path, from_cache=True
+        )
+
+    def frame_source(
+        self, name: str, df: DataFrame, fingerprint: str | None = None
+    ) -> StageRef:
+        """Root a pipeline at a LIVE DataFrame (no backing path): the
+        frame is materialized into the store once under ``fingerprint``
+        and read back from parquet ever after — so downstream stages of
+        a reused root start from a pruned columnar scan, not the
+        original lineage.
+
+        ``fingerprint`` is the caller's identity for the frame's
+        CONTENT (e.g. ``source_fingerprint`` of the raw input
+        directory, or ``content_fingerprint`` for a small in-memory
+        table). When omitted it defaults to a hash of the frame's
+        ANALYZED LOGICAL PLAN — sound ONLY for file-backed lineage
+        (paths appear in the plan; an in-place rewrite under the same
+        path keeps the hash, and a purely in-memory relation's plan
+        shows no data at all, only schema + expression ids). Always
+        pass an explicit fingerprint for in-memory frames."""
+        if fingerprint is None:
+            plan = df._jdf.queryExecution().analyzed().toString()
+            fingerprint = hashlib.sha256(plan.encode()).hexdigest()[:16]
+        key = f"frm-{fingerprint}"
+        out_dir = os.path.join(self.root, key)
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if key in self._entries and os.path.exists(marker):
+            return StageRef(
+                name=name,
+                key=key,
+                df=self.spark.read.parquet(out_dir),
+                path=out_dir,
+                from_cache=True,
+            )
+        df.write.mode("overwrite").parquet(out_dir)
+        self._append(
+            {
+                "key": key,
+                "name": name,
+                "inputs": [],
+                "input_names": [],
+                "params": {},
+                "path": out_dir,
+                "written_at": time.time(),
+            }
+        )
+        return StageRef(
+            name=name,
+            key=key,
+            df=self.spark.read.parquet(out_dir),
+            path=out_dir,
+            from_cache=False,
         )
 
     # -- stages ----------------------------------------------------------

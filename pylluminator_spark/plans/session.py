@@ -21,6 +21,61 @@ from pylluminator_spark.operators import masks as mask_ops
 SIGNAL_KEY_COLS = ("probe_id", "type", "channel", "probe_type", "mask_info")
 
 
+# ----------------------------------------------------------------------
+# Manifest pipeline stages (MethylSession.run_pipeline). MODULE-LEVEL by
+# design: PipelineManifest fingerprints a stage function's own code and
+# defaults (plans/manifest.py _fn_fingerprint), and these close over
+# NOTHING — every knob flows through ``params`` so the content keys are
+# complete. Each mirrors one reference tutorial step (SURVEY §3.2).
+# ----------------------------------------------------------------------
+
+
+def _stage_infer_channel(spark, sig, switch_failed=False, mask_failed=False):
+    from pylluminator_spark import preprocessing as pp
+
+    out, _summary, _failed = pp.infer_type1_channel(
+        sig, switch_failed, mask_failed
+    )
+    return out
+
+
+def _stage_dye_bias(spark, sig, mode="linear"):
+    from pylluminator_spark import preprocessing as pp
+
+    if mode == "linear":
+        return pp.dye_bias_correction(sig)
+    if mode == "nl":
+        return pp.dye_bias_correction_nl(sig)
+    raise ValueError(f"dye_bias must be 'linear' or 'nl': {mode!r}")
+
+
+def _stage_noob(spark, sig, masks, use_negative_controls=True, offset=15.0):
+    from pylluminator_spark import preprocessing as pp
+
+    return pp.noob_background_correction(
+        sig, masks, use_negative_controls, offset
+    )
+
+
+def _stage_poobah_mask(spark, sig, masks, threshold=0.05):
+    from pylluminator_spark import preprocessing as pp
+
+    _pvals, pb_mask = pp.poobah(sig, masks, threshold=threshold)
+    return pb_mask
+
+
+def _stage_betas(spark, sig, include_out_of_band=False):
+    meth, unmeth = meth_unmeth_exprs(include_out_of_band)
+    return sig.select(
+        "sample",
+        "probe_id",
+        "type",
+        "channel",
+        "probe_type",
+        beta_expr(meth, unmeth).alias("beta"),
+    )
+
+
 def assemble_signal(
     idata: DataFrame,
     manifest: DataFrame,
@@ -615,6 +670,105 @@ class MethylSession:
                 masks = mask_ops.empty_masks(self.spark)
             sess = replace(sess, masks=masks.unionByName(pb_mask))
         return sess
+
+    def run_pipeline(
+        self,
+        manifest,
+        *,
+        source_fingerprint: str | None = None,
+        infer_channel: bool = True,
+        dye_bias: str | None = "linear",
+        noob: bool = True,
+        use_negative_controls: bool = True,
+        noob_offset: float = 15.0,
+        poobah_threshold: float | None = 0.05,
+        include_out_of_band: bool = False,
+    ) -> tuple["MethylSession", dict]:
+        """``preprocess`` + ``calculate_betas`` as a CONTENT-ADDRESSED
+        pipeline over a ``plans.manifest.PipelineManifest``: every stage
+        (infer channel -> dye bias -> NOOB -> pOOBAH -> betas) writes a
+        parquet output keyed by (stage code, params, input keys), so
+
+        - re-running an unchanged pipeline reads every stage from the
+          store and recomputes nothing;
+        - changing one knob recomputes exactly the stages downstream of
+          it — e.g. flipping ``include_out_of_band`` recomputes ONLY the
+          betas stage. This is the reference's hand-rolled
+          ``reset_betas`` cache invalidation (samples.py:1116-1120) made
+          systematic: the Merkle chain decides what is stale, and the
+          ledger proves what was reused.
+
+        ``source_fingerprint`` identifies the raw signal's CONTENT (use
+        ``plans.manifest.source_fingerprint`` over the IDAT directory);
+        without it the root is keyed by the signal's analyzed plan (see
+        ``PipelineManifest.frame_source``).
+
+        Returns ``(session, stage_refs)``: a new session whose signal /
+        masks / betas come from the store (parquet-backed — no persist
+        needed, the reuse points are on disk), plus the ``StageRef`` per
+        stage name so callers can assert cache behavior
+        (``refs["betas"].from_cache``)."""
+        refs: dict = {}
+        cur = refs["signal"] = manifest.frame_source(
+            "signal", self.signal, source_fingerprint
+        )
+        # masks root: content-hashed (one small aggregate — masks are
+        # dimension-sized next to the signal), since an in-memory masks
+        # table has no lineage identity (frame_source docstring); the
+        # no-masks case gets a constant key
+        if self.masks is not None:
+            from pylluminator_spark.plans.manifest import content_fingerprint
+
+            masks_df = self.masks
+            masks_fp = content_fingerprint(masks_df)
+        else:
+            masks_df = mask_ops.empty_masks(self.spark)
+            masks_fp = "empty-masks-v1"
+        masks_ref = refs["masks"] = manifest.frame_source(
+            "masks", masks_df, masks_fp
+        )
+        if infer_channel:
+            cur = refs["infer_channel"] = manifest.stage(
+                "infer_channel", _stage_infer_channel, [cur], {}
+            )
+        if dye_bias is not None:
+            cur = refs["dye_bias"] = manifest.stage(
+                "dye_bias", _stage_dye_bias, [cur], {"mode": dye_bias}
+            )
+        if noob:
+            cur = refs["noob"] = manifest.stage(
+                "noob",
+                _stage_noob,
+                [cur, masks_ref],
+                {
+                    "use_negative_controls": use_negative_controls,
+                    "offset": noob_offset,
+                },
+            )
+        new_masks = self.masks
+        if poobah_threshold is not None:
+            pb = refs["poobah_mask"] = manifest.stage(
+                "poobah_mask",
+                _stage_poobah_mask,
+                [cur, masks_ref],
+                {"threshold": poobah_threshold},
+            )
+            base = (
+                new_masks
+                if new_masks is not None
+                else mask_ops.empty_masks(self.spark)
+            )
+            new_masks = base.unionByName(pb.df)
+        betas_ref = refs["betas"] = manifest.stage(
+            "betas",
+            _stage_betas,
+            [cur],
+            {"include_out_of_band": include_out_of_band},
+        )
+        sess = replace(
+            self, signal=cur.df, masks=new_masks, betas_df=betas_ref.df
+        )
+        return sess, refs
 
     # -- persistence (reference pickle save/load utils.py:144-183,
     #    samples.py:445-462 — here: parquet per table + a JSON manifest) ---
