@@ -7369,6 +7369,95 @@ FROM pos
 """
 
 
+_LID_N, _LID_B, _LID_ALPHA = 3, 256, 0.5
+
+
+def q_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (operators.langid — the CCNet pipeline's
+    fastText-LID stage, Wenzek et al. 2020, as closed-form multinomial
+    NB over hashed grams; completes the engine's CCNet trio next to LM
+    perplexity and dedup): fit on the labeled documents table, classify
+    the same documents, emit (doc_id, pred_lang, score). Arith-hash +
+    sorted-fold twin path for the gate (the DSIR pattern); the xxhash64
+    production path is python-parity-tested in test_langid."""
+    from pylluminator_spark.operators.langid import fit_langid, language_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    weights, langs = fit_langid(
+        docs, n=_LID_N, buckets=_LID_B, alpha=_LID_ALPHA, arith=True
+    )
+    out = language_id(
+        docs, weights, langs,
+        n=_LID_N, buckets=_LID_B, arith=True, deterministic=True,
+    )
+    return out.select(
+        "doc_id", "pred_lang", F.round("score", 6).alias("score")
+    )
+
+
+ORACLE_LANGID_PREDICT = f"""
+WITH docs AS (SELECT doc_id, lower(text) AS t, lang FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         substr(t, CAST(i AS INT), {_LID_N}) AS gram
+  FROM docs, LATERAL (
+    SELECT UNNEST(range(1, GREATEST(LENGTH(t) - {_LID_N} + 2, 1))) AS i
+  )
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(0, list_transform(
+             generate_series(1, len(gram)),
+             i -> ascii(substr(gram, i, 1)))),
+           (a, c) -> (a * 31 + c) % 1000003) % {_LID_B} AS bucket
+  FROM grams
+),
+lb AS (
+  SELECT lang, bucket, COUNT(*) AS c FROM bucketed GROUP BY lang, bucket
+),
+tot AS (SELECT lang, SUM(c) AS tot FROM lb GROUP BY lang),
+nd AS (SELECT lang, COUNT(*) AS nd FROM docs GROUP BY lang),
+ntot AS (SELECT SUM(nd) AS ntot FROM nd),
+weights AS (
+  SELECT lb.bucket, lb.lang,
+         ln(lb.c + {_LID_ALPHA}) - ln(t.tot + {_LID_ALPHA * _LID_B}) AS w
+  FROM lb JOIN tot t ON lb.lang = t.lang
+),
+langs AS (
+  SELECT n.lang,
+         ln(CAST(n.nd AS DOUBLE)) - ln(CAST(x.ntot AS DOUBLE)) AS log_prior,
+         ln({_LID_ALPHA}) - ln(t.tot + {_LID_ALPHA * _LID_B}) AS w_default
+  FROM nd n CROSS JOIN ntot x JOIN tot t ON n.lang = t.lang
+),
+doc_counts AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY doc_id, bucket
+),
+fanned AS (
+  SELECT d.doc_id, l.lang, l.log_prior, d.bucket, d.cnt,
+         d.cnt * COALESCE(w.w, l.w_default) AS contrib
+  FROM doc_counts d
+  CROSS JOIN langs l
+  LEFT JOIN weights w ON w.bucket = d.bucket AND w.lang = l.lang
+),
+scores AS (
+  SELECT doc_id, lang,
+         ANY_VALUE(log_prior)
+           + list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b)
+             / CAST(SUM(cnt) AS DOUBLE) AS score
+  FROM fanned GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang, ROUND(score, 6) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-8 rotation (VERDICT r7
@@ -7381,9 +7470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # older than r5, and the r9 queue head (section 4) is the 17
     # remaining r5-green entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 167 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with 168 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(167/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(168/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -7449,6 +7538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
         # ---- end of the 50 gated slots ------------------------------
+        # -- 3b. never-gated round-8 additions: take r9 slots FIRST per
+        # the rotation policy (emu-verified at 3 SFs this round) -------
+        "langid_predict": q_langid_predict,
         # -- 4. r9 queue head: the 17 remaining r5-green entries
         # (oldest driver rows after this round) ------------------------
         "chi_square_assoc": q_chi_square_assoc,
@@ -7667,6 +7759,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_zscore": ORACLE_ROBUST_ZSCORE,
         "exact_substr_spans": ORACLE_EXACT_SUBSTR_SPANS,
         "suffix_array_ranks": ORACLE_SUFFIX_ARRAY,
+        "langid_predict": ORACLE_LANGID_PREDICT,
         "exact_substr_dedup": ORACLE_EXACT_SUBSTR_DEDUP,
         "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,

@@ -1,0 +1,234 @@
+"""Character-n-gram language identification — the CCNet pipeline's LID
+stage (Wenzek et al. 2020 route documents through a fastText language
+classifier, Joulin et al. 2017; public recipe only), re-expressed as
+Spark dataflow. Completes the engine's CCNet trio: LM perplexity
+(``operators.corpus``), dedup (``operators.dedup``), LID (here).
+
+Model: multinomial Naive Bayes over HASHED character n-grams —
+add-``alpha``-smoothed per-language bucket log-likelihoods plus log
+priors. A linear classifier over hashed gram counts is exactly the
+shape fastText's averaged-embedding + linear layer reduces to; NB is
+its closed-form, training-free analogue (one aggregation pass, no SGD),
+which keeps the operator deterministic and oracle-checkable.
+
+    score(d, l) = log P(l) + (1/|d|) * sum_b c_db * w_bl
+    w_bl = ln(cnt_bl + alpha) - ln(tot_l + alpha * buckets)
+
+Scale design (100 TB corpus):
+
+- The model is dimension-sized no matter the corpus: at most
+  ``buckets * n_langs`` weight rows plus one row per language —
+  broadcast both; scoring never shuffles anything wider than
+  (doc, bucket, lang) keyed rows.
+- Featurization is ONE explode + ONE (doc, bucket) hash-aggregate with
+  map-side combine — the same single-shuffle contract as
+  ``operators.dsir.hashed_gram_counts``.
+- Scoring fans the per-doc bucket counts out by n_langs (a broadcast
+  join, no shuffle) and reduces per (doc, lang). With the default
+  ``deterministic=False`` the reduce is a plain SUM (map-side partial
+  combine); ``deterministic=True`` switches to the sorted-list fold
+  that bit-matches any engine folding in bucket order (the hash-gate
+  discipline; costs the partial combine — gate/audit path, not the
+  production path).
+
+Hashing: ``arith=True`` selects the SQL-portable polynomial character
+hash (``operators.dsir.poly_bucket_expr`` — the oracle-twin hash);
+default is ``xxhash64`` (engine path, python-parity-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.dsir import poly_bucket_expr
+
+
+def _char_grams(text: Column, n: int) -> Column:
+    """Array of length-``n`` character grams of the lowercased text;
+    empty array for texts shorter than ``n`` (guarding Spark's
+    descending-``sequence`` edge)."""
+    t = F.lower(text)
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_gram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    *,
+    n: int = 3,
+    buckets: int = 4096,
+    arith: bool = False,
+) -> DataFrame:
+    """Per-document hashed char-n-gram features: (doc_col, bucket, cnt).
+    One explode + one keyed aggregate (map-side combine)."""
+    g = docs.select(
+        doc_col, F.explode(_char_grams(F.col(text_col), n)).alias("gram")
+    )
+    bucket = (
+        poly_bucket_expr(F.col("gram"), buckets)
+        if arith
+        else F.pmod(F.xxhash64("gram"), F.lit(buckets))
+    )
+    return (
+        g.select(doc_col, bucket.alias("bucket"))
+        .groupBy(doc_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def fit_langid(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    arith: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the NB model from labeled documents. Returns
+    ``(weights, langs)``:
+
+    - ``weights(bucket, lang, w)`` — smoothed log-likelihood per seen
+      (bucket, language), <= buckets * n_langs rows;
+    - ``langs(lang, log_prior, w_default)`` — per-language log prior and
+      the unseen-bucket default ``ln(alpha) - ln(tot + alpha*buckets)``,
+      one row per language.
+
+    Two aggregation passes over the gram stream (per-(lang, bucket)
+    counts; per-language doc counts) — both outputs dimension-sized."""
+    grams = docs.select(
+        F.col(label_col).alias("lang"),
+        F.explode(_char_grams(F.col(text_col), n)).alias("gram"),
+    )
+    bucket = (
+        poly_bucket_expr(F.col("gram"), buckets)
+        if arith
+        else F.pmod(F.xxhash64("gram"), F.lit(buckets))
+    )
+    lb = grams.select("lang", bucket.alias("bucket")).groupBy(
+        "lang", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tots = lb.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    denom = F.log(F.col("tot") + F.lit(float(alpha) * buckets))
+    weights = lb.join(F.broadcast(tots), "lang").select(
+        "bucket",
+        "lang",
+        (F.log(F.col("cnt") + F.lit(float(alpha))) - denom).alias("w"),
+    )
+    ndocs = docs.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    total = ndocs.agg(F.sum("nd").alias("ntot"))
+    langs = (
+        ndocs.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tots), "lang")
+        .select(
+            "lang",
+            (F.log(F.col("nd").cast("double")) - F.log(F.col("ntot").cast("double"))).alias(
+                "log_prior"
+            ),
+            (F.log(F.lit(float(alpha))) - denom).alias("w_default"),
+        )
+    )
+    return weights, langs
+
+
+def langid_scores(
+    doc_counts: DataFrame,
+    weights: DataFrame,
+    langs: DataFrame,
+    doc_col: str = "doc_id",
+    *,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Per-(doc, language) score: log prior + mean gram log-likelihood.
+
+    Broadcast-joins the model onto the per-doc bucket counts (no
+    shuffle), then reduces per (doc, lang). ``deterministic=True`` folds
+    contributions in sorted bucket order (bit-reproducible across
+    engines and partitionings — the hash-gate discipline) at the cost of
+    map-side partial aggregation; the default plain SUM is the
+    production path."""
+    fanned = (
+        doc_counts.crossJoin(
+            F.broadcast(langs.select("lang", "log_prior", "w_default"))
+        )
+        .join(F.broadcast(weights), ["bucket", "lang"], "left")
+        .select(
+            doc_col,
+            "lang",
+            "log_prior",
+            "bucket",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                * F.coalesce(F.col("w"), F.col("w_default"))
+            ).alias("contrib"),
+        )
+    )
+    if deterministic:
+        ll = F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bucket", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        )
+    else:
+        ll = F.sum("contrib")
+    return fanned.groupBy(doc_col, "lang").agg(
+        F.first("log_prior").alias("_lp"),
+        F.sum("cnt").alias("_n"),
+        ll.alias("_ll"),
+    ).select(
+        doc_col,
+        "lang",
+        (F.col("_lp") + F.col("_ll") / F.col("_n").cast("double")).alias(
+            "score"
+        ),
+    )
+
+
+def langid_predict(
+    scores: DataFrame, doc_col: str = "doc_id"
+) -> DataFrame:
+    """argmax language per document (ties broken toward the
+    lexicographically larger language — deterministic): (doc, pred_lang,
+    score). One keyed aggregate over the scores table."""
+    return scores.groupBy(doc_col).agg(
+        F.max_by("lang", F.struct("score", "lang")).alias("pred_lang"),
+        F.max("score").alias("score"),
+    )
+
+
+def language_id(
+    docs: DataFrame,
+    weights: DataFrame,
+    langs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    *,
+    n: int = 3,
+    buckets: int = 4096,
+    arith: bool = False,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Featurize + score + argmax in one call (the CCNet LID stage):
+    (doc, pred_lang, score). ``n``/``buckets``/``arith`` must match the
+    values the model was fit with."""
+    counts = char_gram_counts(
+        docs, text_col, doc_col, n=n, buckets=buckets, arith=arith
+    )
+    return langid_predict(
+        langid_scores(
+            counts, weights, langs, doc_col, deterministic=deterministic
+        ),
+        doc_col,
+    )

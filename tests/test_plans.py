@@ -217,6 +217,10 @@ BNLJ_OK = [
     "prototype_prune",
     # pagerank broadcasts the 1-row dangling-mass aggregate each iteration
     "graph_pagerank",
+    # LID fans per-doc bucket counts out by the broadcast lang dimension
+    # (n_langs rows) — a BNLJ by design; its doc-count total is the
+    # 1-row scalar-agg shape
+    "langid_predict",
 ]
 
 
