@@ -108,9 +108,26 @@ def main() -> None:
             arith=False,
         )
 
+    def _langid_engine(spark, sf_dir):
+        # production path: xxhash64 buckets + plain-SUM reduce (map-side
+        # combine) — vs the gate's poly-hash + sorted-fold twin
+        from pylluminator_spark.operators.langid import (
+            fit_langid,
+            language_id,
+        )
+
+        docs = entry_mod._t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        weights, langs = fit_langid(docs, n=3, buckets=256, alpha=0.5)
+        return language_id(docs, weights, langs, n=3, buckets=256)
+
     twin_timings: dict[str, float] = {}
     twin_runs: dict[str, int] = {}
-    for name, fn in {"dsir_weights_engine": _dsir_engine}.items():
+    for name, fn in {
+        "dsir_weights_engine": _dsir_engine,
+        "langid_predict_engine": _langid_engine,
+    }.items():
         time_query(name, fn, twin_timings, twin_runs, errors)
     payload = {
         "metric": "headline_queries_total",
@@ -130,16 +147,20 @@ def main() -> None:
     # The driver artifact truncates long stdout tails, which made r3/r4
     # cross-round comparisons lossy — persist the COMPLETE per-query dict
     # to a file too (same JSON line, parseable whole).
+    here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LAST.json"),
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH_LAST.json")
     )
-    try:
-        with open(out_path, "w") as fh:
-            fh.write(line + "\n")
-    except OSError:
-        pass  # benchmarking must never fail on an unwritable side-file
+    # ALSO write a per-SF file: a quick sf0.001 iteration run must never
+    # clobber the round's sf0.1 record (that clobbering is how the r7
+    # per-query map was lost — VERDICT r7 #4); round close copies the
+    # sf0.1 file to a tracked BENCH_FULL_r0N.json
+    for p in (out_path, os.path.join(here, f"BENCH_FULL_sf{sf}.json")):
+        try:
+            with open(p, "w") as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass  # benchmarking must never fail on an unwritable side-file
     spark.stop()
 
 
