@@ -165,6 +165,13 @@ def _bucketized(
         if boundaries is not None
         else _bucket_boundaries(df, order_cols, n)
     )
+    expr = _bucket_tree_sql(df, order_cols, cuts)
+    if expr is not None:
+        # numeric keys: the whole balanced tree is generated as ONE SQL
+        # string — building the same tree from Column objects costs
+        # hundreds of py4j round-trips (~0.9 s for 31 three-column cuts,
+        # measured), which dominated small-SF latency
+        return df.withColumn(_PID, F.expr(expr))
     key = F.struct(*[F.col(c) for c in order_cols])
     lits = [
         F.struct(
@@ -190,6 +197,68 @@ def _bucketized(
         )
 
     return df.withColumn(_PID, tree(0, len(cuts)))
+
+
+_SQL_NUM_TYPES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+}
+
+
+def _bucket_tree_sql(
+    df: DataFrame, order_cols: list[str], cuts: list[tuple]
+) -> str | None:
+    """The balanced comparison tree of ``_bucketized`` rendered as one
+    SQL CASE string — identical semantics to the Column-object tree
+    (same named-struct >= comparisons, same bucket ids), but a single
+    py4j call. Returns None (caller falls back to the Column tree) for
+    non-numeric key types or non-finite values, where safe SQL literal
+    rendering is not worth the escaping risk."""
+    import math
+
+    types = []
+    for c in order_cols:
+        t = df.schema[c].dataType.simpleString()
+        if t not in _SQL_NUM_TYPES:
+            return None
+        types.append(_SQL_NUM_TYPES[t])
+
+    def lit(v, t) -> str | None:
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        # repr(float) round-trips exactly through Spark's string->double
+        # cast (shortest-repr guarantee); ints are exact as text
+        return f"CAST({v!r} AS {t})"
+
+    key = "named_struct(" + ", ".join(
+        f"'{c}', `{c}`" for c in order_cols
+    ) + ")"
+    cut_sql = []
+    for b in cuts:
+        fields = []
+        for c, t, v in zip(order_cols, types, b):
+            s = lit(v, t)
+            if s is None:
+                return None
+            fields.append(f"'{c}', {s}")
+        cut_sql.append("named_struct(" + ", ".join(fields) + ")")
+
+    def tree(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi + 1) // 2
+        return (
+            f"(CASE WHEN {key} >= {cut_sql[mid - 1]} "
+            f"THEN {tree(mid, hi)} ELSE {tree(lo, mid - 1)} END)"
+        )
+
+    return f"CAST({tree(0, len(cuts))} AS INT)"
 
 
 def _prefix_window() -> Window:
