@@ -7395,6 +7395,31 @@ def q_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-(doc, language) NB score table behind `langid_predict`
+    (operators.langid.langid_scores) — n_langs rows per document, so the
+    gate hashes every language's score, not just the argmax."""
+    from pylluminator_spark.operators.langid import (
+        char_gram_counts,
+        fit_langid,
+        langid_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    weights, langs = fit_langid(
+        docs, n=_LID_N, buckets=_LID_B, alpha=_LID_ALPHA, arith=True
+    )
+    counts = char_gram_counts(
+        docs, n=_LID_N, buckets=_LID_B, arith=True
+    )
+    out = langid_scores(counts, weights, langs, deterministic=True)
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("cand_lang"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 ORACLE_LANGID_PREDICT = f"""
 WITH docs AS (SELECT doc_id, lower(text) AS t, lang FROM documents),
 grams AS (
@@ -7457,6 +7482,14 @@ SELECT doc_id, lang AS pred_lang, ROUND(score, 6) AS score
 FROM ranked WHERE rn = 1
 """
 
+# scores CTE chain shared with the predict twin, minus the argmax
+_LANGID_SCORES_BODY = ORACLE_LANGID_PREDICT.split(",\nranked AS")[0]
+ORACLE_LANGID_SCORES = (
+    _LANGID_SCORES_BODY
+    + "\nSELECT doc_id, lang AS cand_lang, ROUND(score, 6) AS score"
+    + "\nFROM scores"
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
@@ -7470,9 +7503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # older than r5, and the r9 queue head (section 4) is the 17
     # remaining r5-green entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 168 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with 169 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(168/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(169/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -7541,6 +7574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 3b. never-gated round-8 additions: take r9 slots FIRST per
         # the rotation policy (emu-verified at 3 SFs this round) -------
         "langid_predict": q_langid_predict,
+        "langid_scores": q_langid_scores,
         # -- 4. r9 queue head: the 17 remaining r5-green entries
         # (oldest driver rows after this round) ------------------------
         "chi_square_assoc": q_chi_square_assoc,
@@ -7760,6 +7794,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr_spans": ORACLE_EXACT_SUBSTR_SPANS,
         "suffix_array_ranks": ORACLE_SUFFIX_ARRAY,
         "langid_predict": ORACLE_LANGID_PREDICT,
+        "langid_scores": ORACLE_LANGID_SCORES,
         "exact_substr_dedup": ORACLE_EXACT_SUBSTR_DEDUP,
         "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,

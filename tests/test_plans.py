@@ -220,7 +220,7 @@ BNLJ_OK = [
     # LID fans per-doc bucket counts out by the broadcast lang dimension
     # (n_langs rows) — a BNLJ by design; its doc-count total is the
     # 1-row scalar-agg shape
-    "langid_predict",
+    "langid_predict", "langid_scores",
 ]
 
 
