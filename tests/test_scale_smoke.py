@@ -42,7 +42,21 @@ def big(spark):
 
 def test_rank_is_permutation_and_distributed(big):
     r = with_global_rank(big, ["k", "id"], "rk")
-    assert "SinglePartition" not in r._jdf.queryExecution().executedPlan().toString()
+    # the r7 literal-boundary rewrite made the OFFSETS branch a
+    # single-task window over the <= n-bucket stats table — bounded at
+    # any data scale BY DESIGN (ordered.py module docstring). The
+    # invariant to hold is therefore not "no SinglePartition anywhere"
+    # but "SinglePartition only ever feeds the _ord_pid stats
+    # aggregate, never the data": every such exchange must sit directly
+    # above the per-bucket HashAggregate, and the data-bearing window
+    # must be partitioned.
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate(keys=[_ord_pid" in below, plan
+    assert "windowspecdefinition(_ord_pid" in plan, plan
     row = r.agg(
         F.count("rk"), F.countDistinct("rk"), F.min("rk"), F.max("rk")
     ).collect()[0]
