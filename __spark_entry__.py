@@ -985,19 +985,31 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pylluminator_spark.operators.ordered import with_global_rank
 
-    # ONE aggregate pass yields the row count AND approximate quantiles
-    # of both columns — the range-cut boundaries for the stacked rank
-    # (balance-only, so approximate is fine) — replacing a count job
-    # plus a bottom-k boundary-sample pass over the stacked rows
+    # ONE aggregate pass yields the exact row count AND approximate
+    # quantiles of both columns — the range-cut boundaries for the
+    # stacked rank (balance-only, so approximate is fine) — replacing a
+    # count job plus a bottom-k boundary-sample pass over the stacked
+    # rows. The percentiles run over a DETERMINISTIC ~5% keyed-hash
+    # subsample inside the same aggregate (non-sample rows go NULL,
+    # which percentile_approx skips): the GK sketch update was the
+    # job's dominant cost at full row volume, and boundary quality only
+    # affects bucket balance
     nb = 16
     fr = [i / nb for i in range(1, nb)]
+    in_sample = (
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(20)) == 0
+    )
     s = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
-            F.col("l_quantity").cast("double"), fr, 10_000
+            F.when(in_sample, F.col("l_quantity").cast("double")),
+            fr,
+            1_000,
         ).alias("qq"),
         F.percentile_approx(
-            F.col("l_extendedprice").cast("double"), fr, 10_000
+            F.when(in_sample, F.col("l_extendedprice").cast("double")),
+            fr,
+            1_000,
         ).alias("pq"),
     ).collect()[0]
     n = s["n"]
@@ -1020,9 +1032,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return tree(0, len(cs), cs)
 
+    # empty-sample edge (tiny tables): no cuts -> one bucket per side
     bucket = (
-        F.when(F.col("side") == 0, val_tree(list(s["qq"])))
-        .otherwise(F.lit(nb) + val_tree(list(s["pq"])))
+        F.when(F.col("side") == 0, val_tree(list(s["qq"] or [])))
+        .otherwise(F.lit(nb) + val_tree(list(s["pq"] or [])))
     )
     stacked = li.selectExpr(
         "l_orderkey",
