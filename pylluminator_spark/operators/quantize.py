@@ -118,25 +118,40 @@ def pq_encode(
             )
         )
 
-    code_cols = []
+    # the whole per-subspace nearest-centroid expression is generated as
+    # ONE SQL string: the same tree built from Column objects costs
+    # m*k*(dsub+constant) py4j round-trips (~3.8 s for 2x16x32 measured
+    # at sf0.1 — 20x the job it plans). The SQL parses to the identical
+    # Catalyst expressions as subvector_expr/sq_dist_expr (same zip_with
+    # double-cast square, same left-associative aggregate from 0.0D), so
+    # bit parity with the unrolled-sum oracles is unchanged.
+    out = df
+    for s in subs:
+        sub_sql = f"slice(`{vec_col}`, {s * dsub + 1}, {dsub})"
+        cands = []
+        for cid, cvec in books[s]:
+            arr = "array(" + ", ".join(
+                f"CAST({float(x)!r} AS DOUBLE)" for x in cvec
+            ) + ")"
+            dist = (
+                f"aggregate(zip_with({sub_sql}, {arr}, (x, y) -> "
+                "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            cands.append(
+                f"named_struct('d', {dist}, 'c', CAST({int(cid)} AS BIGINT))"
+            )
+        out = out.withColumn(
+            f"_pq_best_{s}", F.expr(f"array_min(array({', '.join(cands)}))")
+        )
     err = None
     for s in subs:
-        sub = subvector_expr(F.col(vec_col), s, dsub)
-        cands = [
-            F.struct(
-                sq_dist_expr(
-                    sub, F.array(*[F.lit(float(x)) for x in cvec])
-                ).alias("d"),
-                F.lit(cid).cast("long").alias("c"),
-            )
-            for cid, cvec in books[s]
-        ]
-        best = F.array_min(F.array(*cands))
-        code_cols.append(best["c"])
-        err = best["d"] if err is None else err + best["d"]
-    return df.select(
+        d = F.col(f"_pq_best_{s}")["d"]
+        err = d if err is None else err + d
+    return out.select(
         id_col,
-        F.array(*code_cols).alias("codes"),
+        F.array(*[F.col(f"_pq_best_{s}")["c"] for s in subs]).alias("codes"),
         err.alias("recon_err"),
     )
 
@@ -322,24 +337,22 @@ def pq_adc_scores(
         raise ValueError(
             f"query dim {len(query)} != m*dsub {len(subs) * dsub}"
         )
-    score = None
+    terms = []
     for s in subs:
         qs = [float(x) for x in query[s * dsub : (s + 1) * dsub]]
-        keys, vals = [], []
+        entries = []
         for cid, cvec in books[s]:
             d = 0.0
             for a, b in zip(qs, cvec):
                 diff = a - b
                 d += diff * diff
-            keys.append(cid)
-            vals.append(d)
-        lut = F.map_from_arrays(
-            F.array(*[F.lit(c).cast("long") for c in keys]),
-            F.array(*[F.lit(v) for v in vals]),
-        )
-        term = lut[F.col(codes_col)[s]]
-        score = term if score is None else score + term
-    return codes_df.select(id_col, score.alias("adc_dist"))
+            entries.append(f"CAST({int(cid)} AS BIGINT), CAST({d!r} AS DOUBLE)")
+        # one SQL map literal per subspace (a map_from_arrays of Column
+        # literals costs 2*k py4j calls each — see pq_encode)
+        terms.append(f"map({', '.join(entries)})[`{codes_col}`[{s}]]")
+    return codes_df.select(
+        id_col, F.expr(" + ".join(terms)).alias("adc_dist")
+    )
 
 
 def pq_adc_topk(
