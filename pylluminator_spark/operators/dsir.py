@@ -83,7 +83,16 @@ def _grams(
     stream. ONE tokenize and ONE explode per document: the bigram array
     comes from zip_with over two slices of the same token array and is
     concatenated onto it (a union of two branches would scan and
-    tokenize twice — Spark does no CSE across union arms)."""
+    tokenize twice — Spark does no CSE across union arms).
+
+    Doc rows are rebalanced to cluster parallelism first: featurization
+    fans each row out ~tokens(text) times, so input partitioning
+    understates the work by orders of magnitude (a one-row-group corpus
+    would run its whole gram stream — and the per-character arith hash —
+    on one core; measured 2.7x on the dsir_weights gate)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = docs.select(
         doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_t")
     )

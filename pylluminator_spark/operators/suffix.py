@@ -58,7 +58,15 @@ def _base_ranks(
     rank by their actual remainder — a shorter string sorts before any
     extension, exactly like the doubling sentinel). Binary UTF-8 string
     order == code-point order, so the ordering agrees with the integer
-    doubling rounds stacked on top."""
+    doubling rounds stacked on top.
+
+    Doc rows are rebalanced to cluster parallelism first: the explode
+    fans each row into len(text) char positions, so input partitioning
+    understates the work by orders of magnitude (a one-row-group corpus
+    would build its whole position table on one core)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     grams = (
         docs.filter(F.length(text_col) >= 1)  # sequence(1,0) is [1,0]!
         .select(
