@@ -1,0 +1,50 @@
+"""Gate-strength regressions: entries whose hash match would be vacuous
+on degenerate output must produce NON-degenerate output at every test SF
+(VERDICT r7 "what's wrong" #2: interval_anti_join hash-matched on 0 rows
+for six rounds — both engines merely agreed on emptiness)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_anti_join_has_empty_bins(spark):
+    rows = em.queries()["interval_anti_join"](spark, SF).collect()
+    assert len(rows) > 0, "anti-join produced no chromosomes"
+    assert all(r["n_empty_bins"] > 0 for r in rows), rows
+
+
+def test_langid_gate_scores_carry_signal(spark):
+    """The synthetic documents' TEXT is the same token soup for every
+    lang label (labels are random), so a correct NB classifier predicts
+    the majority prior for ~every doc — pred_lang is expected-constant
+    on this fixture and carries little hash signal BY THE DATA'S DOING.
+    The gate's real surface is the score column (and the langid_scores
+    entry hashing all 5 per-language scores): assert scores vary across
+    documents, i.e. the hash is not matching on a constant."""
+    rows = em.queries()["langid_predict"](spark, SF).collect()
+    assert len(rows) > 0
+    assert len({r["score"] for r in rows}) > len(rows) // 2
+    srows = em.queries()["langid_scores"](spark, SF).collect()
+    per_doc_langs = {}
+    for r in srows:
+        per_doc_langs.setdefault(r["doc_id"], set()).add(r["score"])
+    # within a document the 5 language scores are not all identical
+    assert sum(1 for s in per_doc_langs.values() if len(s) >= 2) > 0
+
+
+def test_gated_entries_nonempty(spark):
+    """Every r8 gate slot must return at least one row at the smallest
+    SF — a 0-row hash match only proves agreement on emptiness. Cheap
+    subset: the entries with the smallest historical outputs."""
+    for name in (
+        "mask_builders",
+        "beta_distribution",
+        "explode_tokens",
+        "top_intensity_median",
+    ):
+        assert em.queries()[name](spark, SF).count() > 0, name
