@@ -194,3 +194,37 @@ def test_same_size_rewrite_changes_fingerprint(tmp_path):
     p.write_bytes(b"b" * 64)  # same size, sub-second rewrite
     f2 = source_fingerprint(str(p))
     assert f1 != f2
+
+
+def test_helper_changes_do_not_invalidate_but_code_version_does(spark, tmp_path):
+    """The documented _fn_fingerprint SCOPE CONTRACT: only the stage
+    function's OWN code objects are walked — a module-level helper it
+    calls is invisible to the key, and the escape hatch is bumping
+    code_version (or folding the helper's version into params)."""
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    docs = m.source("docs", f"{SF}/documents.parquet")
+
+    helpers = {"threshold": 10}
+
+    def stage(spark, docs):
+        return docs.filter(
+            F.col("n_chars") >= helpers["threshold"]
+        ).groupBy("lang").count()
+
+    k1 = m.stage("s", stage, [docs], {}).key
+    helpers["threshold"] = 99  # behavior changed via closed-over state...
+    k2 = m.stage("s", stage, [docs], {}).key
+    assert k1 == k2  # ...which the fingerprint deliberately cannot see
+    k3 = m.stage("s", stage, [docs], {}, code_version="v2").key
+    assert k3 != k1  # the documented escape hatch invalidates
+
+
+def test_content_fingerprint_tracks_values_not_order(spark):
+    from pylluminator_spark.plans.manifest import content_fingerprint
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    b = spark.createDataFrame([(2, "y"), (1, "x")], ["k", "v"]).repartition(4)
+    c = spark.createDataFrame([(1, "x"), (2, "z")], ["k", "v"])
+    fa, fb, fc = (content_fingerprint(d) for d in (a, b, c))
+    assert fa == fb  # order/partitioning independent
+    assert fa != fc  # value-sensitive
