@@ -232,6 +232,11 @@ def _bucket_tree_sql(
             return None
         if isinstance(v, float) and not math.isfinite(v):
             return None
+        if isinstance(v, float) and t not in ("FLOAT", "DOUBLE"):
+            # fractional cut for an integer column: SQL CAST and
+            # Column.cast may disagree on rounding — let the Column
+            # tree (whose semantics are the contract) handle it
+            return None
         # repr(float) round-trips exactly through Spark's string->double
         # cast (shortest-repr guarantee); ints are exact as text
         return f"CAST({v!r} AS {t})"
