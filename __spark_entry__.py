@@ -7514,7 +7514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 18-50 are the 33 oldest r5-green entries in their r5 gate order.
     # After this round no oracle-bearing entry's latest driver row is
     # older than r5, and the r9 queue head (section 4) is the 17
-    # remaining r5-green entries.
+    # remaining r5-green entries. Round-8 verification state: ALL 169
+    # oracle-bearing entries were run through the driver-faithful
+    # emulation at sf0.01 against the final r8 code in one sweep
+    # (tests/driver_emu.py; 169/169 hash-green), the 50 gated slots
+    # additionally at sf0.1 (50/50), and the never-gated langid pair at
+    # all three SFs.
     #
     # ROTATION POLICY (VERDICT r6 #5, standing): with 169 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
