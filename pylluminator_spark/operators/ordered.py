@@ -38,12 +38,16 @@ Cost model at scale: one bounded sample pass over the ORDER COLUMNS
 only (column-pruned scan + per-partition top-k + driver merge of
 <= 100k tuples), then one shuffle of the data. The sample pass
 re-reads the input; a caller whose input is an expensive upstream plan
-should persist that upstream itself. Boundary quality only affects
-bucket BALANCE, never correctness — heavy ties on one key value all
-land in one bucket, same as a range partitioner. The bucket expression
-is a chain of n-1 struct comparisons per row; for thousands-of-bucket
-deployments switch the chain to a binary-search CASE tree (O(log n)
-compares) — at local[32] scale the linear chain is already sub-percent.
+should persist that upstream itself — or skip the pass entirely:
+``boundaries=`` hands in precomputed cut tuples (dense ranks, known
+quantiles), and ``bucket_expr=`` hands in the whole bucket column (an
+order-consistent expression — see ``_bucketized``). Boundary quality
+only affects bucket BALANCE, never correctness — heavy ties on one key
+value all land in one bucket, same as a range partitioner. The bucket
+expression is a BALANCED comparison tree (O(log n_buckets) struct
+compares per row), generated as one SQL string for numeric keys
+(building it from Column objects costs hundreds of py4j round-trips —
+the r8 small-input latency fix).
 
 Requirement: no NULLs (and no NaNs) in the ordering columns — callers
 filter or impute first, as the reference pipelines do — and the
