@@ -4002,11 +4002,14 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="3650 days",
         within="30 minutes",
     )
-    # shuffle_partitions=8: 4 state stores per partition for a
-    # stream-stream join; the gate drain is small (see
-    # run_available_now) — measured 5.5 s -> 2.4 s vs the session width
+    # shuffle_partitions=4: a stream-stream join keeps FOUR state
+    # stores per partition, so its drain pays 4x the store-commit
+    # overhead of the single-store agg gates (which stay at 8); the
+    # gate drain is small (see run_available_now) — measured 5.5 s at
+    # the session width -> 2.5 s at 8 -> 2.1 s at 4 (sf0.1 min-of-3;
+    # ~37k rows/partition at that SF, ample headroom)
     res = run_available_now(
-        joined, output_mode="append", shuffle_partitions=8
+        joined, output_mode="append", shuffle_partitions=4
     )
     return res.select(
         "user_id",
