@@ -7593,7 +7593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         # ---- end of the 50 gated slots ------------------------------
         # -- 3b. never-gated round-8 additions: take r9 slots FIRST per
-        # the rotation policy (emu-verified at 3 SFs this round) -------
+        # the rotation policy (emu-verified at 3 SFs this round).
+        # r9 gate plan: slots 1-2 = this section, slots 3-19 = the 17
+        # r5-green entries in section 4, slots 20-50 = the first 31
+        # entries of the r6-green section (oldest-green next) ----------
         "langid_predict": q_langid_predict,
         "langid_scores": q_langid_scores,
         # -- 4. r9 queue head: the 17 remaining r5-green entries
