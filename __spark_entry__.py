@@ -7519,10 +7519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # older than r5, and the r9 queue head (section 4) is the 17
     # remaining r5-green entries. Round-8 verification state: ALL 169
     # oracle-bearing entries were run through the driver-faithful
-    # emulation at sf0.01 against the final r8 code in one sweep
-    # (tests/driver_emu.py; 169/169 hash-green), the 50 gated slots
-    # additionally at sf0.1 (50/50), and the never-gated langid pair at
-    # all three SFs.
+    # emulation against the final r8 code at BOTH sf0.01 AND sf0.1
+    # (tests/driver_emu.py; 169/169 hash-green at each SF — the first
+    # whole-registry two-SF sweep), and the never-gated langid pair
+    # additionally at sf0.001.
     #
     # ROTATION POLICY (VERDICT r6 #5, standing): with 169 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
