@@ -2809,6 +2809,63 @@ def _order_betas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (operators.multimodal
+    image_phash + phash_candidate_pairs — the image-modality analogue of
+    the MinHash/SimHash text dedup stack): deterministic structured BMP
+    fixtures from doc ids, 20 planted EXACT duplicates, 64-bit DCT
+    pHashes, pigeonhole-banded hamming pairs (never all-pairs). Rows-only
+    driver entry (image decode + DCT + median thresholding is not
+    SQL-expressible); the correctness burden is test_phash: loop-wise
+    python reference parity, robustness ordering, and banded pairs ==
+    brute force with the planted duplicates found at hamming 0."""
+    import numpy as np
+    import pandas as _pd
+
+    from pylluminator_spark.operators.multimodal import (
+        encode_bmp,
+        image_phash,
+        phash_candidate_pairs,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") < 150)
+    )
+
+    def pack(batches):
+        w, h = 40, 32
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                src = mid  # content id
+                px = (
+                    (x * ((src % 13) + 2)) ^ (y * ((src % 7) + 3))
+                ) + src
+                arr = np.repeat(
+                    (px % 256).astype(np.uint8)[:, :, None], 3, axis=2
+                )
+                rows.append((mid, "image", encode_bmp(arr)))
+                if mid < 20:  # planted exact duplicate under a new id
+                    rows.append((1000 + mid, "image", encode_bmp(arr)))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "content"]
+            )
+
+    media = ids.mapInPandas(
+        pack, schema="media_id long, kind string, content binary"
+    )
+    hashes = image_phash(media)
+    pairs = phash_candidate_pairs(hashes, max_hamming=7, bands=8)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_mixedlm_dmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 MixedLM path (reference dm.py:61-67): per-probe one-random-
     intercept REML over a paired design (sample_type fixed effect, donor
@@ -7724,6 +7781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         "audio_spectral": q_audio_spectral,
+        "image_phash_pairs": q_image_phash_pairs,
     }
 
 

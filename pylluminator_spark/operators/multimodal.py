@@ -656,3 +656,164 @@ def audio_resample(media: DataFrame, target_sr: int) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         rs, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (DCT pHash) + hamming near-duplicate pairs —
+# the image-modality analogue of the text dedup stack (MinHash/SimHash in
+# operators/dedup.py): resize-/re-encode-/noise-robust 64-bit signatures
+# with pigeonhole-banded pair generation, so a 100 TB image corpus never
+# compares all pairs. Public recipe: the pHash/imagehash DCT method
+# (Zauner 2010, "Implementation and Benchmarking of Perceptual Image
+# Hash Functions").
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix: D[k, i] = s_k cos(pi (2i+1) k / 2n)."""
+    i = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2.0 * i[None, :] + 1.0) * i[:, None] / (2.0 * n)
+    )
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+def phash_bits(
+    arr: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4
+) -> int:
+    """64-bit perceptual hash of one decoded image array.
+
+    grayscale (channel mean) -> deterministic resize to
+    (hash_size*highfreq_factor)^2 (nearest upsample to cover, then exact
+    area mean — no external resampler) -> orthonormal 2D DCT-II ->
+    top-left hash_size x hash_size low-frequency block -> bit r*S+c set
+    iff coef > median(block) (the imagehash convention, DC included in
+    the median). Returned as a SIGNED 64-bit int (two's complement) so
+    it lands in a Spark LongType column unchanged."""
+    a = np.asarray(arr, dtype=np.float64)
+    gray = a.mean(axis=2) if a.ndim == 3 else a
+    n = hash_size * highfreq_factor
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("phash: empty image")
+    # nearest upsample so every output cell has >= 1 contributor...
+    if h < n:
+        gray = gray[(np.arange(n) * h) // n, :]
+        h = n
+    if w < n:
+        gray = gray[:, (np.arange(n) * w) // n]
+        w = n
+    # ...then exact area mean via bucketed bincount
+    ys = (np.arange(h) * n) // h
+    xs = (np.arange(w) * n) // w
+    idx = (ys[:, None] * n + xs[None, :]).ravel()
+    acc = np.bincount(idx, weights=gray.ravel(), minlength=n * n)
+    cnt = np.bincount(idx, minlength=n * n)
+    small = (acc / cnt).reshape(n, n)
+    d = _dct_matrix(n)
+    block = (d @ small @ d.T)[:hash_size, :hash_size]
+    med = np.median(block)
+    bits = np.uint64(0)
+    flat = block.ravel()
+    for i in range(hash_size * hash_size):
+        if flat[i] > med:
+            bits |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(bits))
+
+
+def image_phash(
+    media: DataFrame, hash_size: int = 8, highfreq_factor: int = 4
+) -> DataFrame:
+    """Per-image perceptual hash: (media_id, phash long). One Arrow
+    mapInPandas pass over the binary payloads — shuffle-free; the output
+    is 16 bytes/image no matter the pixel volume."""
+    if hash_size * hash_size > 64:
+        raise ValueError("phash: hash_size^2 must fit 64 bits")
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                kind, arr, _ = _parse_payload(bytes(content))
+                if kind != "image":
+                    continue
+                rows.append(
+                    (int(media_id), phash_bits(arr, hash_size, highfreq_factor))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(hsh, schema="media_id long, phash long")
+
+
+def phash_candidate_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 7,
+    bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by hamming distance over 64-bit
+    pHashes, WITHOUT the all-pairs product: split each hash into
+    ``bands`` equal bit-bands and equi-join per band — the pigeonhole
+    principle guarantees every pair with hamming <= bands-1 shares at
+    least one identical band, so recall is EXACT for
+    ``max_hamming <= bands - 1`` (enforced; raise ``bands`` for looser
+    thresholds — the band join fans out accordingly). Pairs are then
+    filtered by the exact JVM-side ``bit_count(xor)`` distance.
+
+    Scale: the join is per-(band_idx, band_value) buckets — worst-case
+    cost follows the most populated band bucket, the same blocked-pairs
+    contract as the MinHash/SimHash generators in operators/dedup.py.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, each pair once."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee only covers hamming <= bands-1 — raise bands"
+        )
+    bw = 64 // bands
+    mask = (1 << bw) - 1
+    band_arr = F.array(
+        *[
+            (
+                F.shiftrightunsigned(F.col(hash_col), b * bw)
+                .bitwiseAND(F.lit(mask))
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(band_arr).alias("_band", "_bv"),
+    )
+    right = exploded.select(
+        F.col("_id").alias("_id2"),
+        F.col("_h").alias("_h2"),
+        "_band",
+        "_bv",
+    )
+    pairs = (
+        exploded.join(right, ["_band", "_bv"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select("_id", "_id2", "_h", "_h2")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("_h").bitwiseXOR(F.col("_h2"))
+    ).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            "hamming",
+        )
+    )

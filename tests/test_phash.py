@@ -1,0 +1,169 @@
+"""Perceptual image hashing (DCT pHash) + banded hamming pairs: python
+reference parity, robustness invariants (exact copy -> 0, mild noise ->
+small, distinct content -> larger), and the pigeonhole pair-generation
+guarantee against brute force."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.multimodal import (
+    encode_bmp,
+    image_phash,
+    phash_bits,
+    phash_candidate_pairs,
+)
+
+rng = np.random.RandomState(5)
+
+
+def _img(seed: int, h: int = 24, w: int = 31) -> np.ndarray:
+    r = np.random.RandomState(seed)
+    # smooth content + structure so hashes differ across seeds
+    y, x = np.mgrid[0:h, 0:w]
+    base = (
+        128
+        + 90 * np.sin(x / (3.0 + seed % 5) + seed)
+        + 60 * np.cos(y / (2.0 + seed % 3))
+    )
+    img = np.clip(base + r.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+def _phash_ref(arr: np.ndarray, s: int = 8, f: int = 4) -> int:
+    """Independent loop-wise reference: same published definition,
+    different construction (explicit cosine double loop, no matrices)."""
+    a = arr.astype(np.float64).mean(axis=2)
+    n = s * f
+    h, w = a.shape
+    if h < n:
+        a = a[[(i * h) // n for i in range(n)], :]
+        h = n
+    if w < n:
+        a = a[:, [(j * w) // n for j in range(n)]]
+        w = n
+    small = np.zeros((n, n))
+    cnt = np.zeros((n, n))
+    for i in range(h):
+        for j in range(w):
+            small[(i * n) // h, (j * n) // w] += a[i, j]
+            cnt[(i * n) // h, (j * n) // w] += 1
+    small /= cnt
+    coefs = np.zeros((s, s))
+    for k in range(s):
+        for l in range(s):
+            tot = 0.0
+            for i in range(n):
+                for j in range(n):
+                    tot += (
+                        small[i, j]
+                        * math.cos(math.pi * (2 * i + 1) * k / (2 * n))
+                        * math.cos(math.pi * (2 * j + 1) * l / (2 * n))
+                    )
+            sk = math.sqrt(1.0 / n) if k == 0 else math.sqrt(2.0 / n)
+            sl = math.sqrt(1.0 / n) if l == 0 else math.sqrt(2.0 / n)
+            coefs[k, l] = sk * sl * tot
+    med = np.median(coefs)
+    bits = 0
+    flat = coefs.ravel()
+    for i in range(s * s):
+        if flat[i] > med:
+            bits |= 1 << i
+    return int(np.int64(np.uint64(bits)))
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_matches_loopwise_reference():
+    for seed in (1, 2, 9):
+        arr = _img(seed)
+        assert phash_bits(arr) == pytest.approx(_phash_ref(arr), abs=0), seed
+
+
+def test_phash_robustness_ordering():
+    base = _img(3)
+    # exact copy
+    assert _ham(phash_bits(base), phash_bits(base.copy())) == 0
+    # mild pixel noise: small hamming
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-3, 4, base.shape), 0, 255
+    ).astype(np.uint8)
+    d_noise = _ham(phash_bits(base), phash_bits(noisy))
+    # resize (different pixel grid, same content): closer than different
+    # content — a 2x nearest subsample of noisy sinusoids aliases, so
+    # only the ORDERING is asserted, not an absolute bound
+    small = base[::2, ::2]
+    d_resize = _ham(phash_bits(base), phash_bits(small))
+    # different content: larger
+    other = _img(77)
+    d_other = _ham(phash_bits(base), phash_bits(other))
+    assert d_noise <= 6, d_noise
+    assert d_resize < d_other, (d_resize, d_other)
+    assert d_other > 10, d_other
+
+
+def test_candidate_pairs_match_bruteforce(spark):
+    imgs = {i: _img(i) for i in range(40)}
+    imgs.update({100 + i: imgs[i] for i in range(6)})  # exact dups
+    for i in range(6, 12):  # near dups
+        imgs[100 + i] = np.clip(
+            imgs[i].astype(int) + rng.randint(-2, 3, imgs[i].shape), 0, 255
+        ).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(imgs),
+                "kind": "image",
+                "content": [encode_bmp(a) for a in imgs.values()],
+            }
+        )
+    )
+    hashes = image_phash(media)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_candidate_pairs(hashes, max_hamming=7, bands=8).collect()
+    }
+    # brute force over the python hashes
+    hs = {i: phash_bits(a) for i, a in imgs.items()}
+    want = {
+        (a, b): _ham(hs[a], hs[b])
+        for a in hs
+        for b in hs
+        if a < b and _ham(hs[a], hs[b]) <= 7
+    }
+    assert got == want
+    # the planted exact duplicates are all found at hamming 0
+    for i in range(6):
+        assert got.get((i, 100 + i)) == 0, i
+
+
+def test_pigeonhole_bound_enforced(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7)], ["media_id", "phash"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_candidate_pairs(df, max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        phash_candidate_pairs(df, max_hamming=3, bands=7)
+
+
+def test_phash_plan_is_blocked_join(spark):
+    imgs = {i: _img(i) for i in range(10)}
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(imgs),
+                "kind": "image",
+                "content": [encode_bmp(a) for a in imgs.values()],
+            }
+        )
+    )
+    pairs = phash_candidate_pairs(image_phash(media))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

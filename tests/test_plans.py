@@ -180,6 +180,9 @@ SCALAR_AGG_OK = [
     "jaccard_pairs",
     # bloom filter build: k map-side projections + one keyed bit_or agg
     "bloom_filter",
+    # pHash near-dup: Arrow mapInPandas hash pass + band equi-join
+    # (pigeonhole-blocked, never all-pairs) + codegen bit_count filter
+    "image_phash_pairs",
     # manifest stage-cache: the returned frame is a pruned parquet scan
     # of the content-keyed stage store (stages materialize eagerly in
     # the query function; the scalar-agg share stage lives in the
