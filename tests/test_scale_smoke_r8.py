@@ -119,3 +119,50 @@ def test_bucket_tree_sql_build_stays_driver_cheap(spark):
     ).orderBy("_ord_pid").collect()
     for a, b in zip(agg, agg[1:]):
         assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 16
+
+
+def test_phash_pipeline_at_volume(spark):
+    """50k synthetic images through pHash + banded pair generation: the
+    hash pass is one Arrow sweep (16 bytes/image downstream), pair
+    generation never builds the 1.25B-pair product, and the 5k planted
+    exact duplicates all surface at hamming 0."""
+    import numpy as np
+    import pandas as pd
+
+    from pylluminator_spark.operators.multimodal import (
+        encode_bmp,
+        image_phash,
+        phash_candidate_pairs,
+    )
+
+    n = 50_000
+
+    def pack(batches):
+        w, h = 24, 20
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                src = mid - n if mid >= n else mid  # ids >= n duplicate id-n
+                px = ((x * ((src % 251) + 2)) ^ (y * ((src % 241) + 3))) + src
+                arr = (px % 256).astype(np.uint8)[:, :, None]
+                rows.append((mid, "image", encode_bmp(np.repeat(arr, 3, 2))))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = (
+        spark.range(0, n + 5_000, 1, 32)
+        .mapInPandas(pack, schema="media_id long, kind string, content binary")
+    )
+    t0 = time.perf_counter()
+    hashes = image_phash(media).localCheckpoint(eager=True)
+    n_hashes = hashes.count()
+    pairs = phash_candidate_pairs(hashes, max_hamming=3, bands=8)
+    planted = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + n) & (F.col("hamming") == 0)
+    ).count()
+    wall = time.perf_counter() - t0
+    assert n_hashes == n + 5_000
+    assert planted == 5_000
+    assert wall < 300, wall
