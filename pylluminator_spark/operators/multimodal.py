@@ -817,3 +817,42 @@ def phash_candidate_pairs(
             "hamming",
         )
     )
+
+
+def video_frame_phashes(
+    media: DataFrame,
+    every_n: int = 2,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for VIDEO payloads:
+    (media_id, frame_idx, phash). One Arrow pass — frames never leave
+    the executor as pixels; downstream state is 20 bytes/frame. Video
+    near-dup then reduces to set overlap over frame hashes: two videos
+    sharing >= k frame-hash buckets (join `phash_candidate_pairs` on
+    this table's hashes, or an exact groupBy on (phash) for
+    shot-level dedup) — the frame-level analogue of document-level
+    MinHash banding."""
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                kind, arr, _ = _parse_payload(bytes(content))
+                if kind != "video":
+                    continue
+                for idx in range(0, arr.shape[0], every_n):
+                    rows.append(
+                        (
+                            int(media_id),
+                            int(idx),
+                            phash_bits(arr[idx], hash_size, highfreq_factor),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"]
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(hsh, schema="media_id long, frame_idx int, phash long")

@@ -167,3 +167,43 @@ def test_phash_plan_is_blocked_join(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_frame_phashes(spark):
+    """Frame-level hashes: identical frames hash identically across
+    videos; a video sharing half its frames with another overlaps on
+    exactly those frame hashes."""
+    import struct
+
+    from pylluminator_spark.operators.multimodal import (
+        KIND_VIDEO,
+        MAGIC,
+        video_frame_phashes,
+    )
+
+    h, w, nf = 20, 24, 4
+
+    def vid(frames):
+        header = MAGIC + struct.pack("<BHHH", KIND_VIDEO, w, h, nf)
+        return header + np.concatenate([f.ravel() for f in frames]).tobytes()
+
+    f = [
+        _img(i, h, w)[:, :, 0] for i in range(6)
+    ]  # single-channel frames
+    v0 = vid(f[0:4])
+    v1 = vid(f[0:2] + f[4:6])  # shares frames 0,1 with v0
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 1], "kind": "video", "content": [v0, v1]}
+        )
+    )
+    rows = video_frame_phashes(media, every_n=1).collect()
+    hs = {(r["media_id"], r["frame_idx"]): r["phash"] for r in rows}
+    assert len(hs) == 8
+    assert hs[(0, 0)] == hs[(1, 0)] and hs[(0, 1)] == hs[(1, 1)]
+    assert hs[(0, 2)] != hs[(1, 2)]
+    shared = len(
+        {v for k, v in hs.items() if k[0] == 0}
+        & {v for k, v in hs.items() if k[0] == 1}
+    )
+    assert shared == 2
