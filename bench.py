@@ -35,6 +35,8 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, "x int"
     ).count()
+    # warm the noop sink's class loading so it isn't billed to query 1
+    spark.range(1).write.format("noop").mode("overwrite").save()
 
     # Per-query time = MIN over repeated runs. Sub-second queries on a
     # shared 32-core box are dominated by scheduler/GC noise (observed
@@ -60,8 +62,14 @@ def main() -> None:
             start = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                n = df.count()
-                _ = n
+                # noop sink, NOT count(): Catalyst prunes projection-only
+                # work out of a count plan (the optimized count plan for
+                # pii_redact contains no regexp_replace at all — measured
+                # 0.14 s benched vs 0.56 s real at sf0.1). The noop sink
+                # evaluates every output column of the exact result plan
+                # and discards the rows — what a real downstream consumer
+                # pays, minus the write.
+                df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 — one bad query must
                 # not zero out the whole benchmark record; and a flaky
                 # REPEAT must not discard a valid first measurement

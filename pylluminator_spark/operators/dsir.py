@@ -77,6 +77,7 @@ def _grams(
     text_col: str,
     doc_col: str,
     use_bigrams: bool,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc, gram) rows: lowercase whitespace unigrams, plus space-joined
     bigrams when ``use_bigrams`` — the paper's hashed n-gram feature
@@ -89,9 +90,16 @@ def _grams(
     fans each row out ~tokens(text) times, so input partitioning
     understates the work by orders of magnitude (a one-row-group corpus
     would run its whole gram stream — and the per-character arith hash —
-    on one core; measured 2.7x on the dsir_weights gate)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    on one core; measured 2.7x on the dsir_weights gate).
+    ``num_partitions`` overrides the default (cluster parallelism);
+    pass ``0`` to skip the rebalance — a plain hint, no ``.rdd`` access
+    (which would force plan analysis to RDD conversion per call)."""
+    par = (
+        docs.sparkSession.sparkContext.defaultParallelism
+        if num_partitions is None
+        else num_partitions
+    )
+    if par > 0:
         docs = docs.repartition(par)
     toks = docs.select(
         doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_t")

@@ -63,7 +63,11 @@ def _char_grams(t: Column, n: int) -> Column:
 
 
 def _gram_stream(
-    docs: DataFrame, text_col: str, keep_col: str, n: int
+    docs: DataFrame,
+    text_col: str,
+    keep_col: str,
+    n: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(keep_col, gram) rows: lower() bound in a projection so the
     transform lambda sees a column reference (see ``_char_grams``).
@@ -73,11 +77,17 @@ def _gram_stream(
     partitioning understates the work by orders of magnitude — a corpus
     that fits one parquet row-group would otherwise run its entire gram
     stream on one core (doc rows are tiny; the rebalance shuffle is
-    noise next to the explode it parallelizes)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    rebalanced = (
-        docs.repartition(par) if docs.rdd.getNumPartitions() < par else docs
+    noise next to the explode it parallelizes). ``num_partitions``
+    overrides the default (cluster parallelism); pass ``0`` to skip the
+    rebalance for an input that is already well-partitioned. The hint is
+    a plain parameter — no ``.rdd`` access, so building this plan never
+    forces an analysis-to-RDD conversion."""
+    par = (
+        docs.sparkSession.sparkContext.defaultParallelism
+        if num_partitions is None
+        else num_partitions
     )
+    rebalanced = docs.repartition(par) if par > 0 else docs
     return rebalanced.select(
         keep_col, F.lower(F.col(text_col)).alias("_lid_t")
     ).select(
@@ -168,9 +178,17 @@ def fit_langid(
         F.count(F.lit(1)).alias("nd")
     )
     total = ndocs.agg(F.sum("nd").alias("ntot"))
+    # LEFT join + coalesce(tot, 0): a training language whose documents
+    # are all shorter than n produces no grams and is absent from tots —
+    # an inner join would silently drop it (no prior, never predictable)
+    # while its docs still inflate ntot for the other priors. With tot=0
+    # its w_default degrades to the uniform ln(alpha) - ln(alpha*buckets)
+    denom = F.log(
+        F.coalesce(F.col("tot"), F.lit(0)) + F.lit(float(alpha) * buckets)
+    )
     langs = (
         ndocs.crossJoin(F.broadcast(total))
-        .join(F.broadcast(tots), "lang")
+        .join(F.broadcast(tots), "lang", "left")
         .select(
             "lang",
             (F.log(F.col("nd").cast("double")) - F.log(F.col("ntot").cast("double"))).alias(

@@ -714,12 +714,15 @@ def phash_bits(
     d = _dct_matrix(n)
     block = (d @ small @ d.T)[:hash_size, :hash_size]
     med = np.median(block)
-    bits = np.uint64(0)
+    bits = 0
     flat = block.ravel()
     for i in range(hash_size * hash_size):
         if flat[i] > med:
-            bits |= np.uint64(1) << np.uint64(i)
-    return int(np.int64(bits))
+            bits |= 1 << i
+    # two's complement in pure Python: np.int64(uint64-with-bit-63) is
+    # an out-of-range scalar-constructor cast, deprecated-to-error under
+    # NumPy 2.x (wraps only on <=1.26)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
 def image_phash(

@@ -220,12 +220,17 @@ def _bucket_tree_sql(
     SQL CASE string — identical semantics to the Column-object tree
     (same named-struct >= comparisons, same bucket ids), but a single
     py4j call. Returns None (caller falls back to the Column tree) for
-    non-numeric key types or non-finite values, where safe SQL literal
-    rendering is not worth the escaping risk."""
+    non-numeric key types, non-finite values, or column names outside
+    [A-Za-z0-9_] (a quote or backtick in an interpolated identifier
+    would mis-parse — the Column tree needs no escaping), where safe SQL
+    literal rendering is not worth the escaping risk."""
     import math
+    import re
 
     types = []
     for c in order_cols:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", c):
+            return None
         t = df.schema[c].dataType.simpleString()
         if t not in _SQL_NUM_TYPES:
             return None

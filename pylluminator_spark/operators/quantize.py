@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from pylluminator_spark.operators.similarity import sq_dist_expr
 
 
+def _qid(name: str) -> str:
+    """Backtick-quoted SQL identifier with embedded backticks doubled —
+    the generated-SQL paths interpolate caller-supplied column names, so
+    a name containing a backtick must not break (or worse, re-shape) the
+    parsed expression."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def subvector_expr(vec: Column, sub_id: int, dsub: int) -> Column:
     """The ``sub_id``-th length-``dsub`` slice of a vector (1-based slice)."""
     return F.slice(vec, sub_id * dsub + 1, dsub)
@@ -113,7 +121,7 @@ def pq_encode(
             .filter(F.col(vec_col).isNotNull())
             .mapInPandas(
                 encode,
-                schema=f"{id_col} {id_type}, codes array<long>, "
+                schema=f"{_qid(id_col)} {id_type}, codes array<long>, "
                 "recon_err double",
             )
         )
@@ -127,7 +135,7 @@ def pq_encode(
     # bit parity with the unrolled-sum oracles is unchanged.
     out = df
     for s in subs:
-        sub_sql = f"slice(`{vec_col}`, {s * dsub + 1}, {dsub})"
+        sub_sql = f"slice({_qid(vec_col)}, {s * dsub + 1}, {dsub})"
         cands = []
         for cid, cvec in books[s]:
             arr = "array(" + ", ".join(
@@ -349,7 +357,7 @@ def pq_adc_scores(
             entries.append(f"CAST({int(cid)} AS BIGINT), CAST({d!r} AS DOUBLE)")
         # one SQL map literal per subspace (a map_from_arrays of Column
         # literals costs 2*k py4j calls each — see pq_encode)
-        terms.append(f"map({', '.join(entries)})[`{codes_col}`[{s}]]")
+        terms.append(f"map({', '.join(entries)})[{_qid(codes_col)}[{s}]]")
     return codes_df.select(
         id_col, F.expr(" + ".join(terms)).alias("adc_dist")
     )

@@ -63,10 +63,12 @@ def _base_ranks(
     Doc rows are rebalanced to cluster parallelism first: the explode
     fans each row into len(text) char positions, so input partitioning
     understates the work by orders of magnitude (a one-row-group corpus
-    would build its whole position table on one core)."""
+    would build its whole position table on one core). The rebalance is
+    unconditional (a plain hint — no ``.rdd`` access, which would force
+    plan analysis to RDD conversion): doc rows are tiny next to the
+    position explode they feed."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = docs.repartition(par)
     grams = (
         docs.filter(F.length(text_col) >= 1)  # sequence(1,0) is [1,0]!
         .select(

@@ -130,6 +130,19 @@ def source_fingerprint(path: str) -> str:
     return hashlib.sha256(_canon(entries).encode()).hexdigest()[:16]
 
 
+def _local_file(uri: str) -> str | None:
+    """Local filesystem path for a Spark input-file URI, or None for a
+    remote scheme (hdfs/s3/...) or a vanished file — remote stores get
+    URI-only identity (their listing can't be stat'ed from the driver)."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme not in ("", "file"):
+        return None
+    path = unquote(parsed.path) or uri
+    return path if os.path.exists(path) else None
+
+
 def content_fingerprint(df: DataFrame) -> str:
     """ACTUAL-content fingerprint of a DataFrame: row count + the sum of
     per-row ``xxhash64`` over all columns (order-independent — sum
@@ -211,15 +224,38 @@ class PipelineManifest:
         ``fingerprint`` is the caller's identity for the frame's
         CONTENT (e.g. ``source_fingerprint`` of the raw input
         directory, or ``content_fingerprint`` for a small in-memory
-        table). When omitted it defaults to a hash of the frame's
-        ANALYZED LOGICAL PLAN — sound ONLY for file-backed lineage
-        (paths appear in the plan; an in-place rewrite under the same
-        path keeps the hash, and a purely in-memory relation's plan
-        shows no data at all, only schema + expression ids). Always
-        pass an explicit fingerprint for in-memory frames."""
+        table). When omitted the default is derived soundly by shape:
+
+        - file-backed lineage (``df.inputFiles()`` non-empty): hash of
+          the analyzed plan (captures filters/projections stacked on
+          the scan) PLUS the size/mtime_ns/inode listing of every input
+          file — so an in-place rewrite under the same path changes the
+          key (the hazard ``source_fingerprint`` is hardened against).
+          Plan expression-ids restart per JVM, so a new session may
+          re-materialize rather than reuse — the safe direction.
+        - no input files (LocalRelation / pure in-memory): the plan
+          string contains NO data, only schema + expression ids, so two
+          sessions could collide on the same key for DIFFERENT data.
+          The default is therefore ``content_fingerprint`` (one
+          aggregation job over the frame — pass an explicit fingerprint
+          to skip it for large frames)."""
         if fingerprint is None:
             plan = df._jdf.queryExecution().analyzed().toString()
-            fingerprint = hashlib.sha256(plan.encode()).hexdigest()[:16]
+            files = sorted(df.inputFiles())
+            if files:
+                h = hashlib.sha256(plan.encode())
+                for uri in files:
+                    h.update(b"|f:" + uri.encode())
+                    local = _local_file(uri)
+                    if local is not None:
+                        st = os.stat(local)
+                        h.update(
+                            f":{st.st_size}:{st.st_mtime_ns}:{st.st_ino}"
+                            .encode()
+                        )
+                fingerprint = h.hexdigest()[:16]
+            else:
+                fingerprint = content_fingerprint(df)
         key = f"frm-{fingerprint}"
         out_dir = os.path.join(self.root, key)
         marker = os.path.join(out_dir, "_SUCCESS")

@@ -745,7 +745,11 @@ class MethylSession:
                     "offset": noob_offset,
                 },
             )
-        new_masks = self.masks
+        # masks reuse point: union the STORE-BACKED masks parquet
+        # (masks_ref.df) with the poobah stage output — not self.masks,
+        # which would drag the original in-memory lineage along and
+        # break the "everything comes from the store" contract below
+        new_masks = masks_ref.df if self.masks is not None else None
         if poobah_threshold is not None:
             pb = refs["poobah_mask"] = manifest.stage(
                 "poobah_mask",
@@ -753,12 +757,7 @@ class MethylSession:
                 [cur, masks_ref],
                 {"threshold": poobah_threshold},
             )
-            base = (
-                new_masks
-                if new_masks is not None
-                else mask_ops.empty_masks(self.spark)
-            )
-            new_masks = base.unionByName(pb.df)
+            new_masks = masks_ref.df.unionByName(pb.df)
         betas_ref = refs["betas"] = manifest.stage(
             "betas",
             _stage_betas,

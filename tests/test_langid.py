@@ -194,3 +194,36 @@ def test_model_is_dimension_sized(frames):
     assert weights.count() <= BUCKETS * 2
     assert langs.count() == 2
     assert set(langs.columns) == {"lang", "log_prior", "w_default"}
+
+
+def test_gramless_language_keeps_prior(spark):
+    """ADVICE r8: a training language whose docs are all shorter than n
+    produces no grams; the old inner join silently dropped it from the
+    model (no prior, never predictable) while its docs still inflated
+    ntot. The left join keeps it with the uniform default weight."""
+    train = spark.createDataFrame(
+        TRAIN + [(5, "ab", "tiny"), (6, "x", "tiny")],
+        ["doc_id", "text", "lang"],
+    )
+    weights, langs = fit_langid(
+        train, n=N, buckets=BUCKETS, alpha=ALPHA, arith=True
+    )
+    rows = {r["lang"]: r for r in langs.collect()}
+    assert set(rows) == {"alpha", "zeta", "tiny"}
+    # prior counts its 2 docs out of 6 total
+    assert rows["tiny"]["log_prior"] == pytest.approx(
+        math.log(2) - math.log(6)
+    )
+    # tot = 0 -> the uniform default ln(alpha) - ln(alpha * buckets)
+    assert rows["tiny"]["w_default"] == pytest.approx(
+        math.log(ALPHA) - math.log(ALPHA * BUCKETS)
+    )
+    # gram-ful languages still predict exactly as before
+    test = spark.createDataFrame(TEST, ["doc_id", "text", "lang"])
+    pred = {
+        r["doc_id"]: r["lang"]
+        for r in language_id(
+            test, weights, langs, n=N, buckets=BUCKETS, arith=True
+        ).select("doc_id", F.col("pred_lang").alias("lang")).collect()
+    }
+    assert pred == {10: "alpha", 11: "zeta"}

@@ -228,3 +228,38 @@ def test_content_fingerprint_tracks_values_not_order(spark):
     fa, fb, fc = (content_fingerprint(d) for d in (a, b, c))
     assert fa == fb  # order/partitioning independent
     assert fa != fc  # value-sensitive
+
+
+def test_frame_source_default_inmemory_uses_content(spark, tmp_path):
+    """ADVICE r8: an in-memory frame's analyzed plan contains no data
+    (only schema + per-JVM expression ids), so the old plan-hash default
+    could serve the wrong cached parquet to a different session. The
+    default now derives from content_fingerprint: different data ->
+    different keys, identical data -> a cache hit."""
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([(2, "y")], ["id", "v"])
+    ra = m.frame_source("a", a)
+    rb = m.frame_source("b", b)
+    assert ra.key != rb.key
+    ra2 = m.frame_source(
+        "a", spark.createDataFrame([(1, "x")], ["id", "v"])
+    )
+    assert ra2.key == ra.key and ra2.from_cache
+
+
+def test_frame_source_default_tracks_inplace_rewrite(spark, tmp_path):
+    """ADVICE r8: for file-backed frames the default fingerprint folds
+    in the size/mtime_ns/inode listing of the input files, so an
+    in-place rewrite under the SAME path changes the key instead of
+    reusing the stale materialization."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.parquet(src)
+    m = PipelineManifest(spark, str(tmp_path / "pl"))
+    r1 = m.frame_source("s", spark.read.parquet(src))
+    spark.createDataFrame([(2, "y")], ["id", "v"]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    r2 = m.frame_source("s", spark.read.parquet(src))
+    assert r1.key != r2.key
+    assert [tuple(r) for r in r2.df.collect()] == [(2, "y")]

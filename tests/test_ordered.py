@@ -315,3 +315,33 @@ def test_rank_with_boundaries_matches_sampled(spark, monkeypatch):
         base.sort_values("id")["rk"].to_numpy()
         == given.sort_values("id")["rk"].to_numpy()
     ).all()
+
+
+def test_bucket_tree_sql_rejects_unsafe_identifiers(spark):
+    """ADVICE r8: a key column whose name contains a quote or backtick
+    must NOT be interpolated into the generated SQL (parse error or a
+    mis-parsed expression) — _bucket_tree_sql returns None and the
+    Column-object tree (which needs no escaping) takes over, producing
+    the same bucket ids. (A lone-backtick name is unresolvable even by
+    F.col — Spark-wide — so the fallback-reachable cases are quotes,
+    spaces, dashes: names F.col resolves but raw SQL interpolation
+    breaks on.)"""
+    from pylluminator_spark.operators.ordered import (
+        _PID,
+        _bucket_tree_sql,
+        _bucketized,
+    )
+
+    bad = "va'l ue"
+    df = spark.createDataFrame([(i,) for i in range(10)], [bad])
+    assert _bucket_tree_sql(df, [bad], [(3,), (7,)]) is None
+    # plain name still renders
+    ok = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    assert _bucket_tree_sql(ok, ["v"], [(3,), (7,)]) is not None
+    # end-to-end: the Column fallback buckets the quoted name correctly
+    got = {
+        r[bad]: r[_PID]
+        for r in _bucketized(df, [bad], None, boundaries=[(3,), (7,)])
+        .collect()
+    }
+    assert got == {i: (0 if i < 3 else 1 if i < 7 else 2) for i in range(10)}

@@ -207,3 +207,30 @@ def test_video_frame_phashes(spark):
         & {v for k, v in hs.items() if k[0] == 1}
     )
     assert shared == 2
+
+
+def test_phash_bit63_is_pure_python_twos_complement():
+    """ADVICE r8: int(np.int64(uint64-with-bit-63)) is an out-of-range
+    scalar-constructor cast (error under NumPy 2.x). The pure-Python
+    two's complement must return a negative long whenever bit 63 is set.
+    Bit 63 is coefficient (7,7) of the 8x8 DCT block; synthesizing the
+    32x32 image from the inverse DCT of a chosen coefficient grid makes
+    the bit deterministic."""
+    import numpy as np
+
+    from pylluminator_spark.operators.multimodal import (
+        _dct_matrix,
+        phash_bits,
+    )
+
+    d = _dct_matrix(32)
+    coefs = np.zeros((32, 32))
+    coefs[7, 7] = 10.0  # -> bit 63
+    coefs[0, 0] = 10.0  # -> bit 0
+    gray = d.T @ coefs @ d  # orthonormal: forward DCT recovers coefs
+    h = phash_bits(gray)
+    assert isinstance(h, int)
+    assert h < 0  # bit 63 set -> negative signed 64-bit
+    u = h + (1 << 64)
+    assert (u >> 63) & 1 == 1
+    assert u & 1 == 1

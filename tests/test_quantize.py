@@ -175,3 +175,44 @@ def test_adc_validates_query_dim(spark, emb, books):
     codes = pq_encode(emb, books, method="arrow")
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_scores(codes, books, [0.0] * 10)
+
+
+def test_encode_and_adc_with_quoted_column_names(spark, emb, books):
+    """ADVICE r8: the generated-SQL paths interpolate caller column
+    names; names with spaces/quotes must render safely (backtick-quoted
+    via _qid, embedded backticks doubled) and produce the same codes and
+    ADC scores as the plain-named run."""
+    from pylluminator_spark.operators.quantize import pq_adc_scores
+
+    odd_vec, odd_codes = "em b'x", "co de's"
+    renamed = emb.select(
+        "vec_id", F.col("embedding").alias(odd_vec)
+    )
+    plain = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in pq_encode(emb, books, method="expr").collect()
+    }
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["recon_err"])
+        for r in pq_encode(
+            renamed, books, vec_col=odd_vec, method="expr"
+        ).collect()
+    }
+    assert got == plain
+    codes_df = pq_encode(emb, books, method="expr").select(
+        "vec_id", F.col("codes").alias(odd_codes)
+    )
+    q = [0.1] * 64
+    want = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_scores(
+            pq_encode(emb, books, method="expr"), books, q
+        ).collect()
+    }
+    got_adc = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_scores(
+            codes_df, books, q, codes_col=odd_codes
+        ).collect()
+    }
+    assert got_adc == want

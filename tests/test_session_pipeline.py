@@ -133,3 +133,23 @@ def test_lineage_ledger_records_chain(spark, signal, tmp_path):
             "poobah_mask", "betas"} <= names
     anc = m.ancestors(refs["betas"].key)
     assert refs["signal"].key in anc and refs["noob"].key in anc
+
+
+def test_pipeline_masks_are_store_backed(spark, signal, tmp_path):
+    """ADVICE r8: the returned session's masks must read from the store
+    (the masks parquet union the poobah stage parquet), not drag the
+    original in-memory lineage along — every input file of the masks
+    plan lives under the manifest root."""
+    sess = MethylSession(spark=spark, signal=signal)
+    root = str(tmp_path / "pl")
+    m = PipelineManifest(spark, root)
+    piped, refs = sess.run_pipeline(m, source_fingerprint="fixture-v1")
+    files = piped.masks.inputFiles()
+    assert files, "store-backed masks should be file-backed"
+    assert all(root in f for f in files), files
+    # and the mask content matches the imperative chain
+    ref = sess.preprocess(
+        infer_channel=True, dye_bias="linear", noob=True,
+        poobah_threshold=0.05,
+    )
+    assert piped.masks.count() == ref.masks.count()
