@@ -2866,6 +2866,120 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VND_MASKS = [0, 32, 8224, 2105376, 538976288]  # nested prefixes of
+# bits {5, 13, 21, 29}: two frames whose mask indices differ by k are
+# exactly hamming k apart, so max_hamming=3 admits |Δindex| <= 3 pairs
+
+
+def _vnd_hash_expr(src, step: int, off: int):
+    """63-bit deterministic hash assembled from 8 byte pieces of pure
+    integer arithmetic (SQL-portable to DuckDB; top piece is 6 bits so
+    the sum stays positive and every piece*shift fits a BIGINT under
+    ANSI overflow checking)."""
+    total = None
+    for i in range(8):
+        mod = 64 if i == 7 else 256
+        piece = (src * 2654435761 + F.lit(i * step + off)) % mod
+        term = piece * F.lit(1 << (8 * i))
+        total = term if total is None else total + term
+    return total
+
+
+def _vnd_hash_sql(src: str, step: int, off: int) -> str:
+    terms = []
+    for i in range(8):
+        mod = 64 if i == 7 else 256
+        terms.append(
+            f"(({src} * 2654435761 + {i * step + off}) % {mod})"
+            f" * {1 << (8 * i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs from per-frame perceptual hashes
+    (operators.multimodal.video_near_dup_pairs — the video analogue of
+    the banded image pHash pairs): frame-hash tables synthesized with
+    SQL-portable integer arithmetic (8 content groups of 4 videos whose
+    frames differ by nested bit masks => planted pairs at hamming 0-3,
+    plus 8 noise videos with per-frame unique hashes), pigeonhole-banded
+    candidate join, per-pair matched-frame counts and containment
+    fractions. The arithmetic synthesis makes the WHOLE operator
+    (banding, hamming filter, multiplicity-weighted overlap aggregation)
+    hash-checkable against a brute-force DuckDB twin; real DCT pHashes
+    feed the same table shape via video_frame_phashes (pytest
+    brute-force parity in test_phash)."""
+    from pylluminator_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("d"))
+        .filter(F.col("d") < 600)
+    )
+    media = F.col("d") % 40
+    frame = F.expr("d div 40")
+    base = _vnd_hash_expr(media % 8, 40503, 12345)
+    noise = _vnd_hash_expr(F.col("d"), 1013904223, 17)
+    k = (frame + media) % 5
+    mask = F.lit(_VND_MASKS[0])
+    for idx in range(1, 5):
+        mask = F.when(k == idx, F.lit(_VND_MASKS[idx])).otherwise(mask)
+    phash = F.when(media >= 32, noise).otherwise(
+        base.cast("long").bitwiseXOR(mask.cast("long"))
+    )
+    fh = docs.select(
+        media.alias("media_id"),
+        frame.cast("long").alias("frame_idx"),
+        phash.cast("long").alias("phash"),
+    )
+    return video_near_dup_pairs(
+        fh, max_hamming=3, bands=8, min_shared_frames=4
+    )
+
+
+ORACLE_VIDEO_NEAR_DUP = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 600
+), fr AS (
+  SELECT d, d % 40 AS media_id, d // 40 AS frame_idx FROM d
+), fh AS (
+  SELECT media_id, frame_idx,
+         CASE WHEN media_id >= 32
+              THEN {_vnd_hash_sql('d', 1013904223, 17)}
+              ELSE xor(CAST({_vnd_hash_sql('(media_id % 8)', 40503, 12345)} AS BIGINT),
+                       CAST(CASE (frame_idx + media_id) % 5
+                            WHEN 0 THEN 0 WHEN 1 THEN 32 WHEN 2 THEN 8224
+                            WHEN 3 THEN 2105376 ELSE 538976288 END AS BIGINT))
+         END AS phash
+  FROM fr
+), tot AS (
+  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n FROM fh GROUP BY media_id
+), hm AS (
+  SELECT a.media_id AS ia, b.media_id AS ib,
+         a.frame_idx AS fa, b.frame_idx AS fb
+  FROM fh a JOIN fh b
+    ON a.media_id < b.media_id
+   AND bit_count(xor(a.phash, b.phash)) <= 3
+), ma AS (
+  SELECT ia, ib, CAST(COUNT(DISTINCT fa) AS BIGINT) AS matched_a
+  FROM hm GROUP BY ia, ib
+), mb AS (
+  SELECT ia, ib, CAST(COUNT(DISTINCT fb) AS BIGINT) AS matched_b
+  FROM hm GROUP BY ia, ib
+)
+SELECT ma.ia AS id_a, ma.ib AS id_b, matched_a, matched_b,
+       ta.n AS n_frames_a, tb.n AS n_frames_b,
+       matched_a / CAST(ta.n AS DOUBLE) AS frac_a,
+       matched_b / CAST(tb.n AS DOUBLE) AS frac_b
+FROM ma JOIN mb ON ma.ia = mb.ia AND ma.ib = mb.ib
+JOIN tot ta ON ta.media_id = ma.ia
+JOIN tot tb ON tb.media_id = ma.ib
+WHERE LEAST(matched_a, matched_b) >= 4
+"""
+
+
 def q_mixedlm_dmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 MixedLM path (reference dm.py:61-67): per-probe one-random-
     intercept REML over a paired design (sample_type fixed effect, donor
@@ -3451,6 +3565,67 @@ WITH toks AS (
 SELECT h.doc_id, t.n_grams, h.n_overlapping,
        ROUND(h.n_overlapping * 1.0 / t.n_grams, 6) AS overlap_fraction
 FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+"""
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level FUZZY decontamination
+    (operators.corpus.ngram_containment_pairs): for each (training doc,
+    benchmark doc) pair, the fraction of the benchmark doc\'s distinct
+    word 3-grams contained in the training doc — the near-match rule
+    practitioners threshold after the set-level exact screen
+    (q_decontaminate; n=3 and a low threshold because the synthetic
+    corpus is short). Benchmark grams broadcast; shuffles are the
+    within-doc dedup and the pair aggregation."""
+    from pylluminator_spark.operators.corpus import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 25 == 0
+    res = ngram_containment_pairs(
+        docs.filter(~bench_pred),
+        docs.filter(bench_pred),
+        n=3,
+        min_containment=0.05,
+    )
+    return res.select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        "bench_grams",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+ORACLE_DECONTAMINATE_FUZZY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')
+           AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [] END)) AS gram
+  FROM toks
+), dg AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % 25 <> 0
+), bg AS (
+  SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 25 = 0
+), bs AS (
+  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS bench_grams
+  FROM bg GROUP BY bench_id
+), sh AS (
+  SELECT dg.doc_id, bg.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id, bg.bench_id
+)
+SELECT sh.doc_id, sh.bench_id, n_shared, bench_grams,
+       ROUND(n_shared / CAST(bench_grams AS DOUBLE), 6) AS containment
+FROM sh JOIN bs USING (bench_id)
+WHERE n_shared / CAST(bench_grams AS DOUBLE) >= 0.05
 """
 
 
@@ -7566,24 +7741,20 @@ ORACLE_LANGID_SCORES = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
-    # against the DuckDB oracle each round. Round-8 rotation (VERDICT r7
-    # #1, exactly the plan the r7 registry queued): slots 1-4 are the 4
-    # round-7 additions (never gated; emu-green at sf0.01 AND sf0.1 —
-    # judge-verified in VERDICT r7); slots 5-17 are the 13 r4-aged
-    # entries the r7 slot budget deferred (emu-green sf0.01); slots
-    # 18-50 are the 33 oldest r5-green entries in their r5 gate order.
-    # After this round no oracle-bearing entry's latest driver row is
-    # older than r5, and the r9 queue head (section 4) is the 17
-    # remaining r5-green entries. Round-8 verification state: ALL 169
-    # oracle-bearing entries were run through the driver-faithful
-    # emulation against the final r8 code at BOTH sf0.01 AND sf0.1
-    # (tests/driver_emu.py; 169/169 hash-green at each SF — the first
-    # whole-registry two-SF sweep), and the never-gated langid pair
-    # additionally at sf0.001.
+    # against the DuckDB oracle each round. Round-9 rotation (VERDICT r8
+    # #1 plus the standing never-gated-first policy): slots 1-2 are the
+    # 2 round-9 additions (video_near_dup, decontaminate_fuzzy — never
+    # gated; emu-verified this round); slots 3-4 are the round-8 langid
+    # pair (never gated; emu-green at sf0.01 AND sf0.1, judge-verified
+    # in VERDICT r8); slots 5-21 are the 17 remaining r5-green entries
+    # (the oldest driver rows); slots 22-50 are the first 29 r6-green
+    # entries in their r6 gate order. After this round no oracle-bearing
+    # entry's latest driver row is older than r6, and the r10 queue head
+    # (section 5) is the remaining 21 r6-green entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 169 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with 171 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(169/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(171/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -7592,72 +7763,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays <= 13 (one gate section). A driver row is the gold signal;
     # the emu sweep is the bridge that keeps the interval covered.
     return {
-        # -- 1. slots 1-4: the 4 round-7 additions (never gated;
-        # emu-green at sf0.01 + sf0.1, VERDICT r7) -------------------
-        "exact_substr_spans": q_exact_substr_spans,
-        "suffix_array_ranks": q_suffix_array_ranks,
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "lineage_stage_cache": q_lineage_stage_cache,
-        # -- 2. slots 5-17: the 13 r4-aged entries deferred by the r7
-        # slot budget (emu-green sf0.01, VERDICT r7) ------------------
-        "explode_tokens": q_explode_tokens,
-        "mask_builders": q_mask_builders,
-        "probe_suffix_merge": q_probe_suffix_merge,
-        "typed_merge": q_typed_merge,
-        "interval_anti_join": q_interval_anti_join,
-        "beta_distribution": q_beta_distribution,
-        "quality_scores": q_quality_scores,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_ivf": q_ann_ivf,
-        "rollup_agg": q_rollup_agg,
-        "top_intensity_median": q_top_intensity_median,
-        "top_dm_genes": q_top_dm_genes,
-        "asof_join": q_asof_join,
-        # -- 3. slots 18-50: the 33 oldest r5-green entries (in their
-        # r5 gate order) ----------------------------------------------
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "pack_sequences": q_pack_sequences,
-        "semantic_near_dup": q_semantic_near_dup,
-        "stream_dedup": q_stream_dedup,
-        "table_profile": q_table_profile,
-        "top_ngrams": q_top_ngrams,
-        "source_mixing": q_source_mixing,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "clean_html": q_clean_html,
-        "url_normalize": q_url_normalize,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "domain_cap": q_domain_cap,
-        "weighted_sample": q_weighted_sample,
-        "logreg_predict": q_logreg_predict,
-        "logreg_step": q_logreg_step,
-        "pq_encode": q_pq_encode,
-        "bpe_pairs": q_bpe_pairs,
-        "prototype_prune": q_prototype_prune,
-        "pq_adc": q_pq_adc,
-        "event_transitions": q_event_transitions,
-        "value_histogram": q_value_histogram,
-        "validate_rules": q_validate_rules,
-        "ts_resample": q_ts_resample,
-        "ts_ewma": q_ts_ewma,
-        "ts_anomalies": q_ts_anomalies,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "zorder_key": q_zorder_key,
-        "hll_registers": q_hll_registers,
-        "cms_counters": q_cms_counters,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 3b. never-gated round-8 additions: take r9 slots FIRST per
-        # the rotation policy (emu-verified at 3 SFs this round).
-        # r9 gate plan: slots 1-2 = this section, slots 3-19 = the 17
-        # r5-green entries in section 4, slots 20-50 = the first 31
-        # entries of the r6-green section (oldest-green next) ----------
+        # -- 1. slots 1-2: the round-9 additions (never gated) ---------
+        "video_near_dup": q_video_near_dup,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        # -- 2. slots 3-4: the round-8 langid pair (never gated;
+        # emu-green at sf0.01 + sf0.1, VERDICT r8) ---------------------
         "langid_predict": q_langid_predict,
         "langid_scores": q_langid_scores,
-        # -- 4. r9 queue head: the 17 remaining r5-green entries
-        # (oldest driver rows after this round) ------------------------
+        # -- 3. slots 5-21: the 17 remaining r5-green entries (oldest
+        # driver rows) -------------------------------------------------
         "chi_square_assoc": q_chi_square_assoc,
         "mutual_info": q_mutual_info,
         "psi_drift": q_psi_drift,
@@ -7675,7 +7789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "rolling_corr": q_rolling_corr,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- 5. r6-green rows (all 50 green in CORRECTNESS_r06) --------
+        # -- 4. slots 22-50: the first 29 r6-green entries (r6 gate
+        # order) -------------------------------------------------------
         "bloom_filter": q_bloom_filter,
         "combat_stats": q_combat_stats,
         "cbs_tstat": q_cbs_tstat,
@@ -7705,6 +7820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 5. r10 queue head: the remaining 21 r6-green entries ------
         "agg_equals_max": q_agg_equals_max,
         "skew_salted_agg": q_skew_salted_agg,
         "bpe_token_stats": q_bpe_token_stats,
@@ -7777,7 +7894,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_channel": q_infer_channel,
         "total_ib_intensity": q_total_ib_intensity,
         "corr_by_brand": q_corr_by_brand,
-        # -- 7. rows-only (no oracle possible) — keep OUT of the gate --
+        # -- 7. r8-gated rows (all 50 green in CORRECTNESS_r08) --------
+        "exact_substr_spans": q_exact_substr_spans,
+        "suffix_array_ranks": q_suffix_array_ranks,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "lineage_stage_cache": q_lineage_stage_cache,
+        "explode_tokens": q_explode_tokens,
+        "mask_builders": q_mask_builders,
+        "probe_suffix_merge": q_probe_suffix_merge,
+        "typed_merge": q_typed_merge,
+        "interval_anti_join": q_interval_anti_join,
+        "beta_distribution": q_beta_distribution,
+        "quality_scores": q_quality_scores,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "rollup_agg": q_rollup_agg,
+        "top_intensity_median": q_top_intensity_median,
+        "top_dm_genes": q_top_dm_genes,
+        "asof_join": q_asof_join,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "semantic_near_dup": q_semantic_near_dup,
+        "stream_dedup": q_stream_dedup,
+        "table_profile": q_table_profile,
+        "top_ngrams": q_top_ngrams,
+        "source_mixing": q_source_mixing,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "clean_html": q_clean_html,
+        "url_normalize": q_url_normalize,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "domain_cap": q_domain_cap,
+        "weighted_sample": q_weighted_sample,
+        "logreg_predict": q_logreg_predict,
+        "logreg_step": q_logreg_step,
+        "pq_encode": q_pq_encode,
+        "bpe_pairs": q_bpe_pairs,
+        "prototype_prune": q_prototype_prune,
+        "pq_adc": q_pq_adc,
+        "event_transitions": q_event_transitions,
+        "value_histogram": q_value_histogram,
+        "validate_rules": q_validate_rules,
+        "ts_resample": q_ts_resample,
+        "ts_ewma": q_ts_ewma,
+        "ts_anomalies": q_ts_anomalies,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "zorder_key": q_zorder_key,
+        "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
+        # -- 8. rows-only (no oracle possible) — keep OUT of the gate --
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         "audio_spectral": q_audio_spectral,
@@ -7787,6 +7955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
+        "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,
         "revenue_by_nation": ORACLE_REVENUE_NATION,
         "top_customers": ORACLE_TOP_CUSTOMERS,

@@ -245,6 +245,71 @@ def ngram_overlap(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_containment: float = 0.5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    bench_col: str = "bench_id",
+) -> DataFrame:
+    """FUZZY decontamination: per-(training doc, benchmark doc) n-gram
+    containment — the near-match variant practitioners run after
+    ``ngram_overlap``\'s set-level exact screen (the PaLM/Llama-style
+    "contaminated if >= X% of the eval doc\'s n-grams appear in a
+    training doc" rule; containment rather than Jaccard because a long
+    training doc can swallow a short benchmark doc whole while their
+    union-based similarity stays near zero). Returns
+
+        (doc_id, bench_id, n_shared, bench_grams, containment)
+
+    with ``containment = |grams(doc) ∩ grams(bench)| / |grams(bench)|``
+    over DISTINCT word n-grams, filtered to pairs at or above
+    ``min_containment``; a benchmark doc shorter than ``n`` tokens has
+    no grams and can never be reported.
+
+    Scale: the benchmark side is dimension-sized (MBs against a 100 TB
+    corpus), so its exploded gram table is BROADCAST — the probe is a
+    map-side hash join against the training gram stream, and the only
+    shuffles are the within-doc gram dedup and the (doc, bench) pair
+    aggregation. Pair fan-out is bounded by the benchmark\'s total gram
+    volume: a training gram joins at most df_bench(gram) rows, so the
+    worst case is |train grams| x max benchmark df, never a cross
+    product. Reference analogue: the reference\'s probe-overlap screens
+    are single-table; pair-level containment is the corpus-pipeline
+    extension (SURVEY §2 beyond-reference block)."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    doc_grams = docs.select(
+        doc_col, F.explode(word_shingles_expr(toks, n)).alias("gram")
+    ).distinct()
+    bench_grams = benchmark.select(
+        F.col(doc_col).alias(bench_col),
+        F.explode(
+            word_shingles_expr(tokens_expr(F.lower(F.col(text_col))), n)
+        ).alias("gram"),
+    ).distinct()
+    bench_sizes = bench_grams.groupBy(bench_col).agg(
+        F.count(F.lit(1)).alias("bench_grams")
+    )
+    shared = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(doc_col, bench_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(bench_sizes), bench_col)
+        .withColumn(
+            "containment",
+            F.col("n_shared") / F.col("bench_grams").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(float(min_containment)))
+        .select(
+            doc_col, bench_col, "n_shared", "bench_grams", "containment"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram language-model scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------

@@ -859,3 +859,121 @@ def video_frame_phashes(
     return media.filter(F.col("kind") == "video").select(
         "media_id", "content"
     ).mapInPandas(hsh, schema="media_id long, frame_idx int, phash long")
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    *,
+    max_hamming: int = 7,
+    bands: int = 8,
+    min_shared_frames: int = 1,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from per-frame perceptual hashes (the
+    output of ``video_frame_phashes``): two videos are candidates when
+    any of their frame hashes share a bit-band (the ``phash_candidate_
+    pairs`` pigeonhole banding — exact recall for ``max_hamming <=
+    bands - 1``, enforced), and a frame of A counts as MATCHED when some
+    frame of B is within ``max_hamming``. Returns one row per video
+    pair with at least ``min_shared_frames`` matched frames on BOTH
+    sides:
+
+        (id_a, id_b, matched_a, matched_b, n_frames_a, n_frames_b,
+         frac_a, frac_b)
+
+    where ``frac_x = matched_x / n_frames_x`` is the fraction of that
+    video's sampled frames covered by the other video — the containment
+    score a dedup policy thresholds on (near-identical re-encodes score
+    ~1.0 both sides; a clip-in-a-compilation scores high on frac_a
+    only).
+
+    Scale: frame hashes are first collapsed to DISTINCT hashes per
+    video (with frame multiplicities), so still segments — hundreds of
+    identical frames, intro cards, black frames — cost ONE row in the
+    band join instead of a quadratic hot bucket; the join itself is
+    per-(band, value) buckets, never all-pairs, and downstream state is
+    two integer counters per (pair, side). Matched-frame counts weight
+    each distinct hash by its frame multiplicity, so the result is
+    IDENTICAL to matching raw frames one by one."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee only covers hamming <= bands-1 — raise bands"
+        )
+    dh = frame_hashes.groupBy(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_nf"))
+    totals = frame_hashes.groupBy(F.col(id_col).alias("_id")).agg(
+        F.count(F.lit(1)).alias("_total")
+    )
+    bw = 64 // bands
+    mask = (1 << bw) - 1
+    band_arr = F.array(
+        *[
+            (
+                F.shiftrightunsigned(F.col("_h"), b * bw)
+                .bitwiseAND(F.lit(mask))
+            )
+            for b in range(bands)
+        ]
+    )
+    left = dh.select(
+        "_id", "_h", "_nf", F.posexplode(band_arr).alias("_band", "_bv")
+    )
+    right = left.select(
+        F.col("_id").alias("_id2"),
+        F.col("_h").alias("_h2"),
+        F.col("_nf").alias("_nf2"),
+        "_band",
+        "_bv",
+    )
+    cand = (
+        left.join(right, ["_band", "_bv"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .filter(
+            F.bit_count(F.col("_h").bitwiseXOR(F.col("_h2")))
+            <= F.lit(max_hamming)
+        )
+        .select("_id", "_id2", "_h", "_nf", "_h2", "_nf2")
+        .distinct()
+    )
+    # a hash of A may match several hashes of B — count each matched
+    # distinct hash ONCE, weighted by its frame multiplicity
+    ma = (
+        cand.select("_id", "_id2", "_h", "_nf")
+        .distinct()
+        .groupBy("_id", "_id2")
+        .agg(F.sum("_nf").alias("matched_a"))
+    )
+    mb = (
+        cand.select("_id", "_id2", "_h2", "_nf2")
+        .distinct()
+        .groupBy("_id", "_id2")
+        .agg(F.sum("_nf2").alias("matched_b"))
+    )
+    return (
+        ma.join(mb, ["_id", "_id2"])
+        .join(totals, "_id")
+        .join(
+            totals.select(
+                F.col("_id").alias("_id2"), F.col("_total").alias("_t2")
+            ),
+            "_id2",
+        )
+        .filter(
+            F.least("matched_a", "matched_b") >= F.lit(min_shared_frames)
+        )
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            "matched_a",
+            "matched_b",
+            F.col("_total").alias("n_frames_a"),
+            F.col("_t2").alias("n_frames_b"),
+            (F.col("matched_a") / F.col("_total")).alias("frac_a"),
+            (F.col("matched_b") / F.col("_t2")).alias("frac_b"),
+        )
+    )

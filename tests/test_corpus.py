@@ -477,3 +477,68 @@ def test_bigram_lm_single_token_docs_absent(spark):
     )
     got = {r.doc_id for r in bigram_lm_scores(df).collect()}
     assert got == {3}
+
+
+def test_ngram_containment_pairs_matches_python(spark, docs, doc_rows):
+    """Pair-level fuzzy decontamination vs a pure-Python reference:
+    containment = |grams(doc) ∩ grams(bench)| / |grams(bench)| over
+    distinct word 4-grams, only pairs >= the threshold reported."""
+    from pylluminator_spark.operators.corpus import (
+        ngram_containment_pairs,
+    )
+
+    n, thresh = 4, 0.2
+    bench_ids = {d for d in doc_rows if d % 25 == 0}
+
+    def grams(text):
+        t = _tokens(text)
+        return {
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        }
+
+    want = {}
+    bg = {b: grams(doc_rows[b]) for b in bench_ids}
+    for d, text in doc_rows.items():
+        if d in bench_ids:
+            continue
+        dg = grams(text)
+        for b, g in bg.items():
+            if not g:
+                continue
+            shared = len(dg & g)
+            c = shared / len(g)
+            if c >= thresh:
+                want[(d, b)] = (shared, len(g), c)
+
+    got = {
+        (r["doc_id"], r["bench_id"]): (
+            r["n_shared"], r["bench_grams"], r["containment"]
+        )
+        for r in ngram_containment_pairs(
+            docs.filter(F.col("doc_id") % 25 != 0),
+            docs.filter(F.col("doc_id") % 25 == 0),
+            n=n,
+            min_containment=thresh,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert got[k][2] == pytest.approx(want[k][2], abs=0)
+    assert want, "threshold too strict — test is vacuous"
+
+
+def test_ngram_containment_pairs_plan_is_broadcast(spark, docs):
+    from pylluminator_spark.operators.corpus import (
+        ngram_containment_pairs,
+    )
+
+    out = ngram_containment_pairs(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0),
+        n=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -234,3 +234,139 @@ def test_phash_bit63_is_pure_python_twos_complement():
     u = h + (1 << 64)
     assert (u >> 63) & 1 == 1
     assert u & 1 == 1
+
+
+def _brute_video_pairs(rows, t, k):
+    """Reference: rows = [(vid, frame_idx, phash)]; a frame of A is
+    matched when some frame of B is within hamming t; pair kept when
+    both matched counts >= k."""
+    import itertools
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    byv = {}
+    for vid, _idx, h in rows:
+        byv.setdefault(vid, []).append(h)
+    out = {}
+    for a, b in itertools.combinations(sorted(byv), 2):
+        ma = sum(
+            1 for ha in byv[a] if any(ham(ha, hb) <= t for hb in byv[b])
+        )
+        mb = sum(
+            1 for hb in byv[b] if any(ham(ha, hb) <= t for ha in byv[a])
+        )
+        if min(ma, mb) >= k:
+            out[(a, b)] = (ma, mb, len(byv[a]), len(byv[b]))
+    return out
+
+
+def test_video_near_dup_pairs_brute_force_parity(spark):
+    """Operator vs all-pairs reference on adversarial frame-hash tables:
+    planted near-dups at several hamming distances, repeated frames
+    (still segments), negative hashes (bit 63), and disjoint videos."""
+    import random
+
+    from pylluminator_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    bases = [rng.getrandbits(63) for _ in range(6)]
+    bases[3] |= 1 << 62
+    for vid in range(12):
+        base = bases[vid % 6]
+        for idx in range(5 + vid % 3):
+            h = base
+            # flip vid%4 low bits on odd frames -> hamming 0..3 planted
+            if idx % 2:
+                for b in range(vid % 4):
+                    h ^= 1 << (b * 7)
+            if vid >= 9:  # pure noise videos
+                h = rng.getrandbits(64)
+            h = h - (1 << 64) if h >= (1 << 63) else h
+            rows.append((vid, idx, h))
+            if idx == 0:  # a still segment: frame 0 repeated twice
+                rows.append((vid, 100 + idx, h))
+    df = spark.createDataFrame(rows, "media_id long, frame_idx int, phash long")
+    for t, k in [(3, 1), (0, 2), (7, 3)]:
+        got = {
+            (r["id_a"], r["id_b"]): (
+                r["matched_a"], r["matched_b"],
+                r["n_frames_a"], r["n_frames_b"],
+            )
+            for r in video_near_dup_pairs(
+                df, max_hamming=t, bands=8, min_shared_frames=k
+            ).collect()
+        }
+        want = _brute_video_pairs(rows, t, k)
+        assert got == want, (t, k)
+
+
+def test_video_near_dup_pairs_end_to_end(spark):
+    """Full pipeline on packed synthetic videos: re-encode twins match
+    on every frame (frac 1.0 both sides), a clip-in-compilation matches
+    asymmetrically, disjoint videos produce no pair."""
+    import struct
+
+    from pylluminator_spark.operators.multimodal import (
+        KIND_VIDEO,
+        MAGIC,
+        video_frame_phashes,
+        video_near_dup_pairs,
+    )
+
+    h, w = 20, 24
+    f = [_img(i, h, w)[:, :, 0] for i in range(8)]
+
+    def vid(frames):
+        header = MAGIC + struct.pack("<BHHH", KIND_VIDEO, w, h, len(frames))
+        return header + np.concatenate(
+            [fr.ravel() for fr in frames]
+        ).tobytes()
+
+    v0 = vid(f[0:4])          # base
+    v1 = vid(f[0:4])          # exact twin of v0
+    v2 = vid(f[0:2] + f[4:6])  # shares half with v0
+    v3 = vid(f[6:8])          # disjoint
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0, 1, 2, 3],
+                "kind": "video",
+                "content": [v0, v1, v2, v3],
+            }
+        )
+    )
+    fh = video_frame_phashes(media, every_n=1)
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_near_dup_pairs(
+            fh, max_hamming=0, bands=8, min_shared_frames=2
+        ).collect()
+    }
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    assert pairs[(0, 1)]["frac_a"] == 1.0 and pairs[(0, 1)]["frac_b"] == 1.0
+    assert pairs[(0, 2)]["matched_a"] == 2 and pairs[(0, 2)]["frac_b"] == 0.5
+    # plan shape: banded equi-join, never a product
+    plan = (
+        video_near_dup_pairs(fh)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_near_dup_pairs_validates_params(spark):
+    from pylluminator_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0, 1)], "media_id long, frame_idx int, phash long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        video_near_dup_pairs(df, max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        video_near_dup_pairs(df, max_hamming=3, bands=7)

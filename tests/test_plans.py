@@ -102,6 +102,10 @@ CLEAN = [
     # winsorize: grouped percentile stats broadcast back + codegen clamp
     # (robust_zscore is the same shape twice: median pass, MAD pass)
     "winsorize", "robust_zscore",
+    # round 9: video near-dup — banded frame-hash equi self-join (never
+    # all-pairs) + multiplicity-weighted hash aggregates; fuzzy
+    # decontamination — benchmark gram table broadcast, pair-keyed agg
+    "video_near_dup", "decontaminate_fuzzy",
 ]
 
 # global scalar aggregate: the final 1-row stage exchanges O(partitions)
