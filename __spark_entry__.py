@@ -7739,18 +7739,279 @@ ORACLE_LANGID_SCORES = (
 )
 
 
+def _ccnet_paragraphed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with INJECTED paragraph structure (the corpus has no
+    paragraph breaks — same trick as q_dedup_paragraphs): a 1-token
+    'Header' paragraph (exercises bucket='short') plus three text
+    slices."""
+    docs = _t(spark, sf_dir, "documents")
+    ptext = F.concat_ws(
+        "\n\n",
+        F.lit("Header"),
+        F.substring("text", 1, 80),
+        F.substring("text", 81, 80),
+        F.substring("text", 161, 100000),
+    )
+    return docs.select("doc_id", "lang", ptext.alias("text"))
+
+
+def q_paragraph_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph perplexity bucketing (operators.ccnet
+    .paragraph_lm_buckets — Wenzek et al. 2020): every paragraph scored
+    under a bigram stupid-backoff LM fit on the ENGLISH documents (the
+    reference-corpus path — perplexity against curated text, not
+    self-fit), then head/middle/tail by GLOBAL perplexity rank terciles
+    (bucketized two-phase rank, integer rank arithmetic — no float
+    percentile interpolation). min_bigram_count=2 exercises the
+    count-prune/backoff path; the 1-token 'Header' paragraph exercises
+    bucket='short'. The contribution fold is sorted-(u, w) so avg_nll is
+    bit-identical cross-engine before the ROUND(6) gate."""
+    from pylluminator_spark.operators.ccnet import paragraph_lm_buckets
+
+    docs = _ccnet_paragraphed(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = paragraph_lm_buckets(
+        docs.select("doc_id", "text"), reference=ref, min_bigram_count=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("para_idx").cast("long").alias("para_idx"),
+        "para",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        "bucket",
+    )
+
+
+# shared CTE chain: inject paragraphs -> split -> tokenize -> bigrams ->
+# reference (en) model -> stupid-backoff score -> global rank terciles
+_CCNET_ORACLE_BODY = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         'Header' || chr(10) || chr(10)
+           || substr(text, 1, 80) || chr(10) || chr(10)
+           || substr(text, 81, 80) || chr(10) || chr(10)
+           || substr(text, 161, 100000) AS t
+  FROM documents
+), split AS (
+  SELECT doc_id, lang, string_split_regex(t, '\n{2,}') AS lst FROM base
+), paras AS (
+  SELECT doc_id, lang, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM split, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), toks AS (
+  SELECT doc_id, para_idx, lang,
+         list_filter(regexp_split_to_array(lower(para), '\s+'),
+                     x -> x != '') AS tk
+  FROM paras
+), big AS (
+  SELECT doc_id, para_idx, lang, tk[i] AS u, tk[i + 1] AS w
+  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2
+), doc_big AS (
+  SELECT doc_id, para_idx, u, w, COUNT(*) AS dcnt
+  FROM big GROUP BY doc_id, para_idx, u, w
+), model AS (
+  SELECT u, w, COUNT(*) AS cuw FROM big WHERE lang = 'en'
+  GROUP BY u, w HAVING COUNT(*) >= 2
+), u_tot AS (
+  SELECT u, COUNT(*) AS cu FROM big WHERE lang = 'en' GROUP BY u
+), uni AS (
+  SELECT w, COUNT(*) AS cw FROM big WHERE lang = 'en' GROUP BY w
+), corpus AS (
+  SELECT SUM(cw) AS t_total, COUNT(*) AS v_size FROM uni
+), contribs AS (
+  SELECT d.doc_id, d.para_idx, d.u, d.w, d.dcnt,
+         d.dcnt * ln(CASE WHEN m.cuw IS NOT NULL THEN m.cuw / ut.cu
+                     ELSE 0.4 * ((COALESCE(un.cw, 0) + 1.0)
+                                 / (c.t_total + 1.0 * (c.v_size + 1)))
+                     END) AS contrib
+  FROM doc_big d
+  LEFT JOIN model m ON d.u = m.u AND d.w = m.w
+  LEFT JOIN u_tot ut ON d.u = ut.u
+  LEFT JOIN uni un ON d.w = un.w
+  CROSS JOIN corpus c
+), scored AS (
+  SELECT doc_id, para_idx, CAST(SUM(dcnt) AS BIGINT) AS n_bigrams,
+         -list_reduce(list(contrib ORDER BY u, w), (a, b) -> a + b)
+           / SUM(dcnt) AS avg_nll
+  FROM contribs GROUP BY doc_id, para_idx
+), nrow AS (SELECT COUNT(*) AS n FROM scored),
+bucketed AS (
+  SELECT doc_id, para_idx, n_bigrams, avg_nll,
+         ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id, para_idx) AS rnk
+  FROM scored
+)
+"""
+
+ORACLE_PARAGRAPH_LM_BUCKETS = _CCNET_ORACLE_BODY + r"""
+SELECT p.doc_id, CAST(p.para_idx AS BIGINT) AS para_idx, p.para,
+       b.n_bigrams, ROUND(b.avg_nll, 6) AS avg_nll,
+       CASE WHEN b.rnk IS NULL THEN 'short'
+            WHEN b.rnk <= FLOOR(n.n * 0.3333333333333333) THEN 'head'
+            WHEN b.rnk <= FLOOR(n.n * 0.6666666666666666) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM paras p
+LEFT JOIN bucketed b ON p.doc_id = b.doc_id AND p.para_idx = b.para_idx
+CROSS JOIN nrow n
+"""
+
+
+def q_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head+middle cut with reassembly (operators.ccnet
+    .ccnet_paragraph_filter): drop every 'tail'-bucket paragraph (worst
+    perplexity tercile under the English-reference bigram LM), keep
+    'short' paragraphs, and rebuild each document from its survivors —
+    one doc-keyed aggregation, same contract as dedup_paragraphs (every
+    input document survives). Gate hash-compares the FULL reassembled
+    documents plus kept/dropped counts."""
+    from pylluminator_spark.operators.ccnet import ccnet_paragraph_filter
+
+    docs = _ccnet_paragraphed(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = ccnet_paragraph_filter(
+        docs.select("doc_id", "text"), reference=ref, min_bigram_count=2
+    )
+    return out.select(
+        "doc_id", "clean_text", "n_paras_kept", "n_paras_dropped"
+    )
+
+
+ORACLE_CCNET_FILTER = _CCNET_ORACLE_BODY + r"""
+, kept AS (
+  SELECT p.doc_id, p.para_idx, p.para,
+         (b.rnk IS NULL
+          OR b.rnk <= FLOOR(n.n * 0.6666666666666666)) AS keep_it
+  FROM paras p
+  LEFT JOIN bucketed b ON p.doc_id = b.doc_id AND p.para_idx = b.para_idx
+  CROSS JOIN nrow n
+), rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                    FILTER (WHERE keep_it), '') AS clean_text,
+         COUNT(*) FILTER (WHERE keep_it) AS n_paras_kept,
+         COUNT(*) FILTER (WHERE NOT keep_it) AS n_paras_dropped
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(COALESCE(r.n_paras_dropped, 0) AS BIGINT) AS n_paras_dropped
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
+def _dot64(a: str, b: str) -> str:
+    """Unrolled left-associative float64 dot product over the 64-dim
+    embedding — bit-identical to the Spark fixed-order fold
+    (dot_double_expr), same discipline as _KMEANS_DIST_SQL."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+
+
+def _dist64(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    )
+
+
+def _cos64(a: str, b: str) -> str:
+    return (
+        f"({_dot64(a, b)}) / (sqrt({_dot64(a, a)}) * sqrt({_dot64(b, b)}))"
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators.mining
+    .hard_negative_mining — the DPR/ANCE sampling step): per query, the
+    top-5 most cosine-similar corpus vectors with a DIFFERENT label,
+    found through the IVF coarse quantizer (6 fixed cells, corpus in its
+    1 nearest cell, queries probe their 2 nearest — each query touches
+    ~1/3 of the corpus, never all of it). Cell assignment orders raw
+    fixed-order-float64 squared distances (bit-identical cross-engine,
+    the kmeans_assign precedent); only the displayed similarity is
+    rounded."""
+    from pylluminator_spark.operators.mining import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    queries_df = emb.filter(
+        (F.col("vec_id") >= 6) & (F.col("vec_id") < 26)
+    ).select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    out = hard_negative_mining(
+        emb, queries_df, k=5, centroids=cents, n_probe=2
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("similarity", 6).alias("similarity"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 6
+), qd AS (
+  SELECT e.vec_id AS query_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_dist64("e.embedding", "c.cv")} ASC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id >= 6 AND e.vec_id < 26
+), qcells AS (
+  SELECT query_id, cid FROM qd WHERE rn <= 2
+), cd AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_dist64("e.embedding", "c.cv")} ASC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), ccells AS (
+  SELECT vec_id, cid FROM cd WHERE rn = 1
+), pairs AS (
+  SELECT q.vec_id AS query_id, t.vec_id,
+         {_cos64("q.embedding", "t.embedding")} AS sim
+  FROM embeddings q
+  JOIN qcells qc ON qc.query_id = q.vec_id
+  JOIN ccells cc ON cc.cid = qc.cid
+  JOIN embeddings t ON t.vec_id = cc.vec_id
+  WHERE t.vec_id != q.vec_id AND t.label != q.label
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, ROUND(sim, 6) AS similarity,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-9 rotation (VERDICT r8
     # #1 plus the standing never-gated-first policy): slots 1-2 are the
-    # 2 round-9 additions (video_near_dup, decontaminate_fuzzy — never
-    # gated; emu-verified this round); slots 3-4 are the round-8 langid
-    # pair (never gated; emu-green at sf0.01 AND sf0.1, judge-verified
-    # in VERDICT r8); slots 5-21 are the 17 remaining r5-green entries
-    # (the oldest driver rows); slots 22-50 are the first 29 r6-green
-    # entries in their r6 gate order. After this round no oracle-bearing
-    # entry's latest driver row is older than r6, and the r10 queue head
-    # (section 5) is the remaining 21 r6-green entries.
+    # 2 round-9 dedup/decontamination additions (video_near_dup,
+    # decontaminate_fuzzy — never gated; emu-verified this round);
+    # slots 3-4 are the round-8 langid pair (never gated; emu-green at
+    # sf0.01 AND sf0.1, judge-verified in VERDICT r8); slots 5-6 are the
+    # round-9 CCNet pair (paragraph_lm_buckets, ccnet_filter — never
+    # gated; emu-verified at sf0.001/0.01/0.1 this round); slots 7-23
+    # are the 17 remaining r5-green entries (the oldest driver rows);
+    # slots 24-50 are the first 27 r6-green entries in their r6 gate
+    # order. The r10 queue head (section 6) is the remaining 23
+    # r6-green entries (now led by exists_shapes, min_cost_match).
     #
     # ROTATION POLICY (VERDICT r6 #5, standing): with 171 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
@@ -7770,7 +8031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emu-green at sf0.01 + sf0.1, VERDICT r8) ---------------------
         "langid_predict": q_langid_predict,
         "langid_scores": q_langid_scores,
-        # -- 3. slots 5-21: the 17 remaining r5-green entries (oldest
+        # -- 3. slots 5-6: the round-9 CCNet pair (never gated) --------
+        "paragraph_lm_buckets": q_paragraph_lm_buckets,
+        "ccnet_filter": q_ccnet_filter,
+        # -- 4. slots 7-23: the 17 remaining r5-green entries (oldest
         # driver rows) -------------------------------------------------
         "chi_square_assoc": q_chi_square_assoc,
         "mutual_info": q_mutual_info,
@@ -7789,7 +8053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "rolling_corr": q_rolling_corr,
         "jaccard_pairs": q_jaccard_pairs,
-        # -- 4. slots 22-50: the first 29 r6-green entries (r6 gate
+        # -- 5. slots 24-50: the first 27 r6-green entries (r6 gate
         # order) -------------------------------------------------------
         "bloom_filter": q_bloom_filter,
         "combat_stats": q_combat_stats,
@@ -7818,10 +8082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_time": q_moving_avg_time,
         "window_ranks": q_window_ranks,
         "grouping_sets": q_grouping_sets,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 6. r9 addition (never gated — r10 debut; emu-verified at
+        # sf0.001/0.01/0.1 this round) ---------------------------------
+        "hard_negatives": q_hard_negatives,
+        # -- 6b. r10 queue head: the remaining 23 r6-green entries -----
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 5. r10 queue head: the remaining 21 r6-green entries ------
         "agg_equals_max": q_agg_equals_max,
         "skew_salted_agg": q_skew_salted_agg,
         "bpe_token_stats": q_bpe_token_stats,
@@ -7843,7 +8110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "stream_join": q_stream_join,
-        # -- 6. r7-gated rows (all 50 green in CORRECTNESS_r07) --------
+        # -- 7. r7-gated rows (all 50 green in CORRECTNESS_r07) --------
         "tfidf_pairs": q_tfidf_pairs,
         "apply_changes": q_apply_changes,
         "k_anonymity": q_k_anonymity,
@@ -7894,7 +8161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_channel": q_infer_channel,
         "total_ib_intensity": q_total_ib_intensity,
         "corr_by_brand": q_corr_by_brand,
-        # -- 7. r8-gated rows (all 50 green in CORRECTNESS_r08) --------
+        # -- 8. r8-gated rows (all 50 green in CORRECTNESS_r08) --------
         "exact_substr_spans": q_exact_substr_spans,
         "suffix_array_ranks": q_suffix_array_ranks,
         "exact_substr_dedup": q_exact_substr_dedup,
@@ -7945,7 +8212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
-        # -- 8. rows-only (no oracle possible) — keep OUT of the gate --
+        # -- 9. rows-only (no oracle possible) — keep OUT of the gate --
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         "audio_spectral": q_audio_spectral,
@@ -8047,6 +8314,9 @@ def oracle_sql() -> dict[str, str]:
         "suffix_array_ranks": ORACLE_SUFFIX_ARRAY,
         "langid_predict": ORACLE_LANGID_PREDICT,
         "langid_scores": ORACLE_LANGID_SCORES,
+        "paragraph_lm_buckets": ORACLE_PARAGRAPH_LM_BUCKETS,
+        "ccnet_filter": ORACLE_CCNET_FILTER,
+        "hard_negatives": ORACLE_HARD_NEGATIVES,
         "exact_substr_dedup": ORACLE_EXACT_SUBSTR_DEDUP,
         "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,

@@ -372,6 +372,33 @@ def unigram_lm_scores(
     )
 
 
+def _bigram_doc_counts(
+    docs: DataFrame, text_col: str, doc_col: str
+) -> DataFrame:
+    """(doc, u, w, dcnt): per-document bigram counts over the lowercased
+    whitespace tokens — the shared base of the model-fit and scoring
+    sides of ``bigram_lm_scores``."""
+    toks = docs.select(
+        doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    big = (
+        toks.filter(F.col("_n") >= 2)
+        .select(
+            doc_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.col("_n") - 1).alias("u"),
+                    F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("w"),
+                )
+            ).alias("_b"),
+        )
+        .select(doc_col, F.col("_b.u").alias("u"), F.col("_b.w").alias("w"))
+    )
+    return big.groupBy(doc_col, "u", "w").agg(
+        F.count(F.lit(1)).alias("dcnt")
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     text_col: str = "text",
@@ -380,6 +407,7 @@ def bigram_lm_scores(
     alpha: float = 1.0,
     backoff: float = 0.4,
     min_bigram_count: int = 1,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under a BIGRAM LM with
     stupid backoff (Brants et al. 2007, the web-scale scheme KenLM-style
@@ -407,41 +435,34 @@ def bigram_lm_scores(
     at web-scale vocabularies. The per-doc float sum folds term
     contributions in SORTED (u, w) order — reproducible across engines
     and partitionings, same discipline as ``unigram_lm_scores``.
+
+    ``reference`` (CCNet, Wenzek et al. 2020): fit the model on a
+    DIFFERENT corpus (same ``text_col``/``doc_col`` schema) and score
+    ``docs`` under it — perplexity against curated text (CCNet uses
+    Wikipedia) rather than self-fit. ``None`` keeps the self-fit
+    semantics (model counts roll up from the scored corpus itself).
     """
-    toks = docs.select(
-        doc_col, tokens_expr(F.lower(F.col(text_col))).alias("_t")
-    ).withColumn("_n", F.size("_t"))
-    big = (
-        toks.filter(F.col("_n") >= 2)
-        .select(
-            doc_col,
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("_t"), 1, F.col("_n") - 1).alias("u"),
-                    F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("w"),
-                )
-            ).alias("_b"),
-        )
-        .select(doc_col, F.col("_b.u").alias("u"), F.col("_b.w").alias("w"))
+    doc_big = _bigram_doc_counts(docs, text_col, doc_col)
+    # model/u_tot/uni all ROLL UP from the fit-side counts; with
+    # reference=None that is doc_big itself, so Spark's ReuseExchange
+    # computes the tokenize + explode + (doc,u,w) shuffle ONCE and the
+    # three rollups aggregate the much smaller doc_big table — the same
+    # exchange-reuse shape unigram_lm_scores uses for its vocab
+    ref_big = (
+        doc_big
+        if reference is None
+        else _bigram_doc_counts(reference, text_col, doc_col)
     )
-    doc_big = big.groupBy(doc_col, "u", "w").agg(
-        F.count(F.lit(1)).alias("dcnt")
-    )
-    # model/u_tot/uni all ROLL UP from doc_big (sum of per-doc counts ==
-    # corpus count), so Spark's ReuseExchange computes the tokenize +
-    # explode + (doc,u,w) shuffle ONCE and the three rollups aggregate
-    # the much smaller doc_big table — the same exchange-reuse shape
-    # unigram_lm_scores uses for its vocab
     model = (
-        doc_big.groupBy("u", "w")
+        ref_big.groupBy("u", "w")
         .agg(F.sum("dcnt").alias("cuw"))
         .filter(F.col("cuw") >= min_bigram_count)
     )
-    u_tot = doc_big.groupBy("u").agg(F.sum("dcnt").alias("cu"))
+    u_tot = ref_big.groupBy("u").agg(F.sum("dcnt").alias("cu"))
     model = model.join(u_tot, "u")
     # backoff distribution over CONTINUATION positions (doc-initial
     # tokens never appear as w)
-    uni = doc_big.groupBy("w").agg(F.sum("dcnt").alias("cw"))
+    uni = ref_big.groupBy("w").agg(F.sum("dcnt").alias("cw"))
     corpus = uni.agg(
         F.sum("cw").alias("t_total"), F.count(F.lit(1)).alias("v_size")
     )

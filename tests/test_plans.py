@@ -143,6 +143,10 @@ SCALAR_AGG_OK = [
     # bigram LM: corpus-sized model table joins by HASH (never
     # broadcast); the only broadcast is the 1-row corpus scalar
     "bigram_lm",
+    # CCNet paragraph filter: bigram-LM hash joins + bucketized global
+    # rank; the broadcasts are the 1-row corpus scalar and the 1-row
+    # scored-paragraph count (tercile cuts)
+    "paragraph_lm_buckets", "ccnet_filter",
     # DSIR: data-bearing stages are one (doc, bucket) hash aggregate +
     # a broadcast join on the <=buckets-row log-ratio table; the
     # corpus-total scalars are 1-row broadcast crossJoins
@@ -222,6 +226,9 @@ BNLJ_OK = [
     "semantic_near_dup",
     # prototype_prune embeds the same broadcast-centroid BNLJ assignment
     "prototype_prune",
+    # hard-negative mining embeds the broadcast-centroid BNLJ cell
+    # assignment; its candidate stage is an equi join on the cell id
+    "hard_negatives",
     # pagerank broadcasts the 1-row dangling-mass aggregate each iteration
     "graph_pagerank",
     # LID fans per-doc bucket counts out by the broadcast lang dimension
