@@ -529,15 +529,17 @@ def bh_adjust_global(
     rank-then-rerank composition paid a second full data shuffle plus a
     boundary-sample pass that re-executed the whole rank plan): both
     directions run over ONE bucketization of the p-order —
-    the ascending row_number gives the rank, and the REVERSE running
-    minimum is the same window's suffix frame
-    (``rowsBetween(currentRow, unboundedFollowing)``) — min is
-    order-insensitive, so suffix-min within bucket + exclusive
+    the ascending row_number gives the rank, and the suffix minimum is
+    a RUNNING min over the reversed in-bucket order (min is
+    order-insensitive), so suffix-min within bucket + exclusive
     suffix-min over the per-bucket stats (tiny, broadcast back) is
     exactly min_{j>=i}. One data shuffle total; every branch hangs off
     the same ``_PID`` exchange (ReuseExchange; buckets are
     literal-deterministic, so a failed reuse costs a recompute, never
-    correctness).
+    correctness). The reverse-order window costs one extra in-partition
+    sort — never use a (currentRow, unboundedFollowing) frame for this:
+    Spark evaluates shrinking frames by re-scanning the remainder per
+    row, O(rows^2) per bucket.
     """
     ties = tie_cols or []
     nn = df.filter(F.col(p_col).isNotNull())
@@ -551,9 +553,17 @@ def bh_adjust_global(
             "_bh_raw",
             F.col(p_col) * F.lit(float(n)) / F.col("_bh_rank"),
         )
-        w_suf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # suffix min as a RUNNING min over the reversed total order —
+        # NOT a (currentRow, unboundedFollowing) frame: Spark's
+        # shrinking-frame WindowExec re-scans the remaining frame per
+        # row, O(rows^2) per partition (measured 27 s vs 1.3 s on a
+        # 150 k-row input; count()-timed benches masked it because a
+        # cardinality-preserving window is pruned from a count plan)
+        w_rev = Window.orderBy(
+            *[F.col(c).desc() for c in order]
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         return (
-            ranked.withColumn("_bh_min", F.min("_bh_raw").over(w_suf))
+            ranked.withColumn("_bh_min", F.min("_bh_raw").over(w_rev))
             .withColumn(out_col, F.least(F.lit(1.0), F.col("_bh_min")))
             .drop("_bh_rank", "_bh_raw", "_bh_min")
         )
@@ -579,10 +589,16 @@ def bh_adjust_global(
             F.col(p_col) * F.lit(float(n)) / F.col("_bh_rank"),
         )
     )
-    # suffix min within the bucket (current row included) — the same
-    # partitioning and sort order as the rank window, so no new exchange
-    w_suf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    ranked = ranked.withColumn("_bh_sufmin", F.min("_bh_raw").over(w_suf))
+    # suffix min within the bucket (current row included) — a RUNNING
+    # min over the REVERSED in-bucket order: same _PID partitioning (no
+    # new exchange), one extra in-partition sort. A (currentRow,
+    # unboundedFollowing) frame is the wrong tool: Spark's
+    # shrinking-frame WindowExec re-scans the remaining frame per row,
+    # O(rows^2) per bucket (see the small-path note above).
+    w_rev = Window.partitionBy(_PID).orderBy(
+        *[F.col(c).desc() for c in order]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ranked.withColumn("_bh_sufmin", F.min("_bh_raw").over(w_rev))
     # per-bucket total min -> EXCLUSIVE suffix min over later buckets
     # (tiny stats table; NULL for the last bucket — least() ignores it)
     bstats = ranked.groupBy(_PID).agg(F.min("_bh_raw").alias("_bmin"))
