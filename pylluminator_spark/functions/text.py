@@ -39,6 +39,34 @@ def let_expr(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def char_grams_expr(text: Column, n: int) -> Column:
+    """Array of every length-``n`` character gram of ``text`` (positions
+    1..len-n+1); empty array for texts shorter than ``n``.
+
+    O(len) per row: the text is split into its char array ONCE
+    (let-bound — Spark re-evaluates lambda-captured subtrees per
+    element), and each gram is a concat of ``n`` O(1) ``element_at``
+    lookups. The naive ``transform(seq, i -> substring(text, i, n))`` is
+    O(len^2): every ``substring`` call seeks its start by walking the
+    UTF-8 bytes from the front — ruinous for 100 KB web documents.
+    ``text`` may be any expression (it is only referenced outside the
+    lambdas)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def _grams(arr: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat(
+                *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        )
+
+    return F.when(
+        F.length(text) >= n, let_expr(F.split(text, ""), _grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization, empty tokens removed."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")

@@ -598,13 +598,15 @@ def kmer_hash_array_expr(text, k: int = 8):
     n_kmers = F.length(text) - F.lit(k - 1)
     # HOF lambdas are interpreted (no whole-stage codegen) AND re-evaluate
     # captured expression subtrees per element — so (1) the char-code
-    # array is let-bound (computed once per row, O(len) ascii calls, not
-    # O(len*k)), and (2) the per-position hash is an UNROLLED k-term
-    # weighted sum over cheap element_at int lookups (no per-position
-    # nested aggregate, no substr object churn).
+    # array is let-bound (computed once per row), and (2) the
+    # per-position hash is an UNROLLED k-term weighted sum over cheap
+    # element_at int lookups (no per-position nested aggregate, no
+    # substr object churn). The codes array itself is built from a char
+    # SPLIT, not per-position substr: substr(i, 1) seeks its start by
+    # walking UTF-8 bytes from the front, O(len^2) per document.
     codes = F.transform(
-        F.sequence(F.lit(1), F.length(text)),
-        lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
+        F.split(text, ""),
+        lambda ch: F.ascii(ch).cast("long"),
     )
 
     def _hashes(cv):

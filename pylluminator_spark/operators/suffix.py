@@ -41,6 +41,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pylluminator_spark.functions.text import char_grams_expr, let_expr
 from pylluminator_spark.operators.ordered import with_global_rank
 
 
@@ -69,20 +70,29 @@ def _base_ranks(
     position explode they feed."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par)
+    # grams built map-side from ONE char split per document (see
+    # functions.text.char_grams_expr: per-position substring is an
+    # O(pos) UTF-8 seek — O(len^2)/doc — and the old explode-then-
+    # substring shape also copied the FULL text into every exploded
+    # row). Tail positions (pos > len - w0 + 1) take their shorter
+    # remainder: F.get returns NULL past the end and concat_ws skips
+    # NULLs, exactly the shorter-string-sorts-first sentinel semantics.
+    tail_grams = let_expr(
+        F.split(F.col(text_col), ""),
+        lambda a: F.transform(
+            F.sequence(F.lit(1), F.size(a)),
+            lambda i: F.concat_ws(
+                "", *[F.get(a, i - 1 + F.lit(j)) for j in range(w0)]
+            ),
+        ),
+    )
     grams = (
         docs.filter(F.length(text_col) >= 1)  # sequence(1,0) is [1,0]!
         .select(
             F.col(doc_col).alias("_doc"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col))
-            ).alias("_pos"),
-            F.col(text_col).alias("_t"),
+            F.posexplode(tail_grams).alias("_p0", "_gram"),
         )
-        .select(
-            "_doc",
-            "_pos",
-            F.expr(f"substring(_t, _pos, {w0})").alias("_gram"),
-        )
+        .select("_doc", (F.col("_p0") + 1).alias("_pos"), "_gram")
     )
     distinct = grams.select("_gram").distinct()
     rank_map = with_global_rank(
@@ -162,20 +172,17 @@ def _full_window_ranks(
     w0 = min(width, _BASE_WIDTH)
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par)
+    # one char split per document, O(len) gram build, exploded rows
+    # carry only the w0-char gram (see _base_ranks note)
     grams = (
         docs.filter(F.length(text_col) >= w0)
         .select(
             F.col(doc_col).alias("_doc"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - w0 + 1)
-            ).alias("_pos"),
-            F.col(text_col).alias("_t"),
+            F.posexplode(
+                char_grams_expr(F.col(text_col), w0)
+            ).alias("_p0", "_gram"),
         )
-        .select(
-            "_doc",
-            "_pos",
-            F.expr(f"substring(_t, _pos, {w0})").alias("_gram"),
-        )
+        .select("_doc", (F.col("_p0") + 1).alias("_pos"), "_gram")
     )
     if width <= _BASE_WIDTH:
         return grams.select(
