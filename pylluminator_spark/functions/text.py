@@ -121,20 +121,10 @@ def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
 
 def char_ngrams_expr(text: Column, n: int = 3) -> Column:
     """Character n-grams of a string (for n-gram Jaccard similarity).
-
-    Strings shorter than ``n`` yield an empty array (``sequence(1, 0)``
-    would be the descending ``[1, 0]``, hence the guard). The text is
-    let-bound so an expression-valued input (``lower(col)``) is evaluated
-    once, not once per n-gram index."""
-
-    def _grams(t: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.length(t) - F.lit(n - 1))
-        return F.when(
-            F.length(t) >= n,
-            F.transform(idx, lambda i: F.substring(t, i, n)),
-        ).otherwise(F.array().cast("array<string>"))
-
-    return let_expr(text, _grams)
+    Strings shorter than ``n`` yield an empty array. Same contract as
+    ``char_grams_expr`` (which it delegates to — O(len) split-once +
+    element_at concats, not O(len^2) per-position substring seeks)."""
+    return char_grams_expr(text, n)
 
 
 def punct_ratio_expr(text: Column) -> Column:
