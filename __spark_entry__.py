@@ -8012,6 +8012,130 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi one-step domain reweighting (operators.doremi
+    .doremi_domain_weights — Xie et al. 2023): per-source excess loss =
+    max(0, NLL under the English-reference bigram LM minus NLL under the
+    corpus's own self-fit LM), weights = smoothed exponentiated-gradient
+    step from the token-share baseline. Two corpus-sized LM scorings
+    (hash joins), then one <= n_domains aggregation + a 1-row
+    normalizer. Every float folds in a sorted order (per-doc (u, w),
+    per-domain doc_id, normalizer domain) — bit-identical cross-engine
+    before the ROUND gate."""
+    from pylluminator_spark.operators.doremi import doremi_domain_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = doremi_domain_weights(
+        docs.select("doc_id", "source", "text"),
+        ref,
+        min_bigram_count=2,
+        eta=1.0,
+        smoothing=0.1,
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_bigrams",
+        F.round("nll_ref", 6).alias("nll_ref"),
+        F.round("nll_self", 6).alias("nll_self"),
+        F.round("excess", 6).alias("excess"),
+        F.round("weight", 8).alias("weight"),
+    )
+
+
+ORACLE_DOREMI_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, source, lang, t[i] AS u, t[i + 1] AS w
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), doc_big AS (
+  SELECT doc_id, source, u, w, COUNT(*) AS dcnt
+  FROM big GROUP BY doc_id, source, u, w
+), rmodel AS (
+  SELECT u, w, COUNT(*) AS cuw FROM big WHERE lang = 'en'
+  GROUP BY u, w HAVING COUNT(*) >= 2
+), rut AS (
+  SELECT u, COUNT(*) AS cu FROM big WHERE lang = 'en' GROUP BY u
+), runi AS (
+  SELECT w, COUNT(*) AS cw FROM big WHERE lang = 'en' GROUP BY w
+), rcorp AS (
+  SELECT SUM(cw) AS t_total, COUNT(*) AS v_size FROM runi
+), smodel AS (
+  SELECT u, w, SUM(dcnt) AS cuw FROM doc_big
+  GROUP BY u, w HAVING SUM(dcnt) >= 2
+), sut AS (
+  SELECT u, SUM(dcnt) AS cu FROM doc_big GROUP BY u
+), suni AS (
+  SELECT w, SUM(dcnt) AS cw FROM doc_big GROUP BY w
+), scorp AS (
+  SELECT SUM(cw) AS t_total, COUNT(*) AS v_size FROM suni
+), rcontrib AS (
+  SELECT d.doc_id, d.source, d.u, d.w, d.dcnt,
+         d.dcnt * ln(CASE WHEN m.cuw IS NOT NULL THEN m.cuw / ut.cu
+                     ELSE 0.4 * ((COALESCE(un.cw, 0) + 1.0)
+                                 / (c.t_total + 1.0 * (c.v_size + 1)))
+                     END) AS contrib
+  FROM doc_big d
+  LEFT JOIN rmodel m ON d.u = m.u AND d.w = m.w
+  LEFT JOIN rut ut ON d.u = ut.u
+  LEFT JOIN runi un ON d.w = un.w
+  CROSS JOIN rcorp c
+), rdoc AS (
+  SELECT doc_id, source, SUM(dcnt) AS n,
+         -list_reduce(list(contrib ORDER BY u, w), (a, b) -> a + b)
+           / SUM(dcnt) AS nll
+  FROM rcontrib GROUP BY doc_id, source
+), scontrib AS (
+  SELECT d.doc_id, d.u, d.w, d.dcnt,
+         d.dcnt * ln(CASE WHEN m.cuw IS NOT NULL THEN m.cuw / ut.cu
+                     ELSE 0.4 * ((COALESCE(un.cw, 0) + 1.0)
+                                 / (c.t_total + 1.0 * (c.v_size + 1)))
+                     END) AS contrib
+  FROM doc_big d
+  LEFT JOIN smodel m ON d.u = m.u AND d.w = m.w
+  LEFT JOIN sut ut ON d.u = ut.u
+  LEFT JOIN suni un ON d.w = un.w
+  CROSS JOIN scorp c
+), sdoc AS (
+  SELECT doc_id, SUM(dcnt) AS n,
+         -list_reduce(list(contrib ORDER BY u, w), (a, b) -> a + b)
+           / SUM(dcnt) AS nll
+  FROM scontrib GROUP BY doc_id
+), dom AS (
+  SELECT r.source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(r.n) AS BIGINT) AS n_bigrams,
+         list_reduce(list(r.nll * r.n ORDER BY r.doc_id), (a, b) -> a + b)
+           / SUM(r.n) AS nll_ref,
+         list_reduce(list(s.nll * s.n ORDER BY r.doc_id), (a, b) -> a + b)
+           / SUM(r.n) AS nll_self
+  FROM rdoc r JOIN sdoc s ON r.doc_id = s.doc_id
+  GROUP BY r.source
+), wr AS (
+  SELECT source, n_docs, n_bigrams, nll_ref, nll_self,
+         GREATEST(0.0, nll_ref - nll_self) AS excess,
+         CAST(n_bigrams AS DOUBLE)
+           * exp(1.0 * GREATEST(0.0, nll_ref - nll_self)) AS wraw
+  FROM dom
+), tot AS (
+  SELECT list_reduce(list(wraw ORDER BY source), (a, b) -> a + b) AS wsum,
+         COUNT(*) AS ndom
+  FROM wr
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_bigrams,
+       ROUND(nll_ref, 6) AS nll_ref, ROUND(nll_self, 6) AS nll_self,
+       ROUND(excess, 6) AS excess,
+       ROUND(0.9 * wraw / wsum + 0.1 / ndom, 8) AS weight
+FROM wr CROSS JOIN tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-9 rotation (VERDICT r8
@@ -8097,9 +8221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": q_window_ranks,
         "grouping_sets": q_grouping_sets,
         # ---- end of the 50 gated slots ------------------------------
-        # -- 6. r9 addition (never gated — r10 debut; emu-verified at
+        # -- 6. r9 additions (never gated — r10 debut; emu-verified at
         # sf0.001/0.01/0.1 this round) ---------------------------------
         "hard_negatives": q_hard_negatives,
+        "doremi_weights": q_doremi_weights,
         # -- 6b. r10 queue head: the remaining 23 r6-green entries -----
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
@@ -8331,6 +8456,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_lm_buckets": ORACLE_PARAGRAPH_LM_BUCKETS,
         "ccnet_filter": ORACLE_CCNET_FILTER,
         "hard_negatives": ORACLE_HARD_NEGATIVES,
+        "doremi_weights": ORACLE_DOREMI_WEIGHTS,
         "exact_substr_dedup": ORACLE_EXACT_SUBSTR_DEDUP,
         "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,

@@ -1,0 +1,146 @@
+"""DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+Data Mixtures Speeds Up Language Model Pretraining").
+
+Beyond-reference operator (driver north star: large-scale training-data
+pipeline) — completes the data-mixture family next to DSIR (example-level
+importance), CCNet (paragraph-level quality), and source_mixing (rate
+solving). DoReMi trains a proxy model under Group DRO: each domain's
+weight moves multiplicatively with its EXCESS LOSS — how much worse the
+current model does on the domain than a reference model says is
+achievable. The relational one-step analogue here replaces the two
+training runs with two corpus-fit language models:
+
+- ``nll_ref``: the domain's average bigram NLL under an LM fit on a
+  CURATED reference corpus (what a generic model brings to the domain);
+- ``nll_self``: the same documents under the corpus's own self-fit LM
+  (what a model that has seen this data achieves);
+- ``excess = max(0, nll_ref - nll_self)`` — the domain's learnable
+  headroom (domains the reference already models perfectly get 0).
+
+Weights follow DoReMi's exponentiated-gradient step from the token-share
+baseline, then mix with uniform (their smoothing):
+
+    w_i  prop  share_i * exp(eta * excess_i)
+    weight_i = (1 - smoothing) * w_i / sum(w) + smoothing / n_domains
+
+Scale shape: the two LM scorings are the corpus-sized work (hash joins,
+never broadcast — see ``bigram_lm_scores``); everything after is one
+domain-keyed aggregation (<= n_domains rows) and a 1-row normalizing
+scalar. Determinism: per-document NLLs fold in sorted (u, w) order
+inside ``bigram_lm_scores``; per-domain totals fold the per-doc terms in
+sorted ``doc_col`` order; the weight normalizer folds domains in sorted
+``domain_col`` order — every float is bit-reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.corpus import bigram_lm_scores
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    reference: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    *,
+    eta: float = 1.0,
+    smoothing: float = 0.1,
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+    min_bigram_count: int = 1,
+) -> DataFrame:
+    """One DoReMi reweighting step over ``domain_col``.
+
+    Returns one row per domain that has at least one scored (>= 2-token)
+    document: (domain, n_docs, n_bigrams, nll_ref, nll_self, excess,
+    weight). Weights sum to 1 over the returned domains (before
+    rounding); ``smoothing`` mixes toward uniform exactly as in the
+    paper.
+    """
+    if not 0.0 <= smoothing <= 1.0:
+        raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
+    kw = dict(
+        text_col=text_col,
+        doc_col=doc_col,
+        alpha=alpha,
+        backoff=backoff,
+        min_bigram_count=min_bigram_count,
+    )
+    ref_scores = bigram_lm_scores(docs, reference=reference, **kw).select(
+        doc_col,
+        F.col("n_bigrams").alias("_n"),
+        F.col("avg_nll").alias("_nll_ref"),
+    )
+    self_scores = bigram_lm_scores(docs, **kw).select(
+        doc_col, F.col("avg_nll").alias("_nll_self")
+    )
+    per_doc = (
+        docs.select(doc_col, F.col(domain_col).alias("_dom"))
+        .join(ref_scores, doc_col)
+        .join(self_scores, doc_col)
+    )
+
+    def _dom_fold(term: F.Column) -> F.Column:
+        # per-domain float fold in sorted doc order (bit-reproducible)
+        return F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(doc_col), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        )
+
+    dom = per_doc.groupBy("_dom").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("n_bigrams"),
+        _dom_fold(F.col("_nll_ref") * F.col("_n")).alias("_sref"),
+        _dom_fold(F.col("_nll_self") * F.col("_n")).alias("_sself"),
+    )
+    dom = dom.select(
+        "_dom",
+        "n_docs",
+        "n_bigrams",
+        (F.col("_sref") / F.col("n_bigrams")).alias("nll_ref"),
+        (F.col("_sself") / F.col("n_bigrams")).alias("nll_self"),
+    ).withColumn(
+        "excess",
+        F.greatest(F.lit(0.0), F.col("nll_ref") - F.col("nll_self")),
+    )
+    # token-share baseline * exp(eta * excess); the normalizer is one
+    # scalar row folded in sorted domain order, broadcast back
+    dom = dom.withColumn(
+        "_wraw",
+        (
+            F.col("n_bigrams").cast("double")
+            * F.exp(F.lit(float(eta)) * F.col("excess"))
+        ),
+    )
+    totals = dom.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_dom"), F.col("_wraw")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_wraw"],
+        ).alias("_wsum"),
+        F.count(F.lit(1)).alias("_ndom"),
+    )
+    return (
+        dom.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_dom").alias(domain_col),
+            "n_docs",
+            "n_bigrams",
+            "nll_ref",
+            "nll_self",
+            "excess",
+            (
+                F.lit(1.0 - smoothing) * F.col("_wraw") / F.col("_wsum")
+                + F.lit(float(smoothing)) / F.col("_ndom")
+            ).alias("weight"),
+        )
+    )

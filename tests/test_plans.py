@@ -147,6 +147,9 @@ SCALAR_AGG_OK = [
     # rank; the broadcasts are the 1-row corpus scalar and the 1-row
     # scored-paragraph count (tercile cuts)
     "paragraph_lm_buckets", "ccnet_filter",
+    # DoReMi: two LM scorings (hash joins) + <=n_domains aggregation;
+    # the broadcasts are the LM corpus scalars and the 1-row normalizer
+    "doremi_weights",
     # DSIR: data-bearing stages are one (doc, bucket) hash aggregate +
     # a broadcast join on the <=buckets-row log-ratio table; the
     # corpus-total scalars are 1-row broadcast crossJoins
