@@ -7641,16 +7641,20 @@ def q_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity and dedup): fit on the labeled documents table, classify
     the same documents, emit (doc_id, pred_lang, score). Arith-hash +
     sorted-fold twin path for the gate (the DSIR pattern); the xxhash64
-    production path is python-parity-tested in test_langid."""
-    from pylluminator_spark.operators.langid import fit_langid, language_id
+    production path is python-parity-tested in test_langid. Fused
+    fit+classify (r9): ONE gram pass feeds both the model rollup and the
+    per-doc features."""
+    from pylluminator_spark.operators.langid import (
+        fit_classify_langid,
+        langid_predict,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    weights, langs = fit_langid(
-        docs, n=_LID_N, buckets=_LID_B, alpha=_LID_ALPHA, arith=True
-    )
-    out = language_id(
-        docs, weights, langs,
-        n=_LID_N, buckets=_LID_B, arith=True, deterministic=True,
+    out = langid_predict(
+        fit_classify_langid(
+            docs, n=_LID_N, buckets=_LID_B, alpha=_LID_ALPHA,
+            arith=True, deterministic=True,
+        )
     )
     return out.select(
         "doc_id", "pred_lang", F.round("score", 6).alias("score")
@@ -7660,21 +7664,16 @@ def q_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full per-(doc, language) NB score table behind `langid_predict`
     (operators.langid.langid_scores) — n_langs rows per document, so the
-    gate hashes every language's score, not just the argmax."""
-    from pylluminator_spark.operators.langid import (
-        char_gram_counts,
-        fit_langid,
-        langid_scores,
-    )
+    gate hashes every language's score, not just the argmax. Fused
+    fit+classify (r9): ONE gram pass feeds both the model rollup and
+    the per-doc features."""
+    from pylluminator_spark.operators.langid import fit_classify_langid
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    weights, langs = fit_langid(
-        docs, n=_LID_N, buckets=_LID_B, alpha=_LID_ALPHA, arith=True
+    out = fit_classify_langid(
+        docs, n=_LID_N, buckets=_LID_B, alpha=_LID_ALPHA,
+        arith=True, deterministic=True,
     )
-    counts = char_gram_counts(
-        docs, n=_LID_N, buckets=_LID_B, arith=True
-    )
-    out = langid_scores(counts, weights, langs, deterministic=True)
     return out.select(
         "doc_id",
         F.col("lang").alias("cand_lang"),

@@ -118,17 +118,19 @@ def main() -> None:
 
     def _langid_engine(spark, sf_dir):
         # production path: xxhash64 buckets + plain-SUM reduce (map-side
-        # combine) — vs the gate's poly-hash + sorted-fold twin
+        # combine) — vs the gate's poly-hash + sorted-fold twin; fused
+        # fit+classify (one gram pass, r9)
         from pylluminator_spark.operators.langid import (
-            fit_langid,
-            language_id,
+            fit_classify_langid,
+            langid_predict,
         )
 
         docs = entry_mod._t(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang"
         )
-        weights, langs = fit_langid(docs, n=3, buckets=256, alpha=0.5)
-        return language_id(docs, weights, langs, n=3, buckets=256)
+        return langid_predict(
+            fit_classify_langid(docs, n=3, buckets=256, alpha=0.5)
+        )
 
     twin_timings: dict[str, float] = {}
     twin_runs: dict[str, int] = {}

@@ -82,10 +82,11 @@ def _gram_stream(
         else num_partitions
     )
     rebalanced = docs.repartition(par) if par > 0 else docs
+    keeps = [keep_col] if isinstance(keep_col, str) else list(keep_col)
     return rebalanced.select(
-        keep_col, F.lower(F.col(text_col)).alias("_lid_t")
+        *keeps, F.lower(F.col(text_col)).alias("_lid_t")
     ).select(
-        keep_col,
+        *keeps,
         F.explode(_char_grams(F.col("_lid_t"), n)).alias("gram"),
     )
 
@@ -161,15 +162,28 @@ def fit_langid(
     ).agg(F.count(F.lit(1)).alias("cnt"))
     if materialize:
         lb = lb.localCheckpoint(eager=True)
+    ndocs = docs.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    return _model_tables(lb, ndocs, alpha, buckets, materialize)
+
+
+def _model_tables(
+    lb: DataFrame,
+    ndocs: DataFrame,
+    alpha: float,
+    buckets: int,
+    materialize: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(weights, langs) from the per-(lang, bucket) count table and the
+    per-language doc counts — the shared tail of ``fit_langid`` and
+    ``fit_classify_langid``."""
     tots = lb.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     denom = F.log(F.col("tot") + F.lit(float(alpha) * buckets))
     weights = lb.join(F.broadcast(tots), "lang").select(
         "bucket",
         "lang",
         (F.log(F.col("cnt") + F.lit(float(alpha))) - denom).alias("w"),
-    )
-    ndocs = docs.groupBy(F.col(label_col).alias("lang")).agg(
-        F.count(F.lit(1)).alias("nd")
     )
     total = ndocs.agg(F.sum("nd").alias("ntot"))
     # LEFT join + coalesce(tot, 0): a training language whose documents
@@ -194,6 +208,61 @@ def fit_langid(
     if materialize:
         langs = langs.localCheckpoint(eager=True)
     return weights, langs
+
+
+def fit_classify_langid(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    *,
+    n: int = 3,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    arith: bool = False,
+    deterministic: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
+    """Self-labeled fit + per-(doc, language) score table in ONE gram
+    pass (the self-audit shape: classify the corpus under the model fit
+    on its own labels, to find mislabeled documents).
+
+    ``fit_langid`` + ``char_gram_counts`` each run their own corpus-wide
+    gram explode; here the per-(doc, lang, bucket) count table is
+    computed once (and checkpointed — it is the shared parent of the
+    model AND the features), the (lang, bucket) model counts ROLL UP
+    from it (integer-exact: each doc has one label), and the per-doc
+    features are a projection. Returns ``langid_scores`` output; wrap in
+    ``langid_predict`` for the argmax."""
+    grams = _gram_stream(
+        docs.select(
+            doc_col, F.col(label_col).alias("lang"), text_col
+        ),
+        text_col,
+        [doc_col, "lang"],
+        n,
+    )
+    bucket = (
+        poly_bucket_expr(F.col("gram"), buckets)
+        if arith
+        else F.pmod(F.xxhash64("gram"), F.lit(buckets))
+    )
+    dlb = (
+        grams.select(doc_col, "lang", bucket.alias("bucket"))
+        .groupBy(doc_col, "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if materialize:
+        dlb = dlb.localCheckpoint(eager=True)
+    lb = dlb.groupBy("lang", "bucket").agg(F.sum("cnt").alias("cnt"))
+    ndocs = docs.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    weights, langs = _model_tables(lb, ndocs, alpha, buckets, materialize)
+    doc_counts = dlb.select(doc_col, "bucket", "cnt")
+    return langid_scores(
+        doc_counts, weights, langs, doc_col, deterministic=deterministic
+    )
 
 
 def langid_scores(

@@ -227,3 +227,32 @@ def test_gramless_language_keeps_prior(spark):
         ).select("doc_id", F.col("pred_lang").alias("lang")).collect()
     }
     assert pred == {10: "alpha", 11: "zeta"}
+
+
+def test_fused_fit_classify_matches_unfused(frames):
+    # fit_classify_langid (one gram pass) must produce the exact score
+    # table of fit_langid + char_gram_counts + langid_scores
+    from pylluminator_spark.operators.langid import fit_classify_langid
+
+    train, _test = frames
+    for arith in (True, False):
+        weights, langs = fit_langid(
+            train, n=N, buckets=BUCKETS, alpha=ALPHA, arith=arith
+        )
+        counts = char_gram_counts(
+            train, n=N, buckets=BUCKETS, arith=arith
+        )
+        unfused = {
+            (r["doc_id"], r["lang"]): r["score"]
+            for r in langid_scores(
+                counts, weights, langs, deterministic=True
+            ).collect()
+        }
+        fused = {
+            (r["doc_id"], r["lang"]): r["score"]
+            for r in fit_classify_langid(
+                train, n=N, buckets=BUCKETS, alpha=ALPHA,
+                arith=arith, deterministic=True,
+            ).collect()
+        }
+        assert fused == unfused
