@@ -415,6 +415,11 @@ def jaccard_join_exact(
         F.transform("_ordered", lambda s: s["_token"]).alias("_set"),
         F.slice("_ordered", 1, prefix_len).alias("_prefix"),
     )
+    # pref is read FOUR times (both sides of the prefix equi-join, both
+    # sides of the verify join) and its upstream is the token-df
+    # ranking — explode + two shuffles; the alias-divergent branches
+    # defeat ReuseExchange. One materialization, three block reads.
+    pref = pref.localCheckpoint(eager=True)
     inv = pref.select(
         "_id", "_sz", F.explode("_prefix").alias("_ptok")
     )
