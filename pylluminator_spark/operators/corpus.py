@@ -453,6 +453,25 @@ def bigram_lm_scores(
         if reference is None
         else _bigram_doc_counts(reference, text_col, doc_col)
     )
+    return _score_doc_bigrams(
+        doc_big, ref_big, doc_col,
+        alpha=alpha, backoff=backoff, min_bigram_count=min_bigram_count,
+    )
+
+
+def _score_doc_bigrams(
+    doc_big: DataFrame,
+    ref_big: DataFrame,
+    doc_col: str,
+    *,
+    alpha: float,
+    backoff: float,
+    min_bigram_count: int,
+) -> DataFrame:
+    """Stupid-backoff scoring of per-doc bigram counts against a model
+    rolled up from ``ref_big`` — the shared tail of ``bigram_lm_scores``,
+    exposed so callers scoring the SAME counts under several models
+    (DoReMi's reference + self fits) tokenize the corpus once."""
     model = (
         ref_big.groupBy("u", "w")
         .agg(F.sum("dcnt").alias("cuw"))

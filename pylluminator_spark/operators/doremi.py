@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pylluminator_spark.operators.corpus import bigram_lm_scores
+from pylluminator_spark.operators.corpus import (
+    _bigram_doc_counts,
+    _score_doc_bigrams,
+)
 
 
 def doremi_domain_weights(
@@ -64,18 +67,21 @@ def doremi_domain_weights(
     if not 0.0 <= smoothing <= 1.0:
         raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
     kw = dict(
-        text_col=text_col,
-        doc_col=doc_col,
-        alpha=alpha,
-        backoff=backoff,
-        min_bigram_count=min_bigram_count,
+        alpha=alpha, backoff=backoff, min_bigram_count=min_bigram_count
     )
-    ref_scores = bigram_lm_scores(docs, reference=reference, **kw).select(
+    # tokenize the target corpus ONCE: both scorings (reference model
+    # and self-fit model) read the same checkpointed (doc, u, w) counts
+    # instead of each re-running the explode + shuffle
+    doc_big = _bigram_doc_counts(docs, text_col, doc_col).localCheckpoint(
+        eager=True
+    )
+    ref_big = _bigram_doc_counts(reference, text_col, doc_col)
+    ref_scores = _score_doc_bigrams(doc_big, ref_big, doc_col, **kw).select(
         doc_col,
         F.col("n_bigrams").alias("_n"),
         F.col("avg_nll").alias("_nll_ref"),
     )
-    self_scores = bigram_lm_scores(docs, **kw).select(
+    self_scores = _score_doc_bigrams(doc_big, doc_big, doc_col, **kw).select(
         doc_col, F.col("avg_nll").alias("_nll_self")
     )
     per_doc = (
