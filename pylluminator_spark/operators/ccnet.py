@@ -111,6 +111,12 @@ def paragraph_lm_buckets(
         "n_bigrams",
         "avg_nll",
     )
+    # scored is read THREE times (the rank's boundary-sample pass, the
+    # ranked data branch, and the n_scored count) and its upstream is the
+    # whole two-corpus LM fit + score — exactly the expensive-upstream
+    # case operators.ordered's contract says the caller must materialize.
+    # One row per scored paragraph: far smaller than the text it scores.
+    scored = scored.localCheckpoint(eager=True)
     ranked = with_global_rank(
         scored, ["avg_nll", doc_col, "para_idx"], "_rank"
     )
