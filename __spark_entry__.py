@@ -8135,6 +8135,70 @@ FROM wr CROSS JOIN tot
 """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (operators.suffix
+    cross_substring_spans — Lee et al. 2021 ExactSubstr across corpora;
+    completes the doc-level `decontaminate` and pair-level
+    `decontaminate_fuzzy`): maximal spans of TRAIN documents
+    (doc_id % 10 == 1) whose every length-15 window occurs literally in
+    the BENCH corpus (doc_id % 10 == 0). Window equality decided by the
+    full-window rank machinery over the tagged union of both corpora
+    (global rank universe, zero hash-collision risk); the oracle groups
+    literal substrings — zero shared code with the rank path."""
+    from pylluminator_spark.operators.suffix import cross_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 == 1)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = cross_substring_spans(train, bench, _SUBSTR_L)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+ORACLE_DECONTAMINATE_SPANS = f"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+bwin AS (
+  SELECT DISTINCT substr(text, CAST(i AS INT), {_SUBSTR_L}) AS gram
+  FROM bench, LATERAL (
+    SELECT UNNEST(range(1, GREATEST(LENGTH(text) - {_SUBSTR_L} + 2, 1))) AS i
+  )
+),
+twin AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INT), {_SUBSTR_L}) AS gram
+  FROM train, LATERAL (
+    SELECT UNNEST(range(1, GREATEST(LENGTH(text) - {_SUBSTR_L} + 2, 1))) AS i
+  )
+),
+flagged AS (
+  SELECT t.doc_id, t.i FROM twin t SEMI JOIN bwin b ON t.gram = b.gram
+),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + {_SUBSTR_L}) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM brk
+)
+SELECT doc_id,
+       MIN(i) AS span_start,
+       MAX(i) + {_SUBSTR_L} AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-9 rotation (VERDICT r8
@@ -8224,6 +8288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001/0.01/0.1 this round) ---------------------------------
         "hard_negatives": q_hard_negatives,
         "doremi_weights": q_doremi_weights,
+        "decontaminate_spans": q_decontaminate_spans,
         # -- 6b. r10 queue head: the remaining 23 r6-green entries -----
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
@@ -8456,6 +8521,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_filter": ORACLE_CCNET_FILTER,
         "hard_negatives": ORACLE_HARD_NEGATIVES,
         "doremi_weights": ORACLE_DOREMI_WEIGHTS,
+        "decontaminate_spans": ORACLE_DECONTAMINATE_SPANS,
         "exact_substr_dedup": ORACLE_EXACT_SUBSTR_DEDUP,
         "lineage_stage_cache": ORACLE_LINEAGE_STAGE_CACHE,
         "distinct_agg": ORACLE_DISTINCT_AGG,

@@ -388,6 +388,15 @@ def exact_substring_spans(
     flagged = exact_substring_windows(
         docs, min_len, doc_col, text_col, keep_first=keep_first
     )
+    return _windows_to_spans(flagged, min_len, doc_col)
+
+
+def _windows_to_spans(
+    flagged: DataFrame, min_len: int, doc_col: str
+) -> DataFrame:
+    """Merge flagged (doc, pos) window starts into maximal per-document
+    spans — gaps-and-islands over a per-document keyed window (bounded
+    by document length, scale-safe)."""
     wprev = (
         Window.partitionBy(doc_col)
         .orderBy("pos")
@@ -432,6 +441,16 @@ def exact_substring_dedup(
     spans = exact_substring_spans(
         docs, min_len, doc_col, text_col, keep_first=True
     )
+    return _excise_spans(docs, spans, doc_col, text_col)
+
+
+def _excise_spans(
+    docs: DataFrame, spans: DataFrame, doc_col: str, text_col: str
+) -> DataFrame:
+    """Every document with a ``deduped`` column: the text minus its
+    ``spans`` intervals (sorted fold over the doc's own spans — pure
+    expressions, no UDF; shared by in-corpus dedup and cross-corpus
+    decontamination)."""
     per_doc = spans.groupBy(doc_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -464,3 +483,97 @@ def exact_substring_dedup(
         )
     )
     return joined.withColumn("deduped", rebuilt).drop("_spans")
+
+
+def cross_substring_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    min_len: int = 50,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination, detection stage (Lee et
+    al. 2021 ExactSubstr applied ACROSS corpora): maximal spans of each
+    TRAIN document whose every length-``min_len`` window occurs
+    literally somewhere in the BENCH corpus. The practical middle
+    ground between doc-level decontamination (drop the whole training
+    document on n-gram overlap — operators.corpus.decontaminate) and
+    ignoring contamination: only the overlapping spans are reported
+    (and excised by ``decontaminate_spans``), the rest of the document
+    survives.
+
+    Exactness: window equality is decided by the same full-window rank
+    machinery as ``exact_substring_windows`` — integer/gram equality
+    over a GLOBAL rank universe built on the union of both corpora
+    (ranks must be global: a train window and a bench window compare
+    equal iff their rank pairs collide), zero hash-collision risk.
+
+    Scale shape: the union adds one tagged column; the per-(rank-pair)
+    aggregate carries a 1-bit any-bench flag; everything else is the
+    in-corpus spans plan (keyed equi-joins, per-document windows).
+
+    Returns (doc_col, span_start 1-based, span_end exclusive,
+    n_windows) for TRAIN documents only. Train/bench doc ids may
+    overlap (the corpora are tagged internally).
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    w = 1 if min_len <= 2 else 1 << (math.ceil(math.log2(min_len)) - 1)
+    tagged = train.select(
+        F.col(doc_col).alias("_orig"),
+        F.lit(1).alias("_is_train"),
+        F.col(text_col).alias("_txt"),
+    ).unionByName(
+        bench.select(
+            F.col(doc_col).alias("_orig"),
+            F.lit(0).alias("_is_train"),
+            F.col(text_col).alias("_txt"),
+        )
+    )
+    # composite doc key keeps same-id train/bench docs distinct while
+    # flowing through the (single-column) rank machinery
+    union = tagged.select(
+        F.struct(F.col("_is_train"), F.col("_orig")).alias("_doc"),
+        F.col("_txt"),
+    )
+    ranks = _full_window_ranks(union, "_doc", "_txt", w)
+    shifted = ranks.select(
+        "_doc",
+        (F.col("_pos") - (min_len - w)).alias("_pos"),
+        F.col("_rank").alias("_rB"),
+    )
+    keyed = ranks.join(shifted, ["_doc", "_pos"]).select(
+        "_doc", "_pos", F.col("_rank").alias("_rA"), "_rB"
+    )
+    # 1-bit per rank-pair group: does ANY bench window carry it?
+    groups = keyed.groupBy("_rA", "_rB").agg(
+        F.max(
+            F.when(F.col("_doc._is_train") == 0, 1).otherwise(0)
+        ).alias("_has_bench")
+    )
+    flagged = (
+        keyed.filter(F.col("_doc._is_train") == 1)
+        .join(groups.filter(F.col("_has_bench") == 1), ["_rA", "_rB"])
+        .select(
+            F.col("_doc._orig").alias(doc_col), F.col("_pos").alias("pos")
+        )
+    )
+    return _windows_to_spans(flagged, min_len, doc_col)
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    min_len: int = 50,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise every benchmark-overlapping span (``cross_substring_spans``)
+    from the training documents: every train document survives, with a
+    ``deduped`` column holding the text minus its contaminated spans
+    (same sorted-fold rebuild as ``exact_substring_dedup`` — pure
+    expressions, no UDF)."""
+    spans = cross_substring_spans(
+        train, bench, min_len, doc_col, text_col
+    )
+    return _excise_spans(train, spans, doc_col, text_col)

@@ -77,6 +77,9 @@ CLEAN = [
     # FastSS: explode deletion variants -> variant equi-join -> distinct ->
     # codegen levenshtein verify; no cartesian at any stage
     "fuzzy_pairs",
+    # cross-corpus span decontamination: gram-as-rank keyed joins +
+    # per-doc island windows (no ranking machinery at gate width)
+    "decontaminate_spans",
     # Morton key: pure shift/and/or codegen + one hash aggregate
     "zorder_key",
     # sketches: pure integer hash exprs + one keyed aggregate each

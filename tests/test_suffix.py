@@ -155,3 +155,106 @@ def test_suffix_array_max_width_cap_raises_on_residual_ties(spark):
     # and a cap that is never the binding constraint still succeeds
     out = suffix_array(docs, max_width=1 << 20)
     assert out.count() == 3 * _BASE_WIDTH
+
+
+class TestCrossCorpusDecontamination:
+    TRAIN = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely original training text with nothing shared"),
+        (3, "benchmark sentence alpha is hidden inside this document"),
+    ]
+    BENCH = [
+        # shares "the quick brown fox jumps" with train doc 1 and
+        # "benchmark sentence alpha" with train doc 3; doc_id collides
+        # with train doc 1 on purpose (corpora are tagged internally)
+        (1, "we evaluate on the quick brown fox jumps test set"),
+        (2, "benchmark sentence alpha and benchmark sentence beta"),
+    ]
+
+    @staticmethod
+    def _expected_spans(train, bench, L):
+        bench_windows = set()
+        for _i, t in bench:
+            for p in range(len(t) - L + 1):
+                bench_windows.add(t[p:p + L])
+        spans = {}
+        for did, t in train:
+            flagged = [
+                p + 1  # 1-based
+                for p in range(len(t) - L + 1)
+                if t[p:p + L] in bench_windows
+            ]
+            cur = []
+            for p in flagged:
+                if cur and p <= cur[-1][1] - L + (L - 1) and p <= cur[-1][1]:
+                    cur[-1] = (cur[-1][0], max(cur[-1][1], p + L), cur[-1][2] + 1)
+                elif cur and p <= cur[-1][1]:
+                    cur[-1] = (cur[-1][0], max(cur[-1][1], p + L), cur[-1][2] + 1)
+                else:
+                    cur.append((p, p + L, 1))
+            if cur:
+                spans[did] = cur
+        return spans
+
+    def test_spans_match_bruteforce(self, spark):
+        from pylluminator_spark.operators.suffix import cross_substring_spans
+
+        L = 15
+        train = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        bench = spark.createDataFrame(self.BENCH, "doc_id long, text string")
+        got = {}
+        for r in cross_substring_spans(train, bench, L).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["n_windows"])
+            )
+        for k in got:
+            got[k].sort()
+        exp = self._expected_spans(self.TRAIN, self.BENCH, L)
+        assert got == exp
+        # sanity on the planted phenomena: docs 1 and 3 contaminated,
+        # doc 2 clean
+        assert set(got) == {1, 3}
+
+    def test_excision_removes_exactly_the_spans(self, spark):
+        from pylluminator_spark.operators.suffix import decontaminate_spans
+
+        L = 15
+        train = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        bench = spark.createDataFrame(self.BENCH, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["deduped"]
+            for r in decontaminate_spans(train, bench, L).collect()
+        }
+        exp_spans = self._expected_spans(self.TRAIN, self.BENCH, L)
+        for did, t in self.TRAIN:
+            if did not in exp_spans:
+                assert got[did] == t
+            else:
+                kept, cur = [], 0
+                for s, e, _n in exp_spans[did]:
+                    kept.append(t[cur:s - 1])
+                    cur = e - 1
+                kept.append(t[cur:])
+                assert got[did] == "".join(kept), did
+        # every train doc survives
+        assert set(got) == {d for d, _t in self.TRAIN}
+
+    def test_no_bench_overlap_survives(self, spark):
+        # after excision, NO length-L window of any cleaned train doc
+        # appears in the bench corpus
+        from pylluminator_spark.operators.suffix import decontaminate_spans
+
+        L = 15
+        train = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        bench = spark.createDataFrame(self.BENCH, "doc_id long, text string")
+        cleaned = {
+            r["doc_id"]: r["deduped"]
+            for r in decontaminate_spans(train, bench, L).collect()
+        }
+        bench_windows = set()
+        for _i, t in self.BENCH:
+            for p in range(len(t) - L + 1):
+                bench_windows.add(t[p:p + L])
+        for t in cleaned.values():
+            for p in range(len(t) - L + 1):
+                assert t[p:p + L] not in bench_windows
