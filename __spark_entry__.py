@@ -8031,6 +8031,10 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_bigram_count=2,
         eta=1.0,
         smoothing=0.1,
+        # gate twin: sorted-doc-order fold, bit-identical to the
+        # oracle's list_reduce(... ORDER BY doc_id). Production default
+        # is the bounded plain-SUM path (see doremi.py _dom_fold).
+        deterministic=True,
     )
     return out.select(
         "source",
@@ -8199,24 +8203,142 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed manifest-backed curation pipeline
+    (operators.curate.curate_pipeline — the public corpus analogue of
+    MethylSession.run_pipeline, new r10): exact dedup -> paragraph
+    dedup -> HTML strip + token gate -> sequence packing, each a
+    content-addressed parquet stage. The corpus gets deterministic
+    structure injected (a per-source HEADER paragraph, a global FOOTER
+    with an HTML entity, exact duplicate rows for doc_id % 7 == 0) so
+    every stage does real work; langid is skipped here (it is gated
+    separately as langid_predict) to keep the oracle one SQL chain.
+    A FRESH manifest root per call — the gate times/hashes the compute
+    path, never a warm cache."""
+    import tempfile
+
+    from pylluminator_spark.operators.curate import curate_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    src = docs.unionByName(dup)
+    ptext = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("<p>HEADER "), F.col("source"), F.lit("</p>")),
+        F.substring("text", 1, 60),
+        F.lit("FOOTER common boilerplate &amp; notices"),
+        F.substring("text", 61, 100000),
+    )
+    res = curate_pipeline(
+        spark,
+        tempfile.mkdtemp(prefix="curate_gate_"),
+        src.select("doc_id", ptext.alias("text")),
+        source_fingerprint="curate-gate",
+        keep_lang=None,
+        min_tokens=5,
+        max_tokens=100_000,
+        pack_budget=400,
+    )
+    return res.documents.join(
+        res.sequences.select("doc_id", "seq_id"), "doc_id"
+    ).select("doc_id", "text", F.col("n_tokens").cast("long"), "seq_id")
+
+
+ORACLE_CURATE_CORPUS = rf"""
+WITH src AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, source, text FROM documents WHERE doc_id % 7 = 0
+), base AS (
+  SELECT doc_id,
+         '<p>HEADER ' || source || '</p>' || chr(10) || chr(10)
+           || substr(text, 1, 60) || chr(10) || chr(10)
+           || 'FOOTER common boilerplate &amp; notices' || chr(10) || chr(10)
+           || substr(text, 61, 100000) AS t
+  FROM src
+), norm AS (
+  SELECT doc_id, t,
+         array_to_string(list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM base
+), keepid AS (
+  SELECT nrm, MIN(doc_id) AS doc_id FROM norm GROUP BY nrm
+), ded AS (
+  SELECT n.doc_id, n.t
+  FROM norm n JOIN keepid k ON n.doc_id = k.doc_id AND n.nrm = k.nrm
+), split AS (
+  SELECT doc_id, string_split_regex(t, '\n{{2,}}') AS lst FROM ded
+), paras AS (
+  SELECT doc_id, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM split, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+), rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                    FILTER (WHERE rn = 1), '') AS ct
+  FROM ranked GROUP BY doc_id
+), rejoined AS (
+  SELECT d.doc_id, COALESCE(r.ct, '') AS ct
+  FROM ded d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(ct,
+               '{_HTML_BLOCK}', ' ', 'g'),
+               '{_HTML_COMMENT}', ' ', 'g'),
+               '{_HTML_TAG}', ' ', 'g'),
+             '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
+             '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+  FROM rejoined
+), gated AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM stripped
+), kept AS (
+  SELECT * FROM gated WHERE n_tokens BETWEEN 5 AND 100000
+), cum AS (
+  SELECT doc_id, text, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM kept
+)
+SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((c - n_tokens) // 400 AS BIGINT) AS seq_id
+FROM cum
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
-    # against the DuckDB oracle each round. Round-9 rotation (VERDICT r8
-    # #1 plus the standing never-gated-first policy): slots 1-2 are the
-    # 2 round-9 dedup/decontamination additions (video_near_dup,
-    # decontaminate_fuzzy — never gated; emu-verified this round);
-    # slots 3-4 are the round-8 langid pair (never gated; emu-green at
-    # sf0.01 AND sf0.1, judge-verified in VERDICT r8); slots 5-6 are the
-    # round-9 CCNet pair (paragraph_lm_buckets, ccnet_filter — never
-    # gated; emu-verified at sf0.001/0.01/0.1 this round); slots 7-23
-    # are the 17 remaining r5-green entries (the oldest driver rows);
-    # slots 24-50 are the first 27 r6-green entries in their r6 gate
-    # order. The r10 queue head (section 6) is the remaining 23
-    # r6-green entries (now led by exists_shapes, min_cost_match).
+    # against the DuckDB oracle each round. Round-10 rotation (VERDICT
+    # r9 #1 plus the standing never-gated-first policy): slots 1-3 are
+    # the 3 round-9 additions that have never carried a driver row
+    # (hard_negatives, doremi_weights, decontaminate_spans — judge
+    # emu-verified at sf0.01 AND sf0.1 in VERDICT r9); slots 4-26 are
+    # the 23 remaining r6-green entries (the oldest driver rows);
+    # slots 27-48 are the oldest 22 r7-green entries in their r7 gate
+    # order; slots 49-50 refresh the two rows-only entries
+    # (mixedlm_dmp, dr_scores — no oracle possible; their only driver
+    # rows are r3, VERDICT r9 #7 asked for fresh rows-only records).
+    # After this round no oracle-bearing entry's latest driver row is
+    # older than r7 (the two r7-greens displaced by the refresh lead
+    # the r11 queue). The r11 queue head (section 4) is curate_corpus
+    # (new, never gated), repetition_ratios, decontaminate, then the
+    # remaining 26 r7-green entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 171 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with 176 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(171/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(176/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -8225,71 +8347,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays <= 13 (one gate section). A driver row is the gold signal;
     # the emu sweep is the bridge that keeps the interval covered.
     return {
-        # -- 1. slots 1-2: the round-9 additions (never gated) ---------
-        "video_near_dup": q_video_near_dup,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        # -- 2. slots 3-4: the round-8 langid pair (never gated;
-        # emu-green at sf0.01 + sf0.1, VERDICT r8) ---------------------
-        "langid_predict": q_langid_predict,
-        "langid_scores": q_langid_scores,
-        # -- 3. slots 5-6: the round-9 CCNet pair (never gated) --------
-        "paragraph_lm_buckets": q_paragraph_lm_buckets,
-        "ccnet_filter": q_ccnet_filter,
-        # -- 4. slots 7-23: the 17 remaining r5-green entries (oldest
-        # driver rows) -------------------------------------------------
-        "chi_square_assoc": q_chi_square_assoc,
-        "mutual_info": q_mutual_info,
-        "psi_drift": q_psi_drift,
-        "fk_check": q_fk_check,
-        "scd2_history": q_scd2_history,
-        "skyline_frontier": q_skyline_frontier,
-        "snapshot_diff": q_snapshot_diff,
-        "inverted_postings": q_inverted_postings,
-        "json_extract_agg": q_json_extract_agg,
-        "ab_test": q_ab_test,
-        "geo_radius_pairs": q_geo_radius_pairs,
-        "impute_mean": q_impute_mean,
-        "last_touch_attr": q_last_touch_attr,
-        "linear_attr": q_linear_attr,
-        "basket_rules": q_basket_rules,
-        "rolling_corr": q_rolling_corr,
-        "jaccard_pairs": q_jaccard_pairs,
-        # -- 5. slots 24-50: the first 27 r6-green entries (r6 gate
-        # order) -------------------------------------------------------
-        "bloom_filter": q_bloom_filter,
-        "combat_stats": q_combat_stats,
-        "cbs_tstat": q_cbs_tstat,
-        "dedup_components": q_dedup_components,
-        "chunk_documents": q_chunk_documents,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_customers": q_top_customers,
-        "topk_per_group": q_topk_per_group,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "running_total": q_running_total,
-        "event_windows": q_event_windows,
-        "distinct_agg": q_distinct_agg,
-        "median_by_brand": q_median_by_brand,
-        "beta_values": q_beta_values,
-        "m_values": q_m_values,
-        "sessionize": q_sessionize,
-        "lang_profile": q_lang_profile,
-        "value_segments": q_value_segments,
-        "interval_cluster": q_interval_cluster,
-        "doc_fingerprint": q_doc_fingerprint,
-        "outer_join_counts": q_outer_join_counts,
-        "scalar_subquery": q_scalar_subquery,
-        "moving_avg_time": q_moving_avg_time,
-        "window_ranks": q_window_ranks,
-        "grouping_sets": q_grouping_sets,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 6. r9 additions (never gated — r10 debut; emu-verified at
-        # sf0.001/0.01/0.1 this round) ---------------------------------
+        # -- 1. slots 1-3: the round-9 additions (never gated; judge
+        # emu-verified at sf0.01 AND sf0.1 in VERDICT r9) --------------
         "hard_negatives": q_hard_negatives,
         "doremi_weights": q_doremi_weights,
         "decontaminate_spans": q_decontaminate_spans,
-        # -- 6b. r10 queue head: the remaining 23 r6-green entries -----
+        # -- 2. slots 4-26: the 23 remaining r6-green entries (oldest
+        # driver rows after the r9 rotation) ---------------------------
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
         "agg_equals_max": q_agg_equals_max,
@@ -8313,7 +8377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "stream_join": q_stream_join,
-        # -- 7. r7-gated rows (all 50 green in CORRECTNESS_r07) --------
+        # -- 3. slots 27-50: the oldest 24 r7-green entries (r7 gate
+        # order) -------------------------------------------------------
         "tfidf_pairs": q_tfidf_pairs,
         "apply_changes": q_apply_changes,
         "k_anonymity": q_k_anonymity,
@@ -8336,6 +8401,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg": q_media_decode_jpeg,
         "pca_gram": q_pca_gram,
         "gopher_quality": q_gopher_quality,
+        # -- slots 49-50: rows-only refresh (VERDICT r9 #1/#7) — their
+        # only driver rows are r3 no_oracle records; a fresh rows-only
+        # row costs two r7-green slots (both still satisfy the
+        # "nothing older than r7" invariant from the r11 queue head) --
+        "mixedlm_dmp": q_mixedlm_dmp,
+        "dr_scores": q_dr_scores,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 3b. the r10 addition (never gated — r11 debut; the one new
+        # entry this round, backlog 1 of the <= 13 cap) ----------------
+        "curate_corpus": q_curate_corpus,
+        # -- 4. r11 queue head: the two r7-green entries displaced by
+        # the rows-only refresh, then the remaining 26 r7-green --------
         "repetition_ratios": q_repetition_ratios,
         "decontaminate": q_decontaminate,
         "bm25_rank": q_bm25_rank,
@@ -8364,7 +8441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_channel": q_infer_channel,
         "total_ib_intensity": q_total_ib_intensity,
         "corr_by_brand": q_corr_by_brand,
-        # -- 8. r8-gated rows (all 50 green in CORRECTNESS_r08) --------
+        # -- 5. r8-gated rows (all 50 green in CORRECTNESS_r08) --------
         "exact_substr_spans": q_exact_substr_spans,
         "suffix_array_ranks": q_suffix_array_ranks,
         "exact_substr_dedup": q_exact_substr_dedup,
@@ -8415,9 +8492,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
-        # -- 9. rows-only (no oracle possible) — keep OUT of the gate --
-        "mixedlm_dmp": q_mixedlm_dmp,
-        "dr_scores": q_dr_scores,
+        # -- 6. r9-gated rows (all 50 green in CORRECTNESS_r09 — the
+        # freshest driver rows) ----------------------------------------
+        "video_near_dup": q_video_near_dup,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "langid_predict": q_langid_predict,
+        "langid_scores": q_langid_scores,
+        "paragraph_lm_buckets": q_paragraph_lm_buckets,
+        "ccnet_filter": q_ccnet_filter,
+        "chi_square_assoc": q_chi_square_assoc,
+        "mutual_info": q_mutual_info,
+        "psi_drift": q_psi_drift,
+        "fk_check": q_fk_check,
+        "scd2_history": q_scd2_history,
+        "skyline_frontier": q_skyline_frontier,
+        "snapshot_diff": q_snapshot_diff,
+        "inverted_postings": q_inverted_postings,
+        "json_extract_agg": q_json_extract_agg,
+        "ab_test": q_ab_test,
+        "geo_radius_pairs": q_geo_radius_pairs,
+        "impute_mean": q_impute_mean,
+        "last_touch_attr": q_last_touch_attr,
+        "linear_attr": q_linear_attr,
+        "basket_rules": q_basket_rules,
+        "rolling_corr": q_rolling_corr,
+        "jaccard_pairs": q_jaccard_pairs,
+        "bloom_filter": q_bloom_filter,
+        "combat_stats": q_combat_stats,
+        "cbs_tstat": q_cbs_tstat,
+        "dedup_components": q_dedup_components,
+        "chunk_documents": q_chunk_documents,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "topk_per_group": q_topk_per_group,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "running_total": q_running_total,
+        "event_windows": q_event_windows,
+        "distinct_agg": q_distinct_agg,
+        "median_by_brand": q_median_by_brand,
+        "beta_values": q_beta_values,
+        "m_values": q_m_values,
+        "sessionize": q_sessionize,
+        "lang_profile": q_lang_profile,
+        "value_segments": q_value_segments,
+        "interval_cluster": q_interval_cluster,
+        "doc_fingerprint": q_doc_fingerprint,
+        "outer_join_counts": q_outer_join_counts,
+        "scalar_subquery": q_scalar_subquery,
+        "moving_avg_time": q_moving_avg_time,
+        "window_ranks": q_window_ranks,
+        "grouping_sets": q_grouping_sets,
+        # -- 7. remaining rows-only (no oracle possible) ---------------
         "audio_spectral": q_audio_spectral,
         "image_phash_pairs": q_image_phash_pairs,
     }
@@ -8425,6 +8552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curate_corpus": ORACLE_CURATE_CORPUS,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

@@ -15,6 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from pylluminator_spark.plans.manifest import _fn_fingerprint  # noqa: E402
 from pylluminator_spark.session import get_spark  # noqa: E402
 
 
@@ -134,16 +135,29 @@ def main() -> None:
 
     twin_timings: dict[str, float] = {}
     twin_runs: dict[str, int] = {}
-    for name, fn in {
+    twins = {
         "dsir_weights_engine": _dsir_engine,
         "langid_predict_engine": _langid_engine,
-    }.items():
+    }
+    for name, fn in twins.items():
         time_query(name, fn, twin_timings, twin_runs, errors)
+    # Per-query code fingerprint (manifest.py's code-object hash): the
+    # min-merge below only reuses a prior run's minimum when the query
+    # function is BYTE-IDENTICAL, so an implementation change
+    # auto-resets that query's min instead of silently attributing the
+    # old code's timing to the new code (r9 ADVICE / VERDICT #4). Scope
+    # matches _fn_fingerprint's contract: the query function's own code
+    # objects + defaults — a change inside a called package helper does
+    # NOT alter the fingerprint, so SPARK_GRAFT_BENCH_FRESH=1 remains
+    # the override for helper-level rewrites.
+    fps = {name: _fn_fingerprint(fn) for name, fn in qs.items()}
+    fps.update({name: _fn_fingerprint(fn) for name, fn in twins.items()})
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_fp": fps,
         "runs_per_query": runs,
         "slow_runs": slow_runs,
         "slow_above_sec": slow_above,
@@ -173,8 +187,12 @@ def main() -> None:
     # per-query min over every run since the file was last reset; round
     # close copies the sf0.1 file to a tracked BENCH_FULL_r0N.json. The
     # merge keys on the CURRENT run's query set (renamed/removed queries
-    # drop out) and is reset with SPARK_GRAFT_BENCH_FRESH=1 — do that
-    # after changing a query's implementation, or its stale min survives.
+    # drop out) and each entry is fingerprint-guarded: a prior minimum
+    # is only kept when the query function's code-object hash matches
+    # the current one, so changing an implementation auto-resets that
+    # query's min (legacy records without fingerprints never donate
+    # mins). SPARK_GRAFT_BENCH_FRESH=1 still resets everything — use it
+    # after rewriting a package-level helper the fingerprint can't see.
     # A quick sf0.001 iteration run never clobbers the round's sf0.1
     # record (that clobbering is how the r7 per-query map was lost).
     merged_path = os.path.join(here, f"BENCH_FULL_sf{sf}.json")
@@ -184,11 +202,16 @@ def main() -> None:
         try:
             with open(merged_path) as fh:
                 prev = json.loads(fh.readline())
+            prev_fps = prev.get("query_fp") or {}
             for key in ("queries", "engine_twins"):
                 prior = prev.get(key) or {}
                 cur = merged.get(key) or {}
                 for name, sec in cur.items():
-                    if name in prior and prior[name] < sec:
+                    if (
+                        name in prior
+                        and prior[name] < sec
+                        and prev_fps.get(name) == fps.get(name)
+                    ):
                         cur[name] = prior[name]
                         if key == "queries" and name in prev.get(
                             "query_runs", {}

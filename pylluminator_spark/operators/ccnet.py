@@ -44,6 +44,7 @@ from pylluminator_spark.operators.cleanup import (
 )
 from pylluminator_spark.operators.corpus import bigram_lm_scores
 from pylluminator_spark.operators.ordered import with_global_rank
+from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
 def paragraph_lm_buckets(
@@ -116,7 +117,7 @@ def paragraph_lm_buckets(
     # whole two-corpus LM fit + score — exactly the expensive-upstream
     # case operators.ordered's contract says the caller must materialize.
     # One row per scored paragraph: far smaller than the text it scores.
-    scored = scored.localCheckpoint(eager=True)
+    scored = stable_checkpoint(scored)
     ranked = with_global_rank(
         scored, ["avg_nll", doc_col, "para_idx"], "_rank"
     )

@@ -28,6 +28,7 @@ from pylluminator_spark.functions.text import (
     tokens_expr,
     word_shingles_expr,
 )
+from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
 def dedup_exact(
@@ -419,7 +420,7 @@ def jaccard_join_exact(
     # sides of the verify join) and its upstream is the token-df
     # ranking — explode + two shuffles; the alias-divergent branches
     # defeat ReuseExchange. One materialization, three block reads.
-    pref = pref.localCheckpoint(eager=True)
+    pref = stable_checkpoint(pref)
     inv = pref.select(
         "_id", "_sz", F.explode("_prefix").alias("_ptok")
     )

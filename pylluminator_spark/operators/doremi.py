@@ -27,9 +27,12 @@ Scale shape: the two LM scorings are the corpus-sized work (hash joins,
 never broadcast — see ``bigram_lm_scores``); everything after is one
 domain-keyed aggregation (<= n_domains rows) and a 1-row normalizing
 scalar. Determinism: per-document NLLs fold in sorted (u, w) order
-inside ``bigram_lm_scores``; per-domain totals fold the per-doc terms in
-sorted ``doc_col`` order; the weight normalizer folds domains in sorted
-``domain_col`` order — every float is bit-reproducible cross-engine.
+inside ``bigram_lm_scores``; the weight normalizer folds domains in
+sorted ``domain_col`` order. The per-domain reduction over documents is
+a plain SUM by default (bounded state, map-side combine — a domain can
+hold billions of documents at 100 TB); ``deterministic=True`` opts into
+the sorted-``doc_col`` fold for bit-reproducible cross-engine
+verification on small inputs.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ from pylluminator_spark.operators.corpus import (
     _bigram_doc_counts,
     _score_doc_bigrams,
 )
+from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
 def doremi_domain_weights(
@@ -55,6 +59,7 @@ def doremi_domain_weights(
     alpha: float = 1.0,
     backoff: float = 0.4,
     min_bigram_count: int = 1,
+    deterministic: bool = False,
 ) -> DataFrame:
     """One DoReMi reweighting step over ``domain_col``.
 
@@ -63,6 +68,17 @@ def doremi_domain_weights(
     weight). Weights sum to 1 over the returned domains (before
     rounding); ``smoothing`` mixes toward uniform exactly as in the
     paper.
+
+    ``deterministic`` (the langid discipline): the per-domain reduction
+    of per-document NLL terms is a plain ``SUM`` by default — constant
+    aggregation state per domain with map-side partial combine, the
+    only shape that survives a domain holding billions of documents.
+    ``deterministic=True`` switches to a sorted-``doc_col`` list fold
+    (bit-reproducible cross-engine, used by the oracle gate twin) whose
+    state is the WHOLE domain — per-domain memory grows with the
+    corpus, so it is strictly a small-input verification mode. The
+    ≤ n_domains normalizer fold is always sorted (bounded by the
+    domain count, not the corpus).
     """
     if not 0.0 <= smoothing <= 1.0:
         raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
@@ -72,8 +88,8 @@ def doremi_domain_weights(
     # tokenize the target corpus ONCE: both scorings (reference model
     # and self-fit model) read the same checkpointed (doc, u, w) counts
     # instead of each re-running the explode + shuffle
-    doc_big = _bigram_doc_counts(docs, text_col, doc_col).localCheckpoint(
-        eager=True
+    doc_big = stable_checkpoint(
+        _bigram_doc_counts(docs, text_col, doc_col)
     )
     ref_big = _bigram_doc_counts(reference, text_col, doc_col)
     ref_scores = _score_doc_bigrams(doc_big, ref_big, doc_col, **kw).select(
@@ -91,7 +107,13 @@ def doremi_domain_weights(
     )
 
     def _dom_fold(term: F.Column) -> F.Column:
-        # per-domain float fold in sorted doc order (bit-reproducible)
+        # per-domain float reduction. Production path: plain SUM —
+        # constant per-group state, map-side combine (associative float
+        # error accepted). deterministic=True: sorted-doc-order list
+        # fold, bit-reproducible but with corpus-sized per-domain state
+        # (collect_list has no map-side combine) — verification only.
+        if not deterministic:
+            return F.sum(term)
         return F.aggregate(
             F.sort_array(
                 F.collect_list(F.struct(F.col(doc_col), term.alias("t")))

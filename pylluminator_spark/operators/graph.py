@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
 def connected_components(
@@ -104,7 +105,7 @@ def connected_components(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # lineage cut without requiring a checkpoint dir; keeps the
             # iterative plan bounded for the optimizer
-            agg = agg.localCheckpoint(eager=True)
+            agg = stable_checkpoint(agg)
         agg = agg.persist()
         labels = agg.select("node", "lab")
         pending.append(agg)
@@ -121,7 +122,7 @@ def connected_components(
             out = labels.select("node", F.col("lab").alias("component"))
             # materialize the (small) label table before dropping caches so
             # the returned plan does not depend on the unpersisted inputs
-            out = out.localCheckpoint(eager=True)
+            out = stable_checkpoint(out)
             agg.unpersist()
             sym.unpersist()
             return out
@@ -393,7 +394,7 @@ def pagerank(
         # while a 2-iteration lineage is still flat enough to plan —
         # halves the job count for the same bit-exact result
         if it % 2 == 1 or it == iters - 1:
-            ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = stable_checkpoint(new_ranks)
         else:
             ranks = new_ranks
     for frame in (e, deg):

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.functions.text import char_grams_expr
 from pylluminator_spark.operators.dsir import poly_bucket_expr
+from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
 def _char_grams(t: Column, n: int) -> Column:
@@ -161,7 +162,7 @@ def fit_langid(
         "lang", "bucket"
     ).agg(F.count(F.lit(1)).alias("cnt"))
     if materialize:
-        lb = lb.localCheckpoint(eager=True)
+        lb = stable_checkpoint(lb)
     ndocs = docs.groupBy(F.col(label_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("nd")
     )
@@ -206,7 +207,7 @@ def _model_tables(
         )
     )
     if materialize:
-        langs = langs.localCheckpoint(eager=True)
+        langs = stable_checkpoint(langs)
     return weights, langs
 
 
@@ -253,7 +254,7 @@ def fit_classify_langid(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if materialize:
-        dlb = dlb.localCheckpoint(eager=True)
+        dlb = stable_checkpoint(dlb)
     lb = dlb.groupBy("lang", "bucket").agg(F.sum("cnt").alias("cnt"))
     ndocs = docs.groupBy(F.col(label_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("nd")

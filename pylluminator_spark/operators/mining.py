@@ -54,23 +54,33 @@ def _assign_cells(
 ) -> DataFrame:
     """(id, cell) pairs: each row's ``n_probe`` nearest centroids by
     squared L2 (ties on centroid id). One broadcast BNLJ + one
-    min-struct-slice aggregate — no window, no shuffle of the vectors
-    beyond the aggregate's own exchange."""
+    aggregate — no window, no shuffle of the vectors beyond the
+    aggregate's own exchange.
+
+    ``n_probe == 1`` (the whole corpus side, and the common query
+    default) dispatches to a streaming ``min(struct)`` partial
+    aggregate — constant state per group with map-side combine, the
+    ``kmeans_assign`` discipline. Multi-probe keeps the
+    sort_array(collect_list) top-``n_probe`` slice: state is O(k) per
+    row, bounded by the dimension-sized centroid count."""
     cand = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
     dist = sq_dist_expr(F.col(vec_col), F.col(centroid_vec_col))
-    per_id = (
-        cand.select(
-            id_col,
-            F.struct(
-                dist.alias("dist"), F.col(centroid_id_col).alias("cid")
-            ).alias("_c"),
+    keyed = cand.select(
+        id_col,
+        F.struct(
+            dist.alias("dist"), F.col(centroid_id_col).alias("cid")
+        ).alias("_c"),
+    )
+    if n_probe == 1:
+        return (
+            keyed.groupBy(id_col)
+            .agg(F.min("_c").alias("_best1"))
+            .select(id_col, F.col("_best1.cid").alias("cell"))
         )
-        .groupBy(id_col)
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list("_c")), 1, n_probe
-            ).alias("_best")
-        )
+    per_id = keyed.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(F.collect_list("_c")), 1, n_probe
+        ).alias("_best")
     )
     return per_id.select(id_col, F.explode("_best.cid").alias("cell"))
 
@@ -101,9 +111,18 @@ def hard_negative_mining(
     the queries against the whole corpus (exact; small query sets only).
 
     Returns (query_id, id_col, similarity, rank) — rank 1 = hardest.
+
+    NULL labels: SQL three-valued logic makes ``NULL != x`` NULL, so a
+    NULL-labeled candidate is never a negative and a NULL-labeled query
+    yields no rows. Filter or impute labels upstream if NULL should
+    mean "unlabeled, usable as negative".
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1:
+        # n_probe=0 would make the multi-probe slice silently empty --
+        # every query would get zero candidates instead of an error
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),

@@ -558,10 +558,15 @@ def bh_adjust_global(
         # shrinking-frame WindowExec re-scans the remaining frame per
         # row, O(rows^2) per partition (measured 27 s vs 1.3 s on a
         # 150 k-row input; count()-timed benches masked it because a
-        # cardinality-preserving window is pruned from a count plan)
-        w_rev = Window.orderBy(
-            *[F.col(c).desc() for c in order]
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # cardinality-preserving window is pruned from a count plan).
+        # The reverse order MUST be over the unique _bh_rank, not the
+        # data columns: when ties in (p, tie_cols) don't totalize the
+        # order, a stable DESC sort keeps tied rows in the same relative
+        # order as the ASC sort — not the exact reverse — so a tied
+        # row's running min would miss its partner's smaller p*n/rank.
+        w_rev = Window.orderBy(F.col("_bh_rank").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         return (
             ranked.withColumn("_bh_min", F.min("_bh_raw").over(w_rev))
             .withColumn(out_col, F.least(F.lit(1.0), F.col("_bh_min")))
@@ -594,9 +599,12 @@ def bh_adjust_global(
     # new exchange), one extra in-partition sort. A (currentRow,
     # unboundedFollowing) frame is the wrong tool: Spark's
     # shrinking-frame WindowExec re-scans the remaining frame per row,
-    # O(rows^2) per bucket (see the small-path note above).
+    # O(rows^2) per bucket (see the small-path note above). Reverse
+    # over the unique in-bucket row_number `_local`, never the data
+    # columns — with ties a stable DESC sort is not the exact reverse
+    # of the rank order (see the small-path note).
     w_rev = Window.partitionBy(_PID).orderBy(
-        *[F.col(c).desc() for c in order]
+        F.col("_local").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = ranked.withColumn("_bh_sufmin", F.min("_bh_raw").over(w_rev))
     # per-bucket total min -> EXCLUSIVE suffix min over later buckets

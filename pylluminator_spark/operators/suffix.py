@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.functions.text import char_grams_expr, let_expr
 from pylluminator_spark.operators.ordered import with_global_rank
+from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
 # width of the LITERAL-substring base ranking: ranking length-8 grams
@@ -206,10 +207,9 @@ def _full_window_ranks(
         )
         # localCheckpoint per round — see suffix_ranks for the lineage
         # note (each round references the previous ~4 times)
-        ranks = (
+        ranks = stable_checkpoint(
             paired.join(pair_map, ["_rank", "_r2"])
             .select("_doc", "_pos", F.col("_new_rank").alias("_rank"))
-            .localCheckpoint(eager=True)
         )
         cur *= 2
     return ranks
@@ -253,9 +253,7 @@ def suffix_ranks(
         # replaces them (nothing references their RDD any more). On a
         # real cluster prefer a reliable checkpoint dir for
         # executor-loss replayability.
-        ranks = _double_round(ranks, cur, n_bound).localCheckpoint(
-            eager=True
-        )
+        ranks = stable_checkpoint(_double_round(ranks, cur, n_bound))
         cur *= 2
     # NOTE: a base-only result (no doubling) is deliberately NOT
     # checkpointed even though window consumers read it twice — measured
@@ -288,9 +286,9 @@ def suffix_array(
     Raise ``max_width`` past the longest repeated prefix to proceed.
     """
     n_pos, max_len = _corpus_dims(docs, text_col)
-    ranks = _base_ranks(
-        docs, doc_col, text_col, _BASE_WIDTH, n_pos
-    ).localCheckpoint(eager=True)
+    ranks = stable_checkpoint(
+        _base_ranks(docs, doc_col, text_col, _BASE_WIDTH, n_pos)
+    )
     w = _BASE_WIDTH
 
     def _dup_in_doc() -> int:
@@ -306,7 +304,7 @@ def suffix_array(
         if _dup_in_doc() == 0:
             break
         # per-round checkpoint — see suffix_ranks for the lineage note
-        ranks = _double_round(ranks, w, n_pos).localCheckpoint(eager=True)
+        ranks = stable_checkpoint(_double_round(ranks, w, n_pos))
         w *= 2
     if w >= max_width and w < max_len and _dup_in_doc() > 0:
         raise ValueError(

@@ -1,0 +1,62 @@
+"""Checkpoint policy for corpus-sized iterative/reused intermediates.
+
+``DataFrame.localCheckpoint`` writes blocks to EXECUTOR-LOCAL storage
+with no replication: it truncates lineage (the point — iterative plans
+like prefix doubling re-execute earlier rounds exponentially without
+it), but after the checkpoint the blocks are the only copy of the data.
+On a single-JVM ``local[*]`` run that is free and safe. On a real
+cluster, losing one executor after the checkpoint KILLS the job —
+lineage is severed, so the lost blocks cannot be recomputed.
+
+``stable_checkpoint`` makes that trade explicit and reversible:
+
+- default: ``localCheckpoint(eager=...)`` — right for local runs and
+  for clusters that accept recompute-from-scratch on executor loss;
+- with a reliable directory configured, it switches to
+  ``df.checkpoint(eager=...)``, which persists to the fault-tolerant
+  store backing the directory (HDFS/S3/...) and survives executor loss.
+
+The directory comes from (first match wins):
+
+1. the ``checkpoint_dir=`` argument (per-call override);
+2. the session conf ``spark.pylluminator.checkpointDir`` — set once
+   (``spark.conf.set(...)`` or ``--conf``) to flip EVERY corpus-sized
+   checkpoint in the package to the reliable path, no API changes;
+3. neither -> localCheckpoint.
+
+All corpus-sized checkpoint sites in the package (suffix doubling
+rounds, graph iteration, CCNet scored paragraphs, DoReMi tokenized
+bigrams, PPJoin rarity-ranked sets, langid model tables) route through
+this helper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+CHECKPOINT_DIR_CONF = "spark.pylluminator.checkpointDir"
+
+
+def stable_checkpoint(
+    df: DataFrame,
+    *,
+    checkpoint_dir: str | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """Lineage-truncating checkpoint honoring the reliable-dir policy.
+
+    ``checkpoint_dir`` (or the ``spark.pylluminator.checkpointDir``
+    session conf) selects a reliable ``df.checkpoint`` into that
+    directory; otherwise ``df.localCheckpoint``. Eager by default —
+    every call site here checkpoints precisely to materialize NOW and
+    cut the plan.
+    """
+    spark = df.sparkSession
+    if checkpoint_dir is None:
+        checkpoint_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if not checkpoint_dir:
+        return df.localCheckpoint(eager=eager)
+    # setCheckpointDir is idempotent for an unchanged path; calling it
+    # here (not at session build) keeps the knob purely conf-driven
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)

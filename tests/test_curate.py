@@ -1,0 +1,138 @@
+"""curate_pipeline (operators/curate.py): end-to-end semantics of the
+manifest-backed corpus curation chain, stage caching on rerun, and
+param-change invalidation that recomputes only downstream stages —
+the corpus-side analogue of test_session_pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pylluminator_spark.operators.curate import curate_pipeline
+
+BOILER = "subscribe to our newsletter for updates and alerts"
+
+# languages with disjoint character sets: "aa" uses a-m words, "zz" uses
+# n-z words — the self-labeled 3-gram fit separates them exactly
+AA_BODY = (
+    "alpha beckons calmly deep echoes fill glades here in jade kelp "
+    "light meadows abide calm deeds echo fields glide"
+)
+ZZ_BODY = "zonal suns warm upper stones zest on proud town spurs"
+
+
+def _corpus():
+    rows = []
+    # 6 base aa docs: unique body + shared boilerplate paragraph + html
+    for i in range(6):
+        body = f"{AA_BODY} variant {'able ' * (i + 1)}".strip()
+        rows.append(
+            (i, "aa", f"<p>{body}</p>\n\n{BOILER}")
+        )
+    # 2 exact duplicates of doc 0 (normalized): higher ids must drop
+    rows.append((100, "aa", f"<P>{AA_BODY} variant ABLE</p>\n\n{BOILER}"))
+    # wait -- tags differ in case; normalization only lowercases, so
+    # "<p>...</p>" vs "<P>...</p>" normalize equal. Keep one exact copy:
+    rows.append((101, "aa", f"<p>{AA_BODY} variant able</p>\n\n{BOILER}"))
+    # a boilerplate-only aa doc: after paragraph dedup its text is empty
+    # -> token gate drops it
+    rows.append((102, "aa", BOILER))
+    # 3 zz docs: language filter must drop them
+    for i in range(3):
+        rows.append((200 + i, "zz", f"{ZZ_BODY} zone {'zz' * (i + 1)}"))
+    return rows
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        _corpus(), "doc_id long, lang string, text string"
+    )
+
+
+def _run(spark, docs, root, **kw):
+    kw.setdefault("keep_lang", "aa")
+    kw.setdefault("min_tokens", 5)
+    kw.setdefault("max_tokens", 10_000)
+    kw.setdefault("pack_budget", 40)
+    kw.setdefault("langid_buckets", 256)
+    return curate_pipeline(
+        spark, root, docs, source_fingerprint="test-corpus-v1", **kw
+    )
+
+
+def test_end_to_end_semantics(spark, docs, tmp_path):
+    res = _run(spark, docs, str(tmp_path / "m"))
+    assert set(res.stages) == {
+        "docs", "langid_filter", "dedup_exact", "dedup_paragraphs",
+        "quality_gate", "pack",
+    }
+    out = res.documents.toPandas().set_index("doc_id")
+    # zz docs gone (language filter), 100/101 gone (exact dup of 0 after
+    # normalization), 102 gone (boilerplate-only -> empty after para
+    # dedup -> under min_tokens)
+    assert sorted(out.index) == [0, 1, 2, 3, 4, 5]
+    # html stripped everywhere
+    assert not out["text"].str.contains("<p>", case=False).any()
+    # boilerplate survives exactly once (globally-first doc 0)
+    assert out["text"].str.contains(BOILER).sum() == 1
+    assert BOILER in out.loc[0, "text"]
+    # token counts recorded and within the gate
+    assert (out["n_tokens"] >= 5).all()
+    # packing: dense seq ids, token totals conserved
+    seq = res.sequences.toPandas()
+    assert sorted(seq["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert seq["n_tokens"].sum() == out["n_tokens"].sum()
+    assert set(seq["seq_id"]) == set(range(seq["seq_id"].max() + 1))
+
+
+def test_second_run_is_all_cache(spark, docs, tmp_path):
+    root = str(tmp_path / "m")
+    first = _run(spark, docs, root)
+    assert not any(
+        first.from_cache[k]
+        for k in ("langid_filter", "dedup_exact", "dedup_paragraphs",
+                  "quality_gate", "pack")
+    )
+    second = _run(spark, docs, root)
+    assert all(second.from_cache.values()), second.from_cache
+    a = first.documents.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = second.documents.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_param_change_recomputes_only_downstream(spark, docs, tmp_path):
+    root = str(tmp_path / "m")
+    _run(spark, docs, root)
+    # tighten the quality gate: upstream stages must come from cache,
+    # quality_gate and pack must recompute
+    changed = _run(spark, docs, root, min_tokens=25)
+    fc = changed.from_cache
+    assert fc["langid_filter"] and fc["dedup_exact"]
+    assert fc["dedup_paragraphs"]
+    assert not fc["quality_gate"]
+    assert not fc["pack"]
+    # and the tightened gate actually binds (variant-1 doc has fewer
+    # tokens than the longest variants)
+    n_before = 6
+    assert changed.documents.count() < n_before
+
+
+def test_skip_flags(spark, docs, tmp_path):
+    res = _run(
+        spark, docs, str(tmp_path / "m"),
+        keep_lang=None, pack_budget=None,
+    )
+    assert "langid_filter" not in res.stages
+    assert "pack" not in res.stages
+    assert res.sequences is None
+    # without the language filter the zz docs survive curation
+    ids = {r.doc_id for r in res.documents.select("doc_id").collect()}
+    assert {200, 201, 202} <= ids
+
+
+def test_validation(spark, docs, tmp_path):
+    with pytest.raises(ValueError):
+        _run(spark, docs, str(tmp_path / "m"), min_tokens=100, max_tokens=5)
+    with pytest.raises(ValueError):
+        _run(spark, docs, str(tmp_path / "m2"), pack_budget=0)

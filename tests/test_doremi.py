@@ -162,6 +162,61 @@ class TestDoremiWeights:
         }
         assert got["forum"] == 1  # doc 6 ("lol") has no bigrams
 
+    def test_deterministic_fold_matches_bounded_sum(self, spark):
+        # the production path (plain SUM per domain, bounded state,
+        # map-side combine) and the gate twin (sorted-doc_col fold)
+        # must agree to float noise on every output column
+        docs = spark.createDataFrame(
+            DOCS, "doc_id long, source string, text string"
+        )
+        ref = spark.createDataFrame(REF, "doc_id long, text string")
+        prod = {
+            r["source"]: r
+            for r in doremi_domain_weights(
+                docs, ref, eta=ETA, smoothing=SMOOTH
+            ).collect()
+        }
+        det = {
+            r["source"]: r
+            for r in doremi_domain_weights(
+                docs, ref, eta=ETA, smoothing=SMOOTH, deterministic=True
+            ).collect()
+        }
+        assert set(prod) == set(det)
+        for dom in det:
+            for c in ("n_docs", "n_bigrams"):
+                assert prod[dom][c] == det[dom][c]
+            for c in ("nll_ref", "nll_self", "excess", "weight"):
+                assert prod[dom][c] == pytest.approx(
+                    det[dom][c], rel=1e-12
+                ), (dom, c)
+
+    def test_default_path_has_no_corpus_sized_collect_list(self, spark):
+        # the per-DOMAIN aggregation (state grows with the corpus) must
+        # be a plain sum on the default path; the only collect_list
+        # allowed in the whole plan is the <= n_domains normalizer fold
+        docs = spark.createDataFrame(
+            DOCS, "doc_id long, source string, text string"
+        )
+        ref = spark.createDataFrame(REF, "doc_id long, text string")
+        plan = (
+            doremi_domain_weights(docs, ref)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # normalizer folds struct(_dom, _wraw); the unbounded per-domain
+        # fold collected struct(doc_id, ...) — its signature must be
+        # gone (plans print named structs as "struct(doc_id, doc_id#N,")
+        assert "struct(doc_id," not in plan
+        det_plan = (
+            doremi_domain_weights(docs, ref, deterministic=True)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "struct(doc_id," in det_plan
+
     def test_smoothing_validation(self, spark):
         docs = spark.createDataFrame(
             DOCS, "doc_id long, source string, text string"

@@ -143,6 +143,31 @@ class TestBruteForcePath:
         with pytest.raises(ValueError):
             hard_negative_mining(corpus, queries, k=0)
 
+    def test_n_probe_validation(self, spark, frames):
+        # n_probe=0 would silently yield zero candidates for every
+        # query (empty slice), not an error — must raise instead
+        corpus, queries, cents = frames
+        for bad in (0, -1):
+            with pytest.raises(ValueError):
+                hard_negative_mining(
+                    corpus, queries, k=4, centroids=cents, n_probe=bad
+                )
+
+    def test_single_probe_plan_has_no_collect_list(self, spark, frames):
+        # n_probe=1 must dispatch to the streaming min(struct) partial
+        # aggregate (constant per-group state, map-side combine) — the
+        # sort_array(collect_list) top-n slice is the multi-probe path
+        corpus, queries, cents = frames
+        plan1 = hard_negative_mining(
+            corpus, queries, k=4, centroids=cents, n_probe=1
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan1
+        assert "min(" in plan1
+        plan2 = hard_negative_mining(
+            corpus, queries, k=4, centroids=cents, n_probe=2
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" in plan2
+
 
 class TestIvfPath:
     def test_single_probe_matches_python_ivf(self, spark, frames):

@@ -277,6 +277,61 @@ def test_bh_adjust_global_scale_path_matches_small(spark, monkeypatch):
         assert s[k] == f[k], (k, s[k], f[k])
 
 
+def test_bh_adjust_global_tied_p_no_tie_cols(spark, monkeypatch):
+    """Regression (r9 ADVICE high): with tied p-values and no tie_cols,
+    the reverse running min must follow the exact reverse of the rank
+    order. A stable DESC sort over the data columns keeps tied rows in
+    the SAME relative order as the ASC sort, so a tied row's running min
+    missed its partner's smaller p*n/rank term. The reverse window now
+    orders by the unique rank itself."""
+    import pylluminator_spark.operators.ordered as ordered
+
+    def ref_bh(p):
+        p = np.asarray(p, dtype=float)
+        order = np.argsort(p, kind="stable")
+        ranked = p[order] * len(p) / (np.arange(len(p)) + 1)
+        adj = np.clip(np.minimum.accumulate(ranked[::-1])[::-1], 0, 1)
+        out = np.empty_like(adj)
+        out[order] = adj
+        return out
+
+    for ps in ([0.5, 0.5], [0.01, 0.04, 0.04, 0.9]):
+        expected = sorted(ref_bh(ps))
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(ps)], ["id", "p"]
+        )
+        got = sorted(
+            r.p_adj for r in bh_adjust_global(df, "p").collect()
+        )
+        assert got == pytest.approx(expected, rel=1e-12), ps
+        monkeypatch.setattr(ordered, "SMALL_INPUT_ROWS", 0)
+        got_scale = sorted(
+            r.p_adj
+            for r in bh_adjust_global(
+                df, "p", num_partitions=2
+            ).collect()
+        )
+        monkeypatch.setattr(ordered, "SMALL_INPUT_ROWS", 10_000)
+        assert got_scale == pytest.approx(expected, rel=1e-12), ps
+
+    # larger randomized tied input: both paths vs numpy, rounded to
+    # 2 decimals so ties are dense
+    rng = np.random.RandomState(23)
+    p = rng.uniform(0, 1, 500).round(2)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(p)], ["id", "p"]
+    ).repartition(4)
+    expected = sorted(ref_bh(p))
+    got = sorted(r.p_adj for r in bh_adjust_global(df, "p").collect())
+    assert got == pytest.approx(expected, rel=1e-12)
+    monkeypatch.setattr(ordered, "SMALL_INPUT_ROWS", 0)
+    got_scale = sorted(
+        r.p_adj
+        for r in bh_adjust_global(df, "p", num_partitions=4).collect()
+    )
+    assert got_scale == pytest.approx(expected, rel=1e-12)
+
+
 def test_rank_with_custom_bucket_expr_matches_sampled(spark, monkeypatch):
     """bucket_expr contract: any order-consistent (possibly sparse)
     bucket id expression yields the identical global rank."""
