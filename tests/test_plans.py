@@ -202,6 +202,11 @@ SCALAR_AGG_OK = [
     # the query function; the scalar-agg share stage lives in the
     # STORED parquet, not the returned plan)
     "lineage_stage_cache",
+    # curate_pipeline gate: same manifest discipline — every stage
+    # materializes eagerly into content-keyed parquet during the query
+    # call (pack_sequences' size-dispatched running sum included); the
+    # RETURNED plan is an equi join of two stage-parquet scans
+    "curate_corpus",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
