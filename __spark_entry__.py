@@ -8318,6 +8318,139 @@ FROM cum
 """
 
 
+def q_dedup_exact_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators.dedup.dedup_exact_against,
+    new r10 — the daily-crawl-increment path): batch rows surviving
+    within-batch normalized dedup whose content is absent from the
+    existing corpus. Batch fingerprints BROADCAST; the corpus is
+    scanned once map-side, never shuffled. The corpus splits into an
+    existing 2/3 and a batch 1/3, plus planted copies of existing docs
+    (must drop against the corpus) and doubled batch docs (must drop
+    within the batch, lowest id surviving)."""
+    from pylluminator_spark.operators.dedup import dedup_exact_against
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    existing = docs.filter(d % 3 != 0).select("doc_id", "text")
+    b1 = docs.filter(d % 3 == 0).select(
+        (d + 20000).alias("doc_id"), "text"
+    )
+    b2 = docs.filter(d % 11 == 1).select(
+        (d + 40000).alias("doc_id"), "text"
+    )
+    b3 = docs.filter((d % 3 == 0) & (d % 13 == 2)).select(
+        (d + 60000).alias("doc_id"), "text"
+    )
+    batch = b1.unionByName(b2).unionByName(b3)
+    out = dedup_exact_against(batch, existing)
+    return out.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+ORACLE_DEDUP_EXACT_INC = r"""
+WITH existing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+), batch AS (
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 40000, text FROM documents WHERE doc_id % 11 = 1
+  UNION ALL
+  SELECT doc_id + 60000, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 13 = 2
+), bnorm AS (
+  SELECT doc_id, text,
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM batch
+), keep AS (
+  SELECT nrm, MIN(doc_id) AS doc_id FROM bnorm GROUP BY nrm
+), enorm AS (
+  SELECT DISTINCT
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM existing
+)
+SELECT b.doc_id, CAST(LENGTH(b.text) AS BIGINT) AS n_chars
+FROM bnorm b
+JOIN keep k ON b.doc_id = k.doc_id AND b.nrm = k.nrm
+ANTI JOIN enorm e ON b.nrm = e.nrm
+"""
+
+
+def q_dedup_paragraphs_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup
+    (operators.cleanup.dedup_paragraphs_against, new r10): batch
+    paragraphs keep their batch-first occurrence UNLESS the paragraph
+    already occurs in the existing corpus (the corpus keeps its copy).
+    Corpus split in half; both halves carry the injected per-source
+    HEADER and the global FOOTER, so every batch HEADER/FOOTER is
+    suppressed by the corpus while unique bodies survive. Gate
+    hash-compares the FULL reassembled documents."""
+    from pylluminator_spark.operators.cleanup import (
+        dedup_paragraphs_against,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ptext = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("HEADER "), F.col("source")),
+        F.substring("text", 1, 60),
+        F.lit("FOOTER common to all documents"),
+        F.substring("text", 61, 100000),
+    )
+    existing = docs.filter(d % 2 == 0).select("doc_id", ptext.alias("text"))
+    batch = docs.filter(d % 2 == 1).select("doc_id", ptext.alias("text"))
+    res = dedup_paragraphs_against(batch, existing)
+    return res.select(
+        "doc_id", "clean_text", "n_paras_kept", "n_paras_dropped"
+    )
+
+
+ORACLE_DEDUP_PARAGRAPHS_INC = r"""
+WITH base AS (
+  SELECT doc_id,
+         'HEADER ' || source || chr(10) || chr(10)
+           || substr(text, 1, 60) || chr(10) || chr(10)
+           || 'FOOTER common to all documents' || chr(10) || chr(10)
+           || substr(text, 61, 100000) AS t,
+         doc_id % 2 = 1 AS is_batch
+  FROM documents
+), split AS (
+  SELECT doc_id, is_batch, string_split_regex(t, '\n{2,}') AS lst FROM base
+), paras AS (
+  SELECT doc_id, is_batch, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM split, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), corpus_paras AS (
+  SELECT DISTINCT para FROM paras WHERE NOT is_batch
+), bparas AS (
+  SELECT doc_id, para_idx, para FROM paras WHERE is_batch
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY para ORDER BY doc_id, para_idx) AS rn,
+    EXISTS (SELECT 1 FROM corpus_paras c WHERE c.para = bparas.para)
+      AS in_corpus
+  FROM bparas
+), rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                    FILTER (WHERE rn = 1 AND NOT in_corpus), '')
+           AS clean_text,
+         COUNT(*) FILTER (WHERE rn = 1 AND NOT in_corpus) AS n_paras_kept,
+         COUNT(*) FILTER (WHERE rn > 1 OR in_corpus) AS n_paras_dropped
+  FROM ranked GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(COALESCE(r.n_paras_dropped, 0) AS BIGINT) AS n_paras_dropped
+FROM (SELECT doc_id FROM base WHERE is_batch) b
+LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-10 rotation (VERDICT
@@ -8408,9 +8541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         # ---- end of the 50 gated slots ------------------------------
-        # -- 3b. the r10 addition (never gated — r11 debut; the one new
-        # entry this round, backlog 1 of the <= 13 cap) ----------------
+        # -- 3b. the r10 additions (never gated — r11 debuts; 3 new
+        # entries this round, backlog 3 of the <= 13 cap) ---------------
         "curate_corpus": q_curate_corpus,
+        "dedup_exact_inc": q_dedup_exact_inc,
+        "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
         # -- 4. r11 queue head: the two r7-green entries displaced by
         # the rows-only refresh, then the remaining 26 r7-green --------
         "repetition_ratios": q_repetition_ratios,
@@ -8553,6 +8688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "curate_corpus": ORACLE_CURATE_CORPUS,
+        "dedup_exact_inc": ORACLE_DEDUP_EXACT_INC,
+        "dedup_paragraphs_inc": ORACLE_DEDUP_PARAGRAPHS_INC,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

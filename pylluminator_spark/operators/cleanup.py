@@ -95,7 +95,16 @@ def dedup_paragraphs(
         )
     ).alias("kept")
     flagged = joined.select(id_col, "para_idx", "para", kept_flag)
+    return _reassemble_flagged(df, flagged, id_col)
 
+
+def _reassemble_flagged(
+    df: DataFrame, flagged: DataFrame, id_col: str
+) -> DataFrame:
+    """Rebuild documents from a (id, para_idx, para, kept) table — the
+    shared tail of the corpus-wide and incremental paragraph dedups.
+    One doc-keyed aggregate; per-group state bounded by a document's
+    own paragraph count."""
     rebuilt = flagged.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(
@@ -121,6 +130,68 @@ def dedup_paragraphs(
         .join(out, id_col, "left")
         .fillna({"clean_text": "", "n_paras_kept": 0, "n_paras_dropped": 0})
     )
+
+
+def dedup_paragraphs_against(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    existing_text_col: str | None = None,
+    pattern: str = PARAGRAPH_SPLIT_PATTERN,
+    min_chars: int = 0,
+) -> DataFrame:
+    """INCREMENTAL paragraph dedup: apply the ``dedup_paragraphs`` rule
+    within the new batch (batch-first occurrence survives), and
+    additionally drop EVERY batch occurrence of a paragraph that
+    already occurs anywhere in ``existing`` — the curated corpus keeps
+    its copy, so the increment must not introduce another. Output
+    schema matches ``dedup_paragraphs`` (every batch doc survives,
+    possibly with empty ``clean_text``).
+
+    Paragraphs shorter than ``min_chars`` stay exempt (kept everywhere,
+    never suppressed by the corpus) — same rule as the batch operator.
+
+    Scale: the batch's paragraph fingerprints are dimension-sized next
+    to the corpus and BROADCAST; ``existing`` is scanned ONCE, split
+    map-side, and only fingerprints matching the batch survive into the
+    tiny hit table — the corpus is never shuffled and its text never
+    leaves the scan. ``existing_text_col`` names the corpus's text
+    column when it differs from the batch's (e.g. an already-curated
+    store exposing ``clean_text``).
+    """
+    paras = split_paragraphs(new_docs, text_col, id_col, pattern)
+    paras = paras.withColumn("fp", F.xxhash64("para"))
+    eligible = (
+        paras.filter(F.length("para") >= min_chars) if min_chars else paras
+    )
+    winners = eligible.groupBy("fp").agg(
+        F.min(F.struct(id_col, "para_idx")).alias("first_at")
+    )
+    batch_fps = eligible.select("fp").distinct()
+    old_text = existing_text_col or text_col
+    # corpus side: map-side split + fingerprint, broadcast-probed by the
+    # batch fingerprint set; a short-exempt batch paragraph can never
+    # match (same fp => same text => same length), so no length filter
+    # is needed here
+    old_hits = (
+        split_paragraphs(existing, old_text, id_col, pattern)
+        .select(F.xxhash64("para").alias("fp"))
+        .join(F.broadcast(batch_fps), "fp", "left_semi")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    joined = paras.join(winners, "fp", "left").join(old_hits, "fp", "left")
+    kept_flag = (
+        F.col("first_at").isNull()  # exempt short paragraphs
+        | (
+            (F.col(f"first_at.{id_col}") == F.col(id_col))
+            & (F.col("first_at.para_idx") == F.col("para_idx"))
+            & F.col("_in_corpus").isNull()
+        )
+    ).alias("kept")
+    flagged = joined.select(id_col, "para_idx", "para", kept_flag)
+    return _reassemble_flagged(new_docs, flagged, id_col)
 
 
 def cap_per_domain(

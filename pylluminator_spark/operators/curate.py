@@ -151,6 +151,62 @@ def _stage_quality_gate(
     ).withColumn("n_tokens", n_tok.cast("long"))
 
 
+def _stage_inc_dedup_exact(
+    spark: SparkSession,
+    batch: DataFrame,
+    base: DataFrame,
+    *,
+    text_col: str,
+    doc_col: str,
+    normalize: bool,
+) -> DataFrame:
+    """Incremental exact dedup: batch rows surviving within-batch dedup
+    whose content is absent from the base run's ``dedup_exact`` output
+    (raw text — the comparable representation). Batch fingerprints
+    broadcast; the base corpus is scanned once, never shuffled."""
+    from pylluminator_spark.operators.dedup import dedup_exact_against
+
+    return dedup_exact_against(
+        batch,
+        base.select(doc_col, text_col),
+        text_col=text_col,
+        id_col=doc_col,
+        normalize=normalize,
+    )
+
+
+def _stage_inc_dedup_paragraphs(
+    spark: SparkSession,
+    batch: DataFrame,
+    base: DataFrame,
+    *,
+    text_col: str,
+    doc_col: str,
+    min_chars: int,
+) -> DataFrame:
+    """Incremental paragraph dedup against the base run's
+    ``dedup_paragraphs`` output — the stage whose text still carries
+    the blank-line paragraph boundaries (the final curated text has
+    them collapsed by HTML stripping, so it cannot be the reference)."""
+    from pylluminator_spark.operators.cleanup import (
+        dedup_paragraphs_against,
+    )
+
+    out = dedup_paragraphs_against(
+        batch.select(doc_col, text_col),
+        base.select(doc_col, text_col),
+        text_col=text_col,
+        id_col=doc_col,
+        min_chars=min_chars,
+    )
+    return out.select(
+        doc_col,
+        F.col("clean_text").alias(text_col),
+        "n_paras_kept",
+        "n_paras_dropped",
+    )
+
+
 def _stage_pack(
     spark: SparkSession,
     docs: DataFrame,
@@ -311,4 +367,113 @@ def curate_pipeline(
         )
         res.stages["pack"] = packed
         res.sequences = packed.df
+    return res
+
+
+def curate_increment(
+    spark: SparkSession,
+    manifest_root: str,
+    new_docs: DataFrame,
+    *,
+    source_fingerprint: str | None = None,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lang: str | None = None,
+    label_col: str = "lang",
+    langid_n: int = 3,
+    langid_buckets: int = 4096,
+    langid_alpha: float = 0.5,
+    normalize_exact: bool = True,
+    para_min_chars: int = 0,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+) -> CurateResult:
+    """Curate a NEW batch against an existing :func:`curate_pipeline`
+    run in the same ``manifest_root`` — the daily-crawl-increment path:
+    the base corpus is never recomputed or reshuffled; the batch dedups
+    against it via broadcast fingerprint probes.
+
+    Chain: (optional batch langid filter) -> incremental exact dedup
+    vs the base run's ``dedup_exact`` stage (raw text) -> incremental
+    paragraph dedup vs the base ``dedup_paragraphs`` stage (the stage
+    whose text still carries paragraph boundaries; the final stripped
+    text has them collapsed) -> HTML strip + token gate. Returns the
+    curated NEW documents only — append them (and re-pack) downstream.
+
+    Every stage key chains off the BASE stage keys (Merkle), so
+    re-running the base pipeline with different params/data
+    automatically invalidates and recomputes dependent increments.
+    Dedup knobs (``normalize_exact``, ``para_min_chars``) should match
+    the base run's — they govern the same fingerprints.
+    """
+    if min_tokens > max_tokens:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) > max_tokens ({max_tokens})"
+        )
+    m = PipelineManifest(spark, manifest_root)
+    base_exact = m.latest("dedup_exact")
+    base_paras = m.latest("dedup_paragraphs")
+    if base_exact is None or base_paras is None:
+        raise ValueError(
+            "curate_increment needs a prior curate_pipeline run in this "
+            f"manifest root ({manifest_root}): missing "
+            f"{'dedup_exact' if base_exact is None else 'dedup_paragraphs'}"
+            " stage"
+        )
+    cur = m.frame_source("increment", new_docs, source_fingerprint)
+    res = CurateResult()
+    res.stages["increment"] = cur
+    res.stages["base_dedup_exact"] = base_exact
+    res.stages["base_dedup_paragraphs"] = base_paras
+    if keep_lang is not None:
+        cur = m.stage(
+            "inc_langid_filter",
+            _stage_langid_filter,
+            [cur],
+            {
+                "keep_lang": keep_lang,
+                "label_col": label_col,
+                "text_col": text_col,
+                "doc_col": doc_col,
+                "n": langid_n,
+                "buckets": langid_buckets,
+                "alpha": langid_alpha,
+            },
+        )
+        res.stages["inc_langid_filter"] = cur
+    cur = m.stage(
+        "inc_dedup_exact",
+        _stage_inc_dedup_exact,
+        [cur, base_exact],
+        {
+            "text_col": text_col,
+            "doc_col": doc_col,
+            "normalize": normalize_exact,
+        },
+    )
+    res.stages["inc_dedup_exact"] = cur
+    cur = m.stage(
+        "inc_dedup_paragraphs",
+        _stage_inc_dedup_paragraphs,
+        [cur, base_paras],
+        {
+            "text_col": text_col,
+            "doc_col": doc_col,
+            "min_chars": para_min_chars,
+        },
+    )
+    res.stages["inc_dedup_paragraphs"] = cur
+    cur = m.stage(
+        "inc_quality_gate",
+        _stage_quality_gate,
+        [cur],
+        {
+            "text_col": text_col,
+            "doc_col": doc_col,
+            "min_tokens": min_tokens,
+            "max_tokens": max_tokens,
+        },
+    )
+    res.stages["inc_quality_gate"] = cur
+    res.documents = cur.df
     return res

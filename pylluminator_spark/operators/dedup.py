@@ -19,7 +19,7 @@ AQE coalesce the (typically tiny) candidate partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pylluminator_spark.functions.text import (
@@ -48,6 +48,45 @@ def dedup_exact(
     with_fp = df.withColumn("_fp", F.xxhash64(content))
     keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return with_fp.join(keep, [ "_fp", id_col], "left_semi").drop("_fp")
+
+
+def dedup_exact_against(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """INCREMENTAL exact dedup: rows of ``new_docs`` that survive the
+    ``dedup_exact`` rule within the batch (lowest id per normalized
+    content) AND whose content does not already occur anywhere in
+    ``existing`` — the daily-crawl-increment path: new batches dedup
+    against a curated corpus without recomputing it.
+
+    Scale: the batch's fingerprint set is dimension-sized next to the
+    corpus and is BROADCAST; ``existing`` is scanned ONCE with its
+    fingerprint computed map-side, and only fingerprints that match the
+    batch (<= batch size) survive the scan into the tiny hit table. The
+    corpus is never shuffled and its text never leaves the scan
+    projection. Same 8-byte-collision trade as ``dedup_exact``.
+    """
+
+    def _fp(df: DataFrame) -> Column:
+        content = F.col(text_col)
+        if normalize:
+            content = F.array_join(tokens_expr(F.lower(content)), " ")
+        return F.xxhash64(content)
+
+    batch = new_docs.withColumn("_fp", _fp(new_docs))
+    keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
+    batch_fps = batch_kept.select("_fp").distinct()
+    old_hits = (
+        existing.select(_fp(existing).alias("_fp"))
+        .join(F.broadcast(batch_fps), "_fp", "left_semi")
+        .distinct()
+    )
+    return batch_kept.join(old_hits, "_fp", "left_anti").drop("_fp")
 
 
 def minhash_signature(

@@ -360,6 +360,33 @@ class PipelineManifest:
         with open(os.path.join(self.root, self._LEDGER), "a") as fh:
             fh.write(json.dumps(entry) + "\n")
 
+    def latest(self, name: str) -> StageRef | None:
+        """Most recently written stage named ``name`` whose parquet still
+        exists, as a from_cache StageRef — the anchor for INCREMENTAL
+        pipelines that extend an earlier run's output (e.g.
+        ``curate_increment`` dedups a new batch against the base run's
+        ``dedup_exact`` / ``dedup_paragraphs`` stages). Returns None when
+        no such stage has been materialized in this store."""
+        best = None
+        for e in self._entries.values():
+            if e.get("name") != name or not e.get("path"):
+                continue
+            if not os.path.exists(os.path.join(e["path"], "_SUCCESS")):
+                continue
+            if best is None or e.get("written_at", 0) > best.get(
+                "written_at", 0
+            ):
+                best = e
+        if best is None:
+            return None
+        return StageRef(
+            name=name,
+            key=best["key"],
+            df=self.spark.read.parquet(best["path"]),
+            path=best["path"],
+            from_cache=True,
+        )
+
     # -- introspection ---------------------------------------------------
 
     def lineage(self) -> DataFrame:

@@ -136,3 +136,148 @@ def test_validation(spark, docs, tmp_path):
         _run(spark, docs, str(tmp_path / "m"), min_tokens=100, max_tokens=5)
     with pytest.raises(ValueError):
         _run(spark, docs, str(tmp_path / "m2"), pack_budget=0)
+
+
+class TestIncrementalOperators:
+    def test_dedup_exact_against(self, spark):
+        from pylluminator_spark.operators.dedup import dedup_exact_against
+
+        existing = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "ALPHA   beta gamma"),   # dup of existing 1 (normalized)
+                (11, "new unique document"),
+                (12, "new  unique DOCUMENT"), # within-batch dup of 11
+                (13, "another fresh one"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = sorted(
+            r.doc_id for r in dedup_exact_against(batch, existing).collect()
+        )
+        assert got == [11, 13]
+        # normalize=False: casing/spacing differences make everything unique
+        raw = sorted(
+            r.doc_id
+            for r in dedup_exact_against(
+                batch, existing, normalize=False
+            ).collect()
+        )
+        assert raw == [10, 11, 12, 13]
+
+    def test_dedup_paragraphs_against(self, spark):
+        from pylluminator_spark.operators.cleanup import (
+            dedup_paragraphs_against,
+        )
+
+        existing = spark.createDataFrame(
+            [(1, "corpus body one\n\nshared boilerplate here")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                # boilerplate suppressed by corpus; body kept
+                (10, "fresh body ten\n\nshared boilerplate here"),
+                # batch-internal dup paragraph: first occurrence (10? no —
+                # 'batch dup para' first appears in 11) kept once
+                (11, "batch dup para\n\nfresh body eleven"),
+                (12, "batch dup para\n\nfresh body twelve"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_paras_kept, r.n_paras_dropped)
+            for r in dedup_paragraphs_against(batch, existing).collect()
+        }
+        assert got[10] == ("fresh body ten", 1, 1)
+        assert got[11] == ("batch dup para\n\nfresh body eleven", 2, 0)
+        assert got[12] == ("fresh body twelve", 1, 1)
+
+    def test_min_chars_exemption_never_suppressed(self, spark):
+        from pylluminator_spark.operators.cleanup import (
+            dedup_paragraphs_against,
+        )
+
+        existing = spark.createDataFrame(
+            [(1, "Intro\n\nlong corpus paragraph body")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(10, "Intro\n\nnew long body paragraph")],
+            ["doc_id", "text"],
+        )
+        got = dedup_paragraphs_against(
+            batch, existing, min_chars=10
+        ).collect()[0]
+        # "Intro" < 10 chars: exempt — kept even though the corpus has it
+        assert got.clean_text == "Intro\n\nnew long body paragraph"
+
+
+class TestCurateIncrement:
+    def _increment(self, spark, root, batch, **kw):
+        from pylluminator_spark.operators.curate import curate_increment
+
+        kw.setdefault("min_tokens", 2)
+        kw.setdefault("max_tokens", 10_000)
+        return curate_increment(
+            spark, root, batch,
+            source_fingerprint=kw.pop("source_fingerprint", "batch-v1"),
+            **kw,
+        )
+
+    def test_increment_semantics(self, spark, docs, tmp_path):
+        root = str(tmp_path / "m")
+        _run(spark, docs, root)  # base run
+        batch = spark.createDataFrame(
+            [
+                # exact dup of base doc 0 (same raw text)
+                (500, "aa", f"<p>{AA_BODY} variant able</p>\n\n{BOILER}"),
+                # fresh doc carrying the base boilerplate paragraph:
+                # boilerplate suppressed, body kept
+                (501, "aa", f"fresh increment body text\n\n{BOILER}"),
+                # boilerplate-only: everything suppressed -> token gate
+                (502, "aa", BOILER),
+                # within-batch duplicate pair
+                (503, "aa", "brand new increment document"),
+                (504, "aa", "brand  new increment DOCUMENT"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        res = self._increment(spark, root, batch)
+        out = {r.doc_id: r.text for r in res.documents.collect()}
+        assert sorted(out) == [501, 503]
+        assert BOILER not in out[501]
+        assert "fresh increment body text" in out[501]
+
+    def test_increment_caching_and_base_invalidation(
+        self, spark, docs, tmp_path
+    ):
+        root = str(tmp_path / "m")
+        _run(spark, docs, root)
+        batch = spark.createDataFrame(
+            [(600, "aa", "one incremental document body")],
+            "doc_id long, lang string, text string",
+        )
+        first = self._increment(spark, root, batch)
+        assert not first.from_cache["inc_dedup_exact"]
+        second = self._increment(spark, root, batch)
+        assert second.from_cache["inc_dedup_exact"]
+        assert second.from_cache["inc_quality_gate"]
+        # re-running the BASE with a different paragraph knob re-keys the
+        # base dedup_paragraphs stage -> the increment's paragraph stage
+        # (and downstream) recompute; its exact stage stays cached
+        _run(spark, docs, root, para_min_chars=3)
+        third = self._increment(spark, root, batch)
+        assert third.from_cache["inc_dedup_exact"]
+        assert not third.from_cache["inc_dedup_paragraphs"]
+        assert not third.from_cache["inc_quality_gate"]
+
+    def test_increment_requires_base(self, spark, tmp_path):
+        batch = spark.createDataFrame(
+            [(1, "aa", "text body")], "doc_id long, lang string, text string"
+        )
+        with pytest.raises(ValueError, match="prior curate_pipeline"):
+            self._increment(spark, str(tmp_path / "empty"), batch)

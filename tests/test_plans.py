@@ -207,6 +207,10 @@ SCALAR_AGG_OK = [
     # call (pack_sequences' size-dispatched running sum included); the
     # RETURNED plan is an equi join of two stage-parquet scans
     "curate_corpus",
+    # incremental dedup vs an existing corpus: within-batch hash dedup
+    # + broadcast fingerprint probes of the corpus scan — equi joins
+    # only, the corpus never shuffles
+    "dedup_exact_inc", "dedup_paragraphs_inc",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
