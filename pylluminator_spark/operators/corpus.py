@@ -695,6 +695,7 @@ def pack_sequences(
     budget: int = 2048,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    token_offset: int = 0,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences: documents
     are taken in ``doc_col`` order and sequence ``seq_id`` starts where the
@@ -706,9 +707,18 @@ def pack_sequences(
     size-dispatched between a plain window and the range-partitioned
     two-phase path, so the packing scales past the single-partition window
     limit. Returns ``(doc_id, n_tokens, seq_id)``.
+
+    ``token_offset`` shifts the running total before the division — the
+    INCREMENTAL-append knob: pack a new batch with ``token_offset`` set
+    to the base corpus's total token count and the batch's sequence ids
+    continue exactly where the base's packing left off (equivalent to
+    packing the concatenated corpora in one pass, for documents in
+    ``doc_col`` order after the base).
     """
     from pylluminator_spark.operators.ordered import with_running_sum
 
+    if token_offset < 0:
+        raise ValueError(f"token_offset must be >= 0, got {token_offset}")
     sized = docs.select(
         doc_col, token_count_expr(F.col(text_col)).alias("n_tokens")
     )
@@ -722,7 +732,9 @@ def pack_sequences(
     return cum.select(
         doc_col,
         "n_tokens",
-        F.expr(f"(_cum - n_tokens) div {int(budget)}").alias("seq_id"),
+        F.expr(
+            f"(_cum - n_tokens + {int(token_offset)}) div {int(budget)}"
+        ).alias("seq_id"),
     )
 
 

@@ -224,6 +224,32 @@ def _stage_pack(
     )
 
 
+def _stage_inc_pack(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_gate: DataFrame,
+    *,
+    text_col: str,
+    doc_col: str,
+    budget: int,
+) -> DataFrame:
+    """Pack the increment CONTINUING the base corpus's sequence ids:
+    ``token_offset`` = the base quality-gate stage's total token count
+    (a 1-row aggregate over a stored integer column), so the combined
+    packing equals a single pass over base-then-batch. Requires the
+    same ``budget`` as the base pack."""
+    from pylluminator_spark.operators.corpus import pack_sequences
+
+    total = base_gate.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    return pack_sequences(
+        docs,
+        budget=budget,
+        text_col=text_col,
+        doc_col=doc_col,
+        token_offset=int(total),
+    )
+
+
 # --------------------------------------------------------------------------
 # the composed pipeline
 # --------------------------------------------------------------------------
@@ -387,6 +413,7 @@ def curate_increment(
     para_min_chars: int = 0,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
+    pack_budget: int | None = None,
 ) -> CurateResult:
     """Curate a NEW batch against an existing :func:`curate_pipeline`
     run in the same ``manifest_root`` — the daily-crawl-increment path:
@@ -398,7 +425,12 @@ def curate_increment(
     paragraph dedup vs the base ``dedup_paragraphs`` stage (the stage
     whose text still carries paragraph boundaries; the final stripped
     text has them collapsed) -> HTML strip + token gate. Returns the
-    curated NEW documents only — append them (and re-pack) downstream.
+    curated NEW documents only — append them downstream.
+
+    ``pack_budget`` (optional; MUST match the base run's) additionally
+    packs the increment with sequence ids CONTINUING from the base
+    corpus's total token count — the combined assignment equals one
+    packing pass over base-then-batch.
 
     Every stage key chains off the BASE stage keys (Merkle), so
     re-running the base pipeline with different params/data
@@ -476,4 +508,27 @@ def curate_increment(
     )
     res.stages["inc_quality_gate"] = cur
     res.documents = cur.df
+    if pack_budget is not None:
+        if pack_budget < 1:
+            raise ValueError(
+                f"pack_budget must be >= 1, got {pack_budget}"
+            )
+        base_gate = m.latest("quality_gate")
+        if base_gate is None:
+            raise ValueError(
+                "pack_budget on an increment needs the base run's "
+                "quality_gate stage in this manifest root"
+            )
+        packed = m.stage(
+            "inc_pack",
+            _stage_inc_pack,
+            [cur, base_gate],
+            {
+                "text_col": text_col,
+                "doc_col": doc_col,
+                "budget": pack_budget,
+            },
+        )
+        res.stages["inc_pack"] = packed
+        res.sequences = packed.df
     return res

@@ -71,18 +71,18 @@ def dedup_exact_against(
     projection. Same 8-byte-collision trade as ``dedup_exact``.
     """
 
-    def _fp(df: DataFrame) -> Column:
+    def _fp() -> Column:
         content = F.col(text_col)
         if normalize:
             content = F.array_join(tokens_expr(F.lower(content)), " ")
         return F.xxhash64(content)
 
-    batch = new_docs.withColumn("_fp", _fp(new_docs))
+    batch = new_docs.withColumn("_fp", _fp())
     keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
     batch_fps = batch_kept.select("_fp").distinct()
     old_hits = (
-        existing.select(_fp(existing).alias("_fp"))
+        existing.select(_fp().alias("_fp"))
         .join(F.broadcast(batch_fps), "_fp", "left_semi")
         .distinct()
     )

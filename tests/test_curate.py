@@ -275,6 +275,36 @@ class TestCurateIncrement:
         assert not third.from_cache["inc_dedup_paragraphs"]
         assert not third.from_cache["inc_quality_gate"]
 
+    def test_increment_pack_continues_base(self, spark, docs, tmp_path):
+        # packing the increment with token_offset = base total tokens
+        # must equal ONE packing pass over base-then-batch
+        from pylluminator_spark.operators.corpus import pack_sequences
+
+        root = str(tmp_path / "m")
+        base = _run(spark, docs, root)  # pack_budget=40
+        batch = spark.createDataFrame(
+            [
+                (700, "aa", "seven hundred incremental body words here"),
+                (701, "aa", "seven hundred one another body of words"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        res = self._increment(spark, root, batch, pack_budget=40)
+        combined_docs = base.documents.select("doc_id", "text").unionByName(
+            res.documents.select("doc_id", "text")
+        )
+        direct = {
+            r.doc_id: (r.n_tokens, r.seq_id)
+            for r in pack_sequences(combined_docs, budget=40).collect()
+        }
+        got = {
+            r.doc_id: (r.n_tokens, r.seq_id)
+            for r in base.sequences.unionByName(res.sequences).collect()
+        }
+        assert got == direct
+        with pytest.raises(ValueError):
+            self._increment(spark, root, batch, pack_budget=0)
+
     def test_increment_requires_base(self, spark, tmp_path):
         batch = spark.createDataFrame(
             [(1, "aa", "text body")], "doc_id long, lang string, text string"
