@@ -133,11 +133,29 @@ def main() -> None:
             fit_classify_langid(docs, n=3, buckets=256, alpha=0.5)
         )
 
+    def _doremi_engine(spark, sf_dir):
+        # production path: plain-SUM per-domain reduction (bounded
+        # state, map-side combine) — vs the gate's sorted-doc-fold twin
+        import pyspark.sql.functions as F
+
+        from pylluminator_spark.operators.doremi import (
+            doremi_domain_weights,
+        )
+
+        docs = entry_mod._t(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+        return doremi_domain_weights(
+            docs.select("doc_id", "source", "text"),
+            ref,
+            min_bigram_count=2,
+        )
+
     twin_timings: dict[str, float] = {}
     twin_runs: dict[str, int] = {}
     twins = {
         "dsir_weights_engine": _dsir_engine,
         "langid_predict_engine": _langid_engine,
+        "doremi_weights_engine": _doremi_engine,
     }
     for name, fn in twins.items():
         time_query(name, fn, twin_timings, twin_runs, errors)
