@@ -8451,6 +8451,46 @@ LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
 """
 
 
+def q_stream_dedup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup
+    (streaming.events.streaming_dedup_against, new r10 — the streaming
+    twin of curate_increment's exact-dedup stage): the event stream is
+    deduped within an everything-spanning watermark, then LEFT ANTI
+    joined per micro-batch against the STATIC key set already in the
+    curated store (here: pairs seen before Jan 5) — stateless probe of
+    a broadcast store projection, state bounded by the dedup watermark
+    alone. Drained availableNow; payload survivor is nondeterministic,
+    so the gate projects keys only (the stream_dedup precedent)."""
+    from pylluminator_spark.streaming.events import (
+        read_event_stream_auto,
+        run_available_now,
+        streaming_dedup_against,
+    )
+
+    stream = read_event_stream_auto(spark, f"{sf_dir}/events.parquet")
+    existing = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-05 00:00:00")
+        .select("user_id", "event_type")
+    )
+    dd = streaming_dedup_against(
+        stream.select("ts", "user_id", "event_type"),
+        existing,
+        keys=("user_id", "event_type"),
+        watermark="3650 days",
+    )
+    res = run_available_now(dd, output_mode="append", shuffle_partitions=8)
+    return res.select("user_id", "event_type")
+
+
+ORACLE_STREAM_DEDUP_INC = """
+SELECT DISTINCT e.user_id, e.event_type FROM events e
+ANTI JOIN (SELECT DISTINCT user_id, event_type FROM events
+           WHERE ts < TIMESTAMP '2024-01-05 00:00:00') x
+ON e.user_id = x.user_id AND e.event_type = x.event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-10 rotation (VERDICT
@@ -8541,11 +8581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         # ---- end of the 50 gated slots ------------------------------
-        # -- 3b. the r10 additions (never gated — r11 debuts; 3 new
-        # entries this round, backlog 3 of the <= 13 cap) ---------------
+        # -- 3b. the r10 additions (never gated — r11 debuts; 4 new
+        # entries this round, backlog 4 of the <= 13 cap) ---------------
         "curate_corpus": q_curate_corpus,
         "dedup_exact_inc": q_dedup_exact_inc,
         "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
+        "stream_dedup_inc": q_stream_dedup_inc,
         # -- 4. r11 queue head: the two r7-green entries displaced by
         # the rows-only refresh, then the remaining 26 r7-green --------
         "repetition_ratios": q_repetition_ratios,
@@ -8690,6 +8731,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": ORACLE_CURATE_CORPUS,
         "dedup_exact_inc": ORACLE_DEDUP_EXACT_INC,
         "dedup_paragraphs_inc": ORACLE_DEDUP_PARAGRAPHS_INC,
+        "stream_dedup_inc": ORACLE_STREAM_DEDUP_INC,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

@@ -390,6 +390,39 @@ def stateful_sessionize(
 # --- Sinks / test drivers ---------------------------------------------------
 
 
+def streaming_dedup_against(
+    stream: DataFrame,
+    existing: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    broadcast_existing: bool = True,
+) -> DataFrame:
+    """Streaming INCREMENTAL dedup — the streaming twin of
+    ``operators.curate.curate_increment``'s exact-dedup stage: dedup the
+    stream on ``keys`` within the watermark (first arrival wins,
+    state evicted as the watermark passes — ``streaming_dedup``
+    semantics), then LEFT ANTI join against the STATIC ``existing`` key
+    set, so keys already present in the curated store never emit.
+
+    The anti join is STATELESS: each micro-batch hash-probes the
+    (broadcast) static side, which is re-resolved per batch — appending
+    to the store between batches suppresses later re-arrivals without
+    restarting the query. Total state is the dedup's watermark-bounded
+    key window only; the store side adds none. ``existing`` must be
+    dimension-sized (or pre-reduced to its DISTINCT key projection) if
+    broadcast; pass ``broadcast_existing=False`` to let the per-batch
+    join shuffle instead when the store's key set is too large to ship.
+    """
+    deduped = stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(keys))
+    ex = existing.select(*keys).distinct()
+    if broadcast_existing:
+        ex = F.broadcast(ex)
+    return deduped.join(ex, list(keys), "left_anti")
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

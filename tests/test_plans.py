@@ -52,6 +52,10 @@ CLEAN = [
     "gopher_quality", "repetition_ratios", "decontaminate",
     "stratified_sample", "stream_sliding", "pii_redact", "stream_session",
     "repeated_spans", "stream_dedup", "top_ngrams", "cohort_retention",
+    # r10 streaming incremental dedup: watermark-bounded dedup + stateless
+    # per-batch broadcast anti-join vs the static store; drained via the
+    # memory sink like the other stream_* entries
+    "stream_dedup_inc",
     # round 4 cleanup ops: codegen regexp chains (clean_html/url_normalize:
     # no shuffle at all), fingerprint-keyed dedup + doc-keyed reassembly
     # (dedup_paragraphs), broadcast blocklist anti-join + hash-partitioned

@@ -177,6 +177,46 @@ def test_streaming_dedup(spark, event_chunks):
     assert res.count() == batch_n
 
 
+def test_streaming_dedup_against(spark, event_chunks):
+    from pylluminator_spark.streaming.events import streaming_dedup_against
+
+    existing = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("ts") < "2024-01-05 00:00:00")
+        .select("user_id", "event_type")
+    )
+    res = run_available_now(
+        streaming_dedup_against(
+            _stream(spark, event_chunks),
+            existing,
+            keys=("user_id", "event_type"),
+            watermark="30 days",
+        )
+    )
+    # batch reference: DISTINCT keys minus the static store's keys
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .join(existing.distinct(), ["user_id", "event_type"], "left_anti")
+    )
+    got = {(r.user_id, r.event_type) for r in res.collect()}
+    want = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert got == want
+    assert got  # non-degenerate: some keys first appear after the cutoff
+    # the shuffle-store path must agree with the broadcast default
+    res2 = run_available_now(
+        streaming_dedup_against(
+            _stream(spark, event_chunks),
+            existing,
+            keys=("user_id", "event_type"),
+            watermark="30 days",
+            broadcast_existing=False,
+        )
+    )
+    assert {(r.user_id, r.event_type) for r in res2.collect()} == want
+
+
 def test_stateful_sessionize(spark, event_chunks):
     res = run_available_now(
         stateful_sessionize(
