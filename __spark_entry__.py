@@ -8213,11 +8213,22 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an HTML entity, exact duplicate rows for doc_id % 7 == 0) so
     every stage does real work; langid is skipped here (it is gated
     separately as langid_predict) to keep the oracle one SQL chain.
-    A FRESH manifest root per call — the gate times/hashes the compute
-    path, never a warm cache."""
+    A fixed per-SF root, DELETED at call start — every call recomputes
+    (the gate times/hashes the compute path, never a warm cache) while
+    repeated bench/emu invocations keep at most ONE materialization on
+    disk instead of leaking a stage set per call. Delete-at-start, not
+    at end: the returned plan lazily reads the stage parquet."""
+    import os
+    import shutil
     import tempfile
 
     from pylluminator_spark.operators.curate import curate_pipeline
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "curate_gate_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(root, ignore_errors=True)
 
     docs = _t(spark, sf_dir, "documents")
     dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -8233,7 +8244,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = curate_pipeline(
         spark,
-        tempfile.mkdtemp(prefix="curate_gate_"),
+        root,
         src.select("doc_id", ptext.alias("text")),
         source_fingerprint="curate-gate",
         keep_lang=None,

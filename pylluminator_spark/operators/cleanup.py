@@ -173,9 +173,18 @@ def dedup_paragraphs_against(
     # corpus side: map-side split + fingerprint, broadcast-probed by the
     # batch fingerprint set; a short-exempt batch paragraph can never
     # match (same fp => same text => same length), so no length filter
-    # is needed here
+    # is needed here. Only the text column is read from the corpus — a
+    # literal stands in for the id split_paragraphs wants, so the store
+    # may key on any id column (or none).
     old_hits = (
-        split_paragraphs(existing, old_text, id_col, pattern)
+        split_paragraphs(
+            existing.select(
+                F.lit(0).alias("_exid"), F.col(old_text).alias("_extext")
+            ),
+            "_extext",
+            "_exid",
+            pattern,
+        )
         .select(F.xxhash64("para").alias("fp"))
         .join(F.broadcast(batch_fps), "fp", "left_semi")
         .distinct()

@@ -151,24 +151,50 @@ def _stage_quality_gate(
     ).withColumn("n_tokens", n_tok.cast("long"))
 
 
+def _gated_union(
+    refs: tuple[DataFrame, ...], text_col: str, doc_col: str
+) -> DataFrame:
+    """Union of (stage ⋉ gate-survivor ids) pairs: ``refs`` is the flat
+    [stage_0..stage_n-1, gate_0..gate_n-1] list a variadic manifest
+    stage receives. The semi join restricts each suppression reference
+    to documents that actually made it into the curated store — a
+    paragraph or document the base REJECTED must not suppress new
+    content (it exists nowhere in the corpus). Both sides are doc-keyed
+    stage parquet, so the semi join is one co-keyed shuffle per corpus,
+    never a recompute."""
+    n = len(refs) // 2
+    stages, gates = refs[:n], refs[n:]
+    parts = [
+        s.select(doc_col, text_col).join(
+            g.select(doc_col), doc_col, "left_semi"
+        )
+        for s, g in zip(stages, gates)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _stage_inc_dedup_exact(
     spark: SparkSession,
     batch: DataFrame,
-    base: DataFrame,
-    *,
+    *refs: DataFrame,
     text_col: str,
     doc_col: str,
     normalize: bool,
 ) -> DataFrame:
     """Incremental exact dedup: batch rows surviving within-batch dedup
-    whose content is absent from the base run's ``dedup_exact`` output
-    (raw text — the comparable representation). Batch fingerprints
-    broadcast; the base corpus is scanned once, never shuffled."""
+    whose content is absent from every curated corpus generation —
+    the base run's ``dedup_exact`` output plus each prior increment's,
+    each restricted to its gate survivors (raw text is the comparable
+    representation). Batch fingerprints broadcast; each corpus
+    generation is scanned once, never recomputed."""
     from pylluminator_spark.operators.dedup import dedup_exact_against
 
     return dedup_exact_against(
         batch,
-        base.select(doc_col, text_col),
+        _gated_union(refs, text_col, doc_col),
         text_col=text_col,
         id_col=doc_col,
         normalize=normalize,
@@ -178,23 +204,23 @@ def _stage_inc_dedup_exact(
 def _stage_inc_dedup_paragraphs(
     spark: SparkSession,
     batch: DataFrame,
-    base: DataFrame,
-    *,
+    *refs: DataFrame,
     text_col: str,
     doc_col: str,
     min_chars: int,
 ) -> DataFrame:
-    """Incremental paragraph dedup against the base run's
-    ``dedup_paragraphs`` output — the stage whose text still carries
-    the blank-line paragraph boundaries (the final curated text has
-    them collapsed by HTML stripping, so it cannot be the reference)."""
+    """Incremental paragraph dedup against every curated generation's
+    ``dedup_paragraphs``-stage text — the representation that still
+    carries blank-line paragraph boundaries (the final stripped text
+    has them collapsed), gate-filtered so rejected documents' paragraphs
+    never suppress new content."""
     from pylluminator_spark.operators.cleanup import (
         dedup_paragraphs_against,
     )
 
     out = dedup_paragraphs_against(
         batch.select(doc_col, text_col),
-        base.select(doc_col, text_col),
+        _gated_union(refs, text_col, doc_col),
         text_col=text_col,
         id_col=doc_col,
         min_chars=min_chars,
@@ -227,26 +253,44 @@ def _stage_pack(
 def _stage_inc_pack(
     spark: SparkSession,
     docs: DataFrame,
-    base_gate: DataFrame,
-    *,
+    *gates: DataFrame,
     text_col: str,
     doc_col: str,
     budget: int,
 ) -> DataFrame:
-    """Pack the increment CONTINUING the base corpus's sequence ids:
-    ``token_offset`` = the base quality-gate stage's total token count
-    (a 1-row aggregate over a stored integer column), so the combined
-    packing equals a single pass over base-then-batch. Requires the
-    same ``budget`` as the base pack."""
+    """Pack the increment CONTINUING the curated corpus's sequence ids:
+    ``token_offset`` = the total token count across every prior
+    generation's quality-gate stage (1-row aggregates over stored
+    integer columns), so the combined packing equals a single pass over
+    base-then-increments-then-batch. That equivalence needs the batch's
+    ids to sort AFTER every curated id (packing is ``doc_col``-ordered)
+    — validated here, since a violation silently shifts every seq_id."""
     from pylluminator_spark.operators.corpus import pack_sequences
 
-    total = base_gate.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    total = 0
+    max_prev = None
+    for g in gates:
+        row = g.agg(
+            F.sum("n_tokens").alias("t"), F.max(doc_col).alias("m")
+        ).collect()[0]
+        total += int(row["t"] or 0)
+        if row["m"] is not None and (max_prev is None or row["m"] > max_prev):
+            max_prev = row["m"]
+    if max_prev is not None:
+        batch_min = docs.agg(F.min(doc_col)).collect()[0][0]
+        if batch_min is not None and batch_min <= max_prev:
+            raise ValueError(
+                "curate_increment pack: batch ids must sort after every "
+                f"curated id for seq continuation (batch min {batch_min!r}"
+                f" <= curated max {max_prev!r}) — renumber the batch or "
+                "skip pack_budget and re-pack the union downstream"
+            )
     return pack_sequences(
         docs,
         budget=budget,
         text_col=text_col,
         doc_col=doc_col,
-        token_offset=int(total),
+        token_offset=total,
     )
 
 
@@ -421,42 +465,78 @@ def curate_increment(
     against it via broadcast fingerprint probes.
 
     Chain: (optional batch langid filter) -> incremental exact dedup
-    vs the base run's ``dedup_exact`` stage (raw text) -> incremental
-    paragraph dedup vs the base ``dedup_paragraphs`` stage (the stage
-    whose text still carries paragraph boundaries; the final stripped
-    text has them collapsed) -> HTML strip + token gate. Returns the
-    curated NEW documents only — append them downstream.
+    -> incremental paragraph dedup -> HTML strip + token gate. The
+    suppression references are EVERY curated generation in this root —
+    the base run plus each prior increment — each taken at the
+    representation the comparison needs (raw ``dedup_exact`` text for
+    whole-doc dedup; boundary-preserving ``dedup_paragraphs`` text for
+    paragraphs, since the final stripped text has the blank-line
+    boundaries collapsed) and restricted to its gate survivors: content
+    the corpus REJECTED never suppresses new content. Returns the
+    curated NEW documents only — append them downstream. Generations
+    are resolved by walking the ledger chain from each quality-gate
+    entry (never by per-stage ``latest``, which could mix stages from
+    different runs when a later run cache-hits upstream stages).
 
-    ``pack_budget`` (optional; MUST match the base run's) additionally
-    packs the increment with sequence ids CONTINUING from the base
-    corpus's total token count — the combined assignment equals one
-    packing pass over base-then-batch.
+    ``pack_budget`` (optional; must equal the base run's — validated
+    against the ledger) additionally packs the increment with sequence
+    ids CONTINUING from the curated corpus's total token count (base +
+    prior increments) — equal to one packing pass over the
+    concatenation, which requires (and validates) that batch ids sort
+    after every curated id.
 
-    Every stage key chains off the BASE stage keys (Merkle), so
-    re-running the base pipeline with different params/data
-    automatically invalidates and recomputes dependent increments.
-    Dedup knobs (``normalize_exact``, ``para_min_chars``) should match
-    the base run's — they govern the same fingerprints.
+    Every stage key chains off the referenced generations' stage keys
+    (Merkle), so re-running the base with different params/data — or a
+    new increment landing — invalidates and recomputes dependent
+    increment stages. Increments are order-dependent by nature: a
+    batch deduped before another landed keeps its result (cache);
+    re-running it AFTER sees the newer generation too. Dedup knobs
+    (``normalize_exact``, ``para_min_chars``) should match the base
+    run's — they govern the same fingerprints.
     """
     if min_tokens > max_tokens:
         raise ValueError(
             f"min_tokens ({min_tokens}) > max_tokens ({max_tokens})"
         )
     m = PipelineManifest(spark, manifest_root)
-    base_exact = m.latest("dedup_exact")
-    base_paras = m.latest("dedup_paragraphs")
-    if base_exact is None or base_paras is None:
+
+    def _chain(gate_entry, paras_name, exact_name):
+        """(exact, paras, gate) StageRefs of ONE materialized run,
+        resolved by the gate entry's input chain (inputs[0] is always
+        the previous stage in both pipeline shapes)."""
+        gate_ref = m.by_key(gate_entry["key"])
+        paras_key = (gate_entry.get("inputs") or [None])[0]
+        paras_entry = m.entry(paras_key) if paras_key else None
+        if not paras_entry or paras_entry.get("name") != paras_name:
+            return None
+        exact_key = (paras_entry.get("inputs") or [None])[0]
+        exact_entry = m.entry(exact_key) if exact_key else None
+        if not exact_entry or exact_entry.get("name") != exact_name:
+            return None
+        exact_ref = m.by_key(exact_key)
+        paras_ref = m.by_key(paras_key)
+        if gate_ref is None or paras_ref is None or exact_ref is None:
+            return None
+        return exact_ref, paras_ref, gate_ref
+
+    base_entries = m.entries_named("quality_gate")
+    base_chain = None
+    for e in reversed(base_entries):
+        base_chain = _chain(e, "dedup_paragraphs", "dedup_exact")
+        if base_chain is not None:
+            base_gate_entry = e
+            break
+    if base_chain is None:
         raise ValueError(
             "curate_increment needs a prior curate_pipeline run in this "
-            f"manifest root ({manifest_root}): missing "
-            f"{'dedup_exact' if base_exact is None else 'dedup_paragraphs'}"
-            " stage"
+            f"manifest root ({manifest_root}): no complete quality_gate "
+            "-> dedup_paragraphs -> dedup_exact chain found"
         )
     cur = m.frame_source("increment", new_docs, source_fingerprint)
     res = CurateResult()
     res.stages["increment"] = cur
-    res.stages["base_dedup_exact"] = base_exact
-    res.stages["base_dedup_paragraphs"] = base_paras
+    res.stages["base_dedup_exact"] = base_chain[0]
+    res.stages["base_dedup_paragraphs"] = base_chain[1]
     if keep_lang is not None:
         cur = m.stage(
             "inc_langid_filter",
@@ -473,10 +553,29 @@ def curate_increment(
             },
         )
         res.stages["inc_langid_filter"] = cur
+    # prior increments: every complete inc chain, ONE per batch source
+    # (the exact stage's first input identifies the batch+langid root —
+    # which is exactly what `cur` now is; a re-run of the same batch
+    # keeps only its newest chain). The CURRENT batch's own earlier run
+    # is excluded — a batch must never suppress itself, and excluding
+    # it keeps identical re-runs pure cache hits instead of re-keying
+    # against their own output.
+    inc_chains: dict[str, tuple] = {}
+    for e in m.entries_named("inc_quality_gate"):
+        ch = _chain(e, "inc_dedup_paragraphs", "inc_dedup_exact")
+        if ch is None:
+            continue
+        exact_entry = m.entry(ch[0].key) or {}
+        src = (exact_entry.get("inputs") or [ch[0].key])[0]
+        if src == cur.key:
+            continue
+        inc_chains[src] = ch  # entries_named is oldest-first: last wins
+    chains = [base_chain, *inc_chains.values()]
+    # variadic stage inputs: [batch, stage_0..stage_n-1, gate_0..gate_n-1]
     cur = m.stage(
         "inc_dedup_exact",
         _stage_inc_dedup_exact,
-        [cur, base_exact],
+        [cur, *[c[0] for c in chains], *[c[2] for c in chains]],
         {
             "text_col": text_col,
             "doc_col": doc_col,
@@ -487,7 +586,7 @@ def curate_increment(
     cur = m.stage(
         "inc_dedup_paragraphs",
         _stage_inc_dedup_paragraphs,
-        [cur, base_paras],
+        [cur, *[c[1] for c in chains], *[c[2] for c in chains]],
         {
             "text_col": text_col,
             "doc_col": doc_col,
@@ -513,16 +612,22 @@ def curate_increment(
             raise ValueError(
                 f"pack_budget must be >= 1, got {pack_budget}"
             )
-        base_gate = m.latest("quality_gate")
-        if base_gate is None:
-            raise ValueError(
-                "pack_budget on an increment needs the base run's "
-                "quality_gate stage in this manifest root"
-            )
+        # the base run's pack budget is recoverable from the ledger —
+        # a mismatched increment budget would interleave incoherent
+        # seq ids with no error, so validate it here
+        for e in m.entries_named("pack"):
+            if (e.get("inputs") or [None])[0] == base_gate_entry["key"]:
+                base_budget = (e.get("params") or {}).get("budget")
+                if base_budget is not None and base_budget != pack_budget:
+                    raise ValueError(
+                        f"pack_budget={pack_budget} differs from the base "
+                        f"run's budget={base_budget} — sequence ids would "
+                        "not continue coherently"
+                    )
         packed = m.stage(
             "inc_pack",
             _stage_inc_pack,
-            [cur, base_gate],
+            [cur, *[c[2] for c in chains]],
             {
                 "text_col": text_col,
                 "doc_col": doc_col,

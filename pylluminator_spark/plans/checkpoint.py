@@ -36,6 +36,14 @@ from pyspark.sql import DataFrame
 
 CHECKPOINT_DIR_CONF = "spark.pylluminator.checkpointDir"
 
+# last directory THIS helper configured, per SparkContext identity —
+# SparkContext.setCheckpointDir is NOT idempotent: every call mkdirs and
+# switches to a fresh `<dir>/<UUID>` subdirectory, so calling it per
+# round of an iterative operator would scatter each round's blocks into
+# its own directory (one mkdir RPC per round, N live copies on the
+# durable store). Set once per (context, path) instead.
+_CONFIGURED: dict[int, str] = {}
+
 
 def stable_checkpoint(
     df: DataFrame,
@@ -56,7 +64,13 @@ def stable_checkpoint(
         checkpoint_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
     if not checkpoint_dir:
         return df.localCheckpoint(eager=eager)
-    # setCheckpointDir is idempotent for an unchanged path; calling it
-    # here (not at session build) keeps the knob purely conf-driven
-    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = spark.sparkContext
+    # guard against per-call setCheckpointDir (see _CONFIGURED note):
+    # one UUID subdirectory per (context, configured path), not per
+    # checkpoint. Reliable-checkpoint files are not auto-deleted by
+    # default — set spark.cleaner.referenceTracking.cleanCheckpoints=true
+    # for ContextCleaner-driven cleanup of no-longer-referenced ones.
+    if _CONFIGURED.get(id(sc)) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        _CONFIGURED[id(sc)] = checkpoint_dir
     return df.checkpoint(eager=eager)

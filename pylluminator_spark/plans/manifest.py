@@ -360,6 +360,41 @@ class PipelineManifest:
         with open(os.path.join(self.root, self._LEDGER), "a") as fh:
             fh.write(json.dumps(entry) + "\n")
 
+    def entry(self, key: str) -> dict | None:
+        """The ledger row for ``key`` (name, inputs, params, path), or
+        None — the raw metadata a chain walk needs."""
+        return self._entries.get(key)
+
+    def by_key(self, key: str) -> StageRef | None:
+        """StageRef for an already-materialized stage by its content
+        key, or None when the key is unknown or its parquet is gone."""
+        e = self._entries.get(key)
+        if e is None or not e.get("path"):
+            return None
+        if not os.path.exists(os.path.join(e["path"], "_SUCCESS")):
+            return None
+        return StageRef(
+            name=e.get("name", ""),
+            key=key,
+            df=self.spark.read.parquet(e["path"]),
+            path=e["path"],
+            from_cache=True,
+        )
+
+    def entries_named(self, name: str) -> list[dict]:
+        """All ledger rows named ``name`` whose parquet still exists,
+        oldest-first by written_at — the full history (a cached re-run
+        appends nothing, so each row is one distinct materialization)."""
+        out = [
+            e
+            for e in self._entries.values()
+            if e.get("name") == name
+            and e.get("path")
+            and os.path.exists(os.path.join(e["path"], "_SUCCESS"))
+        ]
+        out.sort(key=lambda e: e.get("written_at", 0))
+        return out
+
     def latest(self, name: str) -> StageRef | None:
         """Most recently written stage named ``name`` whose parquet still
         exists, as a from_cache StageRef — the anchor for INCREMENTAL

@@ -37,6 +37,10 @@ def _corpus():
     # a boilerplate-only aa doc: after paragraph dedup its text is empty
     # -> token gate drops it
     rows.append((102, "aa", BOILER))
+    # a doc whose unique paragraph is later GATE-dropped (3 tokens < 5):
+    # its content is NOT in the curated corpus, so it must never
+    # suppress new content in increments
+    rows.append((103, "aa", "reject me now"))
     # 3 zz docs: language filter must drop them
     for i in range(3):
         rows.append((200 + i, "zz", f"{ZZ_BODY} zone {'zz' * (i + 1)}"))
@@ -266,14 +270,20 @@ class TestCurateIncrement:
         second = self._increment(spark, root, batch)
         assert second.from_cache["inc_dedup_exact"]
         assert second.from_cache["inc_quality_gate"]
-        # re-running the BASE with a different paragraph knob re-keys the
-        # base dedup_paragraphs stage -> the increment's paragraph stage
-        # (and downstream) recompute; its exact stage stays cached
+        # re-running the BASE with a different paragraph knob re-keys
+        # its dedup_paragraphs stage AND (downstream) its quality gate;
+        # since every increment suppression reference is gate-filtered,
+        # every increment stage depends on the base gate and recomputes
+        # — Merkle invalidation flows through the whole increment
         _run(spark, docs, root, para_min_chars=3)
         third = self._increment(spark, root, batch)
-        assert third.from_cache["inc_dedup_exact"]
+        assert not third.from_cache["inc_dedup_exact"]
         assert not third.from_cache["inc_dedup_paragraphs"]
         assert not third.from_cache["inc_quality_gate"]
+        # and a rerun against the new base is again pure cache
+        fourth = self._increment(spark, root, batch)
+        assert fourth.from_cache["inc_dedup_exact"]
+        assert fourth.from_cache["inc_quality_gate"]
 
     def test_increment_pack_continues_base(self, spark, docs, tmp_path):
         # packing the increment with token_offset = base total tokens
@@ -304,6 +314,54 @@ class TestCurateIncrement:
         assert got == direct
         with pytest.raises(ValueError):
             self._increment(spark, root, batch, pack_budget=0)
+
+    def test_rejected_base_content_never_suppresses(self, spark, docs, tmp_path):
+        # base doc 103 ("reject me now") passes paragraph dedup but is
+        # dropped by the token gate -> its paragraph exists NOWHERE in
+        # the curated corpus and must not suppress a new doc carrying it
+        root = str(tmp_path / "m")
+        base = _run(spark, docs, root)
+        assert 103 not in {
+            r.doc_id for r in base.documents.select("doc_id").collect()
+        }
+        batch = spark.createDataFrame(
+            [(800, "aa", "reject me now\n\nwith a much longer fresh body")],
+            "doc_id long, lang string, text string",
+        )
+        res = self._increment(spark, root, batch)
+        out = {r.doc_id: r.text for r in res.documents.collect()}
+        assert "reject me now" in out[800]
+
+    def test_cross_batch_dedup(self, spark, docs, tmp_path):
+        # a second batch must dedup against accepted content from the
+        # FIRST batch, both doc-level and paragraph-level
+        root = str(tmp_path / "m")
+        _run(spark, docs, root)
+        b1 = spark.createDataFrame(
+            [(900, "aa", "day one document body\n\nday one boiler para")],
+            "doc_id long, lang string, text string",
+        )
+        r1 = self._increment(
+            spark, root, b1, source_fingerprint="batch-day1"
+        )
+        assert {r.doc_id for r in r1.documents.collect()} == {900}
+        b2 = spark.createDataFrame(
+            [
+                # exact copy of day-1 doc: must drop
+                (950, "aa", "day one document body\n\nday one boiler para"),
+                # fresh doc carrying day-1's paragraph: paragraph
+                # suppressed, body kept
+                (951, "aa", "day two fresh body here\n\nday one boiler para"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        r2 = self._increment(
+            spark, root, b2, source_fingerprint="batch-day2"
+        )
+        out = {r.doc_id: r.text for r in r2.documents.collect()}
+        assert sorted(out) == [951]
+        assert "day one boiler para" not in out[951]
+        assert "day two fresh body here" in out[951]
 
     def test_increment_requires_base(self, spark, tmp_path):
         batch = spark.createDataFrame(
