@@ -48,3 +48,38 @@ def test_gated_entries_nonempty(spark):
         "top_intensity_median",
     ):
         assert em.queries()[name](spark, SF).count() > 0, name
+
+
+def test_r10_debut_entries_carry_signal(spark):
+    """The r10 incremental-curation debuts must do real work at the
+    smallest SF, not hash-match on emptiness or passthrough.
+    stream_dedup_inc is the cautionary tale: with a mid-month store
+    cutoff every key pair already existed and the entry hash-matched on
+    0 rows — the cutoff was moved to Jan 5 so keys genuinely first
+    appear after the store snapshot at every SF."""
+    rows = em.queries()["stream_dedup_inc"](spark, SF).collect()
+    assert len(rows) > 0, "store cutoff regressed to a degenerate 0-row gate"
+    # exact-inc: both drop paths exercised — batch survivors exist AND
+    # planted corpus/batch duplicates were dropped (fewer rows than the
+    # raw batch)
+    inc = em.queries()["dedup_exact_inc"](spark, SF)
+    n = inc.count()
+    assert n > 0
+    import pyspark.sql.functions as F
+
+    docs = em._t(spark, SF, "documents")
+    raw_batch = (
+        docs.filter(F.col("doc_id") % 3 == 0).count()
+        + docs.filter(F.col("doc_id") % 11 == 1).count()
+        + docs.filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 13 == 2)
+        ).count()
+    )
+    assert n < raw_batch
+    # paragraph-inc: suppression happened (some doc dropped paragraphs)
+    pinc = em.queries()["dedup_paragraphs_inc"](spark, SF)
+    assert pinc.filter(F.col("n_paras_dropped") > 0).count() > 0
+    # curate gate: survivors exist and are fewer than the injected input
+    cur = em.queries()["curate_corpus"](spark, SF)
+    n_cur = cur.count()
+    assert 0 < n_cur
