@@ -350,3 +350,65 @@ def test_unigram_lm_random_docs(spark, seed):
         ) / len(toks)
         assert got[d] == pytest.approx(nll)
         assert got[d] > 0  # probabilities < 1 => NLL strictly positive
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_dedup_equals_union_dedup(spark, seed):
+    """Randomized equivalence: when every batch id sorts after every
+    existing id, dedup_exact_against(batch, existing) must equal the
+    batch-id rows of dedup_exact(existing UNION batch) — the min-id
+    winner rule makes the incremental and one-shot formulations
+    interchangeable. Same for the paragraph operators. Small vocabulary
+    and short docs force plenty of cross- and within-set collisions."""
+    from pylluminator_spark.operators.cleanup import (
+        dedup_paragraphs,
+        dedup_paragraphs_against,
+    )
+    from pylluminator_spark.operators.dedup import (
+        dedup_exact,
+        dedup_exact_against,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(10)]
+
+    def _doc():
+        return " ".join(rng.choice(vocab, rng.integers(2, 5)))
+
+    existing = spark.createDataFrame(
+        [(i, _doc()) for i in range(40)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, _doc()) for i in range(30)], ["doc_id", "text"]
+    )
+    inc = {
+        r.doc_id for r in dedup_exact_against(batch, existing).collect()
+    }
+    union_surv = {
+        r.doc_id
+        for r in dedup_exact(existing.unionByName(batch)).collect()
+        if r.doc_id >= 100
+    }
+    assert inc == union_surv
+
+    def _pdoc():
+        return "\n\n".join(_doc() for _ in range(rng.integers(1, 4)))
+
+    p_existing = spark.createDataFrame(
+        [(i, _pdoc()) for i in range(25)], ["doc_id", "text"]
+    )
+    p_batch = spark.createDataFrame(
+        [(100 + i, _pdoc()) for i in range(20)], ["doc_id", "text"]
+    )
+    inc_p = {
+        r.doc_id: (r.clean_text, r.n_paras_kept, r.n_paras_dropped)
+        for r in dedup_paragraphs_against(p_batch, p_existing).collect()
+    }
+    union_p = {
+        r.doc_id: (r.clean_text, r.n_paras_kept, r.n_paras_dropped)
+        for r in dedup_paragraphs(
+            p_existing.unionByName(p_batch)
+        ).collect()
+        if r.doc_id >= 100
+    }
+    assert inc_p == union_p
