@@ -36,17 +36,43 @@ def dedup_exact(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    prefer_col: str | None = None,
 ) -> DataFrame:
-    """Exact dedup: keep the lowest-id row per content fingerprint.
+    """Exact dedup: keep one row per content fingerprint — the lowest id
+    by default, or the row with the HIGHEST ``prefer_col`` (ties broken
+    toward the lowest id) when given. ``prefer_col`` is the
+    FineWeb-style winner rule: among byte-identical-after-normalization
+    copies, keep the one with the best quality score / longest original
+    / freshest crawl, instead of whichever id happens to sort first.
 
-    Normalization lowercases and collapses whitespace so trivially-reformatted
-    duplicates collapse. One hash-shuffle; no sort.
+    Normalization lowercases and collapses whitespace so trivially-
+    reformatted duplicates collapse. One hash-shuffle either way: the
+    preferred winner is a ``max_by`` with the same map-side-combinable
+    per-group state as the plain ``min``. NULL preference values lose to
+    any non-NULL one (max_by skips NULLs unless all are NULL).
     """
     content = F.col(text_col)
     if normalize:
         content = F.array_join(tokens_expr(F.lower(content)), " ")
     with_fp = df.withColumn("_fp", F.xxhash64(content))
-    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    if prefer_col is None:
+        keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    else:
+        # highest preference, ties -> lowest id, deterministically:
+        # min_by over struct(-prefer, id) — the smallest negated
+        # preference is the largest preference, and struct comparison
+        # falls through to the id on ties (any orderable id type).
+        # NULL preferences coalesce to -inf so they lose to any scored
+        # row. prefer_col must be numeric (castable to double).
+        p = F.coalesce(
+            F.col(prefer_col).cast("double"), F.lit(float("-inf"))
+        )
+        keep = with_fp.groupBy("_fp").agg(
+            F.min_by(
+                F.col(id_col),
+                F.struct((-p).alias("np"), F.col(id_col).alias("i")),
+            ).alias(id_col)
+        )
     return with_fp.join(keep, [ "_fp", id_col], "left_semi").drop("_fp")
 
 

@@ -29,10 +29,9 @@ def _corpus():
         rows.append(
             (i, "aa", f"<p>{body}</p>\n\n{BOILER}")
         )
-    # 2 exact duplicates of doc 0 (normalized): higher ids must drop
+    # 2 duplicates of doc 0: 100 differs only in case (normalization
+    # lowercases, so it collapses onto 0), 101 is an exact copy
     rows.append((100, "aa", f"<P>{AA_BODY} variant ABLE</p>\n\n{BOILER}"))
-    # wait -- tags differ in case; normalization only lowercases, so
-    # "<p>...</p>" vs "<P>...</p>" normalize equal. Keep one exact copy:
     rows.append((101, "aa", f"<p>{AA_BODY} variant able</p>\n\n{BOILER}"))
     # a boilerplate-only aa doc: after paragraph dedup its text is empty
     # -> token gate drops it
@@ -369,3 +368,33 @@ class TestCurateIncrement:
         )
         with pytest.raises(ValueError, match="prior curate_pipeline"):
             self._increment(spark, str(tmp_path / "empty"), batch)
+
+
+def test_dedup_exact_prefer_col(spark):
+    """prefer_col winner rule: highest preference survives per content
+    group, ties break toward the lowest id, NULL preferences lose to any
+    scored row, and the default (no prefer_col) stays min-id."""
+    from pylluminator_spark.operators.dedup import dedup_exact
+
+    rows = [
+        # group A: ids 1,2,3 same content — id 2 has the best score
+        (1, "same content here", 0.2),
+        (2, "same  CONTENT here", 0.9),
+        (3, "same content HERE", 0.9),   # tie with 2 -> lower id 2 wins
+        # group B: NULL score loses to scored copy
+        (4, "other doc body", None),
+        (5, "other DOC body", 0.1),
+        # group C: all NULL -> lowest id survives
+        (6, "third unique text", None),
+        (7, "third UNIQUE text", None),
+        # singleton
+        (8, "nothing like the rest", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    got = sorted(
+        r.doc_id for r in dedup_exact(df, prefer_col="q").collect()
+    )
+    assert got == [2, 5, 6, 8]
+    # default rule unchanged: min id per group
+    base = sorted(r.doc_id for r in dedup_exact(df).collect())
+    assert base == [1, 4, 6, 8]
