@@ -82,6 +82,7 @@ def dedup_exact_against(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """INCREMENTAL exact dedup: rows of ``new_docs`` that survive the
     ``dedup_exact`` rule within the batch (lowest id per normalized
@@ -95,6 +96,11 @@ def dedup_exact_against(
     batch (<= batch size) survive the scan into the tiny hit table. The
     corpus is never shuffled and its text never leaves the scan
     projection. Same 8-byte-collision trade as ``dedup_exact``.
+
+    ``prefer_col`` applies the ``dedup_exact`` quality-winner rule to
+    the WITHIN-BATCH choice only — content the corpus already holds
+    always drops regardless of preference (the corpus keeps its copy;
+    an increment cannot swap it).
     """
 
     def _fp() -> Column:
@@ -104,7 +110,18 @@ def dedup_exact_against(
         return F.xxhash64(content)
 
     batch = new_docs.withColumn("_fp", _fp())
-    keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    if prefer_col is None:
+        keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    else:
+        p = F.coalesce(
+            F.col(prefer_col).cast("double"), F.lit(float("-inf"))
+        )
+        keep = batch.groupBy("_fp").agg(
+            F.min_by(
+                F.col(id_col),
+                F.struct((-p).alias("np"), F.col(id_col).alias("i")),
+            ).alias(id_col)
+        )
     batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
     batch_fps = batch_kept.select("_fp").distinct()
     old_hits = (

@@ -398,3 +398,28 @@ def test_dedup_exact_prefer_col(spark):
     # default rule unchanged: min id per group
     base = sorted(r.doc_id for r in dedup_exact(df).collect())
     assert base == [1, 4, 6, 8]
+
+
+def test_dedup_exact_against_prefer_col(spark):
+    """Within-batch quality winner; corpus-held content always drops
+    regardless of preference."""
+    from pylluminator_spark.operators.dedup import dedup_exact_against
+
+    existing = spark.createDataFrame(
+        [(1, "held by the corpus")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "held BY the corpus", 99.0),  # corpus dup: drops anyway
+            (11, "fresh new body", 0.1),
+            (12, "FRESH new body", 0.9),       # best copy wins
+        ],
+        "doc_id long, text string, q double",
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_exact_against(
+            batch, existing, prefer_col="q"
+        ).collect()
+    )
+    assert got == [12]
