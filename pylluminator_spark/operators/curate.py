@@ -176,6 +176,31 @@ def _gated_union(
     return out
 
 
+def _stage_langid_filter_model(
+    spark: SparkSession,
+    docs: DataFrame,
+    weights: DataFrame,
+    langs: DataFrame,
+    *,
+    keep_lang: str,
+    text_col: str,
+    doc_col: str,
+    n: int,
+    buckets: int,
+) -> DataFrame:
+    """Language filter under a PRE-FIT model (weights/langs from
+    ``operators.langid.fit_langid`` on a big corpus) — the right shape
+    for increments, where a self-labeled fit on a small daily batch is
+    statistically weak. ``n``/``buckets`` must match the fit."""
+    from pylluminator_spark.operators.langid import language_id
+
+    pred = language_id(
+        docs, weights, langs, text_col, doc_col, n=n, buckets=buckets
+    )
+    keep = pred.filter(F.col("pred_lang") == keep_lang).select(doc_col)
+    return docs.join(keep, doc_col)
+
+
 def _stage_inc_dedup_exact(
     spark: SparkSession,
     batch: DataFrame,
@@ -453,6 +478,7 @@ def curate_increment(
     langid_n: int = 3,
     langid_buckets: int = 4096,
     langid_alpha: float = 0.5,
+    langid_model: tuple[DataFrame, DataFrame] | None = None,
     normalize_exact: bool = True,
     para_min_chars: int = 0,
     min_tokens: int = 10,
@@ -464,7 +490,10 @@ def curate_increment(
     the base corpus is never recomputed or reshuffled; the batch dedups
     against it via broadcast fingerprint probes.
 
-    Chain: (optional batch langid filter) -> incremental exact dedup
+    Chain: (optional batch langid filter — pass ``langid_model``, a
+    ``fit_langid(big_corpus)`` (weights, langs) pair, to classify under
+    the corpus-fit model instead of a statistically-weak self-labeled
+    fit on the small batch) -> incremental exact dedup
     -> incremental paragraph dedup -> HTML strip + token gate. The
     suppression references are EVERY curated generation in this root —
     the base run plus each prior increment — each taken at the
@@ -537,7 +566,27 @@ def curate_increment(
     res.stages["increment"] = cur
     res.stages["base_dedup_exact"] = base_chain[0]
     res.stages["base_dedup_paragraphs"] = base_chain[1]
-    if keep_lang is not None:
+    if keep_lang is not None and langid_model is not None:
+        # pre-fit model (fit_langid on the big corpus): a self-labeled
+        # fit on a small daily batch is statistically weak; the model
+        # frames are dimension-sized, so frame_source's content
+        # fingerprint is one cheap aggregate each
+        weights_ref = m.frame_source("langid_weights", langid_model[0])
+        langs_ref = m.frame_source("langid_langs", langid_model[1])
+        cur = m.stage(
+            "inc_langid_filter",
+            _stage_langid_filter_model,
+            [cur, weights_ref, langs_ref],
+            {
+                "keep_lang": keep_lang,
+                "text_col": text_col,
+                "doc_col": doc_col,
+                "n": langid_n,
+                "buckets": langid_buckets,
+            },
+        )
+        res.stages["inc_langid_filter"] = cur
+    elif keep_lang is not None:
         cur = m.stage(
             "inc_langid_filter",
             _stage_langid_filter,

@@ -423,3 +423,48 @@ def test_dedup_exact_against_prefer_col(spark):
         ).collect()
     )
     assert got == [12]
+
+
+def test_increment_with_prefit_langid_model(spark, tmp_path):
+    """Increments can classify under a model fit on the BIG corpus
+    (fit_langid) instead of a statistically-weak self-labeled fit on
+    the small batch — the zz-language doc is dropped even though the
+    batch alone carries too little signal to fit anything."""
+    from pylluminator_spark.operators.curate import (
+        curate_increment,
+        curate_pipeline,
+    )
+    from pylluminator_spark.operators.langid import fit_langid
+
+    root = str(tmp_path / "m")
+    base = spark.createDataFrame(_corpus(), "doc_id long, lang string, text string")
+    curate_pipeline(
+        spark, root, base, source_fingerprint="base-v1",
+        keep_lang="aa", min_tokens=5, langid_buckets=256,
+        pack_budget=None,
+    )
+    weights, langs = fit_langid(base, n=3, buckets=256)
+    batch = spark.createDataFrame(
+        [
+            (700, "aa", "fresh alpha like body made of calm deeds here"),
+            (701, "zz", ZZ_BODY + " tonnes"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    res = curate_increment(
+        spark, root, batch,
+        source_fingerprint="batch-m1",
+        keep_lang="aa", langid_model=(weights, langs),
+        langid_buckets=256, min_tokens=2,
+    )
+    ids = {r.doc_id for r in res.documents.collect()}
+    assert ids == {700}
+    assert "inc_langid_filter" in res.stages
+    # rerun: model frames re-fingerprint to the same content -> cache
+    res2 = curate_increment(
+        spark, root, batch,
+        source_fingerprint="batch-m1",
+        keep_lang="aa", langid_model=(weights, langs),
+        langid_buckets=256, min_tokens=2,
+    )
+    assert res2.from_cache["inc_langid_filter"]
