@@ -191,9 +191,22 @@ def _stage_langid_filter_model(
     """Language filter under a PRE-FIT model (weights/langs from
     ``operators.langid.fit_langid`` on a big corpus) — the right shape
     for increments, where a self-labeled fit on a small daily batch is
-    statistically weak. ``n``/``buckets`` must match the fit."""
+    statistically weak. ``n``/``buckets`` MUST match the fit's — the
+    model frames carry no hyperparams, so a mismatch silently computes
+    gram buckets in a different space than the model and misclassifies
+    wholesale. The one direction that is detectable (model buckets
+    exceed the classify-time space) raises below; the reverse cannot be
+    told apart from a sparsely-populated model — double-check the knobs.
+    """
     from pylluminator_spark.operators.langid import language_id
 
+    mx = weights.agg(F.max("bucket")).collect()[0][0]
+    if mx is not None and mx >= buckets:
+        raise ValueError(
+            f"langid_model was fit with more buckets (saw bucket id {mx})"
+            f" than langid_buckets={buckets} — n/buckets must match the "
+            "fit_langid call"
+        )
     pred = language_id(
         docs, weights, langs, text_col, doc_col, n=n, buckets=buckets
     )
@@ -561,7 +574,13 @@ def curate_increment(
             f"manifest root ({manifest_root}): no complete quality_gate "
             "-> dedup_paragraphs -> dedup_exact chain found"
         )
+    if langid_model is not None and keep_lang is None:
+        raise ValueError(
+            "langid_model was given but keep_lang is None — the model "
+            "would be silently ignored; pass keep_lang to filter"
+        )
     cur = m.frame_source("increment", new_docs, source_fingerprint)
+    batch_root_key = cur.key
     res = CurateResult()
     res.stages["increment"] = cur
     res.stages["base_dedup_exact"] = base_chain[0]
@@ -603,20 +622,29 @@ def curate_increment(
         )
         res.stages["inc_langid_filter"] = cur
     # prior increments: every complete inc chain, ONE per batch source
-    # (the exact stage's first input identifies the batch+langid root —
-    # which is exactly what `cur` now is; a re-run of the same batch
-    # keeps only its newest chain). The CURRENT batch's own earlier run
-    # is excluded — a batch must never suppress itself, and excluding
-    # it keeps identical re-runs pure cache hits instead of re-keying
-    # against their own output.
+    # (resolved to the batch's FRAME-SOURCE key — through any langid
+    # stage, since the langid key embeds model fingerprints and a
+    # routine model refit must not make the batch's own prior run look
+    # like a different batch; a re-run of the same batch keeps only its
+    # newest chain). The CURRENT batch's own earlier runs are excluded —
+    # a batch must never suppress itself, and excluding them keeps
+    # identical re-runs pure cache hits instead of re-keying against
+    # their own output.
+    def _batch_root(exact_ref) -> str:
+        exact_entry = m.entry(exact_ref.key) or {}
+        src = (exact_entry.get("inputs") or [exact_ref.key])[0]
+        src_entry = m.entry(src)
+        if src_entry and src_entry.get("name") == "inc_langid_filter":
+            src = (src_entry.get("inputs") or [src])[0]
+        return src
+
     inc_chains: dict[str, tuple] = {}
     for e in m.entries_named("inc_quality_gate"):
         ch = _chain(e, "inc_dedup_paragraphs", "inc_dedup_exact")
         if ch is None:
             continue
-        exact_entry = m.entry(ch[0].key) or {}
-        src = (exact_entry.get("inputs") or [ch[0].key])[0]
-        if src == cur.key:
+        src = _batch_root(ch[0])
+        if src == batch_root_key:
             continue
         inc_chains[src] = ch  # entries_named is oldest-first: last wins
     chains = [base_chain, *inc_chains.values()]

@@ -31,6 +31,30 @@ from pylluminator_spark.functions.text import (
 from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
 
+def _prefer_winners(
+    with_fp: DataFrame, id_col: str, prefer_col: str
+) -> DataFrame:
+    """Quality-winner rule shared by ``dedup_exact`` and
+    ``dedup_exact_against``: one row per ``_fp`` group — highest
+    ``prefer_col`` in its NATIVE ordering (no lossy double cast: an
+    int64 ns-timestamp preference keeps every bit), NULL preferences
+    ordered last (they lose to any non-NULL value, including -inf; NaN
+    sorts greatest per Spark's double ordering), ties broken toward the
+    lowest id. A hash-partitioned row_number window: one shuffle on the
+    8-byte fingerprint plus an in-partition sort — no corpus-wide
+    ordering, per-group state is the sort's alone."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(
+        F.col(prefer_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
@@ -39,17 +63,18 @@ def dedup_exact(
     prefer_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup: keep one row per content fingerprint — the lowest id
-    by default, or the row with the HIGHEST ``prefer_col`` (ties broken
-    toward the lowest id) when given. ``prefer_col`` is the
-    FineWeb-style winner rule: among byte-identical-after-normalization
-    copies, keep the one with the best quality score / longest original
-    / freshest crawl, instead of whichever id happens to sort first.
+    by default, or the row with the HIGHEST ``prefer_col`` (native-type
+    ordering; ties broken toward the lowest id; NULL preferences lose to
+    any non-NULL value) when given. ``prefer_col`` is the FineWeb-style
+    winner rule: among byte-identical-after-normalization copies, keep
+    the one with the best quality score / longest original / freshest
+    crawl, instead of whichever id happens to sort first.
 
     Normalization lowercases and collapses whitespace so trivially-
-    reformatted duplicates collapse. One hash-shuffle either way: the
-    preferred winner is a ``max_by`` with the same map-side-combinable
-    per-group state as the plain ``min``. NULL preference values lose to
-    any non-NULL one (max_by skips NULLs unless all are NULL).
+    reformatted duplicates collapse. One hash-shuffle either way; the
+    default path is a map-side-combinable ``min`` aggregate, the
+    preferred path a fingerprint-partitioned ``row_number`` (see
+    ``_prefer_winners``).
     """
     content = F.col(text_col)
     if normalize:
@@ -57,23 +82,10 @@ def dedup_exact(
     with_fp = df.withColumn("_fp", F.xxhash64(content))
     if prefer_col is None:
         keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    else:
-        # highest preference, ties -> lowest id, deterministically:
-        # min_by over struct(-prefer, id) — the smallest negated
-        # preference is the largest preference, and struct comparison
-        # falls through to the id on ties (any orderable id type).
-        # NULL preferences coalesce to -inf so they lose to any scored
-        # row. prefer_col must be numeric (castable to double).
-        p = F.coalesce(
-            F.col(prefer_col).cast("double"), F.lit(float("-inf"))
-        )
-        keep = with_fp.groupBy("_fp").agg(
-            F.min_by(
-                F.col(id_col),
-                F.struct((-p).alias("np"), F.col(id_col).alias("i")),
-            ).alias(id_col)
-        )
-    return with_fp.join(keep, [ "_fp", id_col], "left_semi").drop("_fp")
+        return with_fp.join(
+            keep, ["_fp", id_col], "left_semi"
+        ).drop("_fp")
+    return _prefer_winners(with_fp, id_col, prefer_col).drop("_fp")
 
 
 def dedup_exact_against(
@@ -112,17 +124,9 @@ def dedup_exact_against(
     batch = new_docs.withColumn("_fp", _fp())
     if prefer_col is None:
         keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
     else:
-        p = F.coalesce(
-            F.col(prefer_col).cast("double"), F.lit(float("-inf"))
-        )
-        keep = batch.groupBy("_fp").agg(
-            F.min_by(
-                F.col(id_col),
-                F.struct((-p).alias("np"), F.col(id_col).alias("i")),
-            ).alias(id_col)
-        )
-    batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
+        batch_kept = _prefer_winners(batch, id_col, prefer_col)
     batch_fps = batch_kept.select("_fp").distinct()
     old_hits = (
         existing.select(_fp().alias("_fp"))

@@ -468,3 +468,96 @@ def test_increment_with_prefit_langid_model(spark, tmp_path):
         langid_buckets=256, min_tokens=2,
     )
     assert res2.from_cache["inc_langid_filter"]
+
+
+def test_dedup_exact_prefer_col_native_precision(spark):
+    """Native-type ordering: int64 preferences beyond 2^53 (ns-epoch
+    crawl timestamps) must not collapse under a double cast — the
+    freshest copy wins by the exact integer."""
+    from pylluminator_spark.operators.dedup import dedup_exact
+
+    t0 = 1_723_800_000_000_000_000
+    rows = [
+        (1, "same doc body", t0),
+        (2, "same DOC body", t0 + 100),  # +100 ns: invisible in double
+        (3, "same doc BODY", t0 + 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts long")
+    got = [r.doc_id for r in dedup_exact(df, prefer_col="ts").collect()]
+    assert got == [2]
+
+
+def test_increment_model_refit_does_not_self_suppress(spark, tmp_path):
+    """Re-running the SAME batch with a refit langid model must treat
+    its own prior run as itself (cache miss is fine — the model
+    changed — but the output must not vanish into 'corpus duplicate'
+    self-suppression)."""
+    from pylluminator_spark.operators.curate import (
+        curate_increment,
+        curate_pipeline,
+    )
+    from pylluminator_spark.operators.langid import fit_langid
+
+    root = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        _corpus(), "doc_id long, lang string, text string"
+    )
+    curate_pipeline(
+        spark, root, base, source_fingerprint="base-v1",
+        keep_lang="aa", min_tokens=5, langid_buckets=256,
+        pack_budget=None,
+    )
+    m1 = fit_langid(base, n=3, buckets=256)
+    batch = spark.createDataFrame(
+        [(700, "aa", "fresh alpha like body made of calm deeds here")],
+        "doc_id long, lang string, text string",
+    )
+    kw = dict(
+        source_fingerprint="batch-r1", keep_lang="aa",
+        langid_buckets=256, min_tokens=2,
+    )
+    r1 = curate_increment(spark, root, batch, langid_model=m1, **kw)
+    assert {r.doc_id for r in r1.documents.collect()} == {700}
+    # refit on base + accepted batch: different model content
+    m2 = fit_langid(
+        base.select("doc_id", "lang", "text").unionByName(batch),
+        n=3, buckets=256,
+    )
+    r2 = curate_increment(spark, root, batch, langid_model=m2, **kw)
+    assert {r.doc_id for r in r2.documents.collect()} == {700}
+
+
+def test_increment_langid_model_validation(spark, tmp_path):
+    from pylluminator_spark.operators.curate import (
+        curate_increment,
+        curate_pipeline,
+    )
+    from pylluminator_spark.operators.langid import fit_langid
+
+    root = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        _corpus(), "doc_id long, lang string, text string"
+    )
+    curate_pipeline(
+        spark, root, base, source_fingerprint="base-v1",
+        keep_lang="aa", min_tokens=5, langid_buckets=256,
+        pack_budget=None,
+    )
+    model = fit_langid(base, n=3, buckets=1024)
+    batch = spark.createDataFrame(
+        [(700, "aa", "fresh alpha like body")],
+        "doc_id long, lang string, text string",
+    )
+    # model without keep_lang: must raise, never silently ignore
+    with pytest.raises(ValueError, match="keep_lang"):
+        curate_increment(
+            spark, root, batch, source_fingerprint="b-x",
+            langid_model=model, min_tokens=2,
+        )
+    # model fit with MORE buckets than the classify-time space: caught
+    with pytest.raises(Exception, match="buckets"):
+        curate_increment(
+            spark, root, batch, source_fingerprint="b-y",
+            keep_lang="aa", langid_model=model,
+            langid_buckets=256, min_tokens=2,
+        ).documents.count()

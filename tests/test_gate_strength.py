@@ -79,7 +79,12 @@ def test_r10_debut_entries_carry_signal(spark):
     # paragraph-inc: suppression happened (some doc dropped paragraphs)
     pinc = em.queries()["dedup_paragraphs_inc"](spark, SF)
     assert pinc.filter(F.col("n_paras_dropped") > 0).count() > 0
-    # curate gate: survivors exist and are fewer than the injected input
+    # curate gate: survivors exist AND are fewer than the injected
+    # input (docs plus the planted doc_id % 7 duplicates) — equality
+    # would mean a passthrough gate doing no dedup/filter work
     cur = em.queries()["curate_corpus"](spark, SF)
     n_cur = cur.count()
-    assert 0 < n_cur
+    n_injected = (
+        docs.count() + docs.filter(F.col("doc_id") % 7 == 0).count()
+    )
+    assert 0 < n_cur < n_injected
