@@ -106,28 +106,51 @@ def doremi_domain_weights(
         .join(self_scores, doc_col)
     )
 
-    def _dom_fold(term: F.Column) -> F.Column:
-        # per-domain float reduction. Production path: plain SUM —
-        # constant per-group state, map-side combine (associative float
-        # error accepted). deterministic=True: sorted-doc-order list
-        # fold, bit-reproducible but with corpus-sized per-domain state
-        # (collect_list has no map-side combine) — verification only.
-        if not deterministic:
-            return F.sum(term)
-        return F.aggregate(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(doc_col), term.alias("t")))
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["t"],
+    # per-domain float reduction. Production path: plain SUMs — constant
+    # per-group state, map-side combine (associative float error
+    # accepted). deterministic=True: ONE sorted-doc-order list fold
+    # carrying BOTH terms (a struct accumulator: two independent sums
+    # over the same order are bit-identical to two separate folds, at
+    # half the collect+sort work) — bit-reproducible but with
+    # corpus-sized per-domain state (collect_list has no map-side
+    # combine), verification only.
+    t_ref = F.col("_nll_ref") * F.col("_n")
+    t_self = F.col("_nll_self") * F.col("_n")
+    if not deterministic:
+        dom = per_doc.groupBy("_dom").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_bigrams"),
+            F.sum(t_ref).alias("_sref"),
+            F.sum(t_self).alias("_sself"),
         )
-
-    dom = per_doc.groupBy("_dom").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_n").alias("n_bigrams"),
-        _dom_fold(F.col("_nll_ref") * F.col("_n")).alias("_sref"),
-        _dom_fold(F.col("_nll_self") * F.col("_n")).alias("_sself"),
-    )
+    else:
+        fold = F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(doc_col),
+                        t_ref.alias("tr"),
+                        t_self.alias("ts"),
+                    )
+                )
+            ),
+            F.struct(F.lit(0.0).alias("r"), F.lit(0.0).alias("s")),
+            lambda acc, x: F.struct(
+                (acc["r"] + x["tr"]).alias("r"),
+                (acc["s"] + x["ts"]).alias("s"),
+            ),
+        )
+        dom = per_doc.groupBy("_dom").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_bigrams"),
+            fold.alias("_fold"),
+        ).select(
+            "_dom",
+            "n_docs",
+            "n_bigrams",
+            F.col("_fold.r").alias("_sref"),
+            F.col("_fold.s").alias("_sself"),
+        )
     dom = dom.select(
         "_dom",
         "n_docs",
