@@ -88,13 +88,20 @@ def _stage_dedup_exact(
     text_col: str,
     doc_col: str,
     normalize: bool,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Whole-document exact dedup: lowest-``doc_col`` row survives per
-    normalized-content fingerprint (one hash shuffle of 8-byte keys)."""
+    normalized-content fingerprint (one hash shuffle of 8-byte keys) —
+    or the highest-``prefer_col`` copy when given (the quality-winner
+    rule; the column must exist on the source docs)."""
     from pylluminator_spark.operators.dedup import dedup_exact
 
     return dedup_exact(
-        docs, text_col=text_col, id_col=doc_col, normalize=normalize
+        docs,
+        text_col=text_col,
+        id_col=doc_col,
+        normalize=normalize,
+        prefer_col=prefer_col,
     )
 
 
@@ -221,6 +228,7 @@ def _stage_inc_dedup_exact(
     text_col: str,
     doc_col: str,
     normalize: bool,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: batch rows surviving within-batch dedup
     whose content is absent from every curated corpus generation —
@@ -236,6 +244,7 @@ def _stage_inc_dedup_exact(
         text_col=text_col,
         id_col=doc_col,
         normalize=normalize,
+        prefer_col=prefer_col,
     )
 
 
@@ -373,6 +382,7 @@ def curate_pipeline(
     langid_alpha: float = 0.5,
     # dedup
     normalize_exact: bool = True,
+    prefer_col: str | None = None,
     para_min_chars: int = 0,
     # quality gate
     min_tokens: int = 10,
@@ -435,6 +445,7 @@ def curate_pipeline(
             "text_col": text_col,
             "doc_col": doc_col,
             "normalize": normalize_exact,
+            "prefer_col": prefer_col,
         },
     )
     res.stages["dedup_exact"] = cur
@@ -493,6 +504,7 @@ def curate_increment(
     langid_alpha: float = 0.5,
     langid_model: tuple[DataFrame, DataFrame] | None = None,
     normalize_exact: bool = True,
+    prefer_col: str | None = None,
     para_min_chars: int = 0,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
@@ -657,6 +669,7 @@ def curate_increment(
             "text_col": text_col,
             "doc_col": doc_col,
             "normalize": normalize_exact,
+            "prefer_col": prefer_col,
         },
     )
     res.stages["inc_dedup_exact"] = cur

@@ -561,3 +561,23 @@ def test_increment_langid_model_validation(spark, tmp_path):
             keep_lang="aa", langid_model=model,
             langid_buckets=256, min_tokens=2,
         ).documents.count()
+
+
+def test_pipeline_prefer_col_winner(spark, tmp_path):
+    """curate_pipeline's exact-dedup stage honors prefer_col: among
+    identical docs the highest-quality copy survives curation."""
+    docs = spark.createDataFrame(
+        [
+            (1, "shared body of words here today", 0.1),
+            (2, "shared BODY of words here today", 0.9),
+            (3, "a different unique document body", 0.5),
+        ],
+        "doc_id long, text string, q double",
+    )
+    res = curate_pipeline(
+        spark, str(tmp_path / "m"), docs,
+        source_fingerprint="q-v1", keep_lang=None,
+        prefer_col="q", min_tokens=2, pack_budget=None,
+    )
+    ids = sorted(r.doc_id for r in res.documents.collect())
+    assert ids == [2, 3]
