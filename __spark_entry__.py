@@ -8502,6 +8502,57 @@ ON e.user_id = x.user_id AND e.event_type = x.event_type
 """
 
 
+def q_dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-winner exact dedup (operators.dedup.dedup_exact
+    prefer_col, new r10 — the FineWeb keep-the-best-copy rule): three
+    normalization-equal variants per selected doc (original, upper-cased,
+    trailing-space) with a deterministic arithmetic preference; the
+    highest-preference copy survives, ties toward the lowest id. Gates
+    the fingerprint-partitioned row_number winner path the min-id
+    default never exercises."""
+    from pylluminator_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.filter(d % 5 == 0).select("doc_id", "text")
+    trip = (
+        base.unionByName(
+            base.select(
+                (d + 30000).alias("doc_id"), F.upper("text").alias("text")
+            )
+        ).unionByName(
+            base.select(
+                (d + 50000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+    ).withColumn("q", ((d * 37) % 101).cast("long"))
+    out = dedup_exact(trip, prefer_col="q")
+    return out.select("doc_id", "q")
+
+
+ORACLE_DEDUP_EXACT_BEST = r"""
+WITH trip AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 30000, upper(text) FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 50000, text || '  ' FROM documents WHERE doc_id % 5 = 0
+), scored AS (
+  SELECT doc_id, (doc_id * 37) % 101 AS q,
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM trip
+), ranked AS (
+  SELECT doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY q DESC, doc_id ASC)
+           AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(q AS BIGINT) AS q FROM ranked WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-10 rotation (VERDICT
@@ -8592,12 +8643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
         # ---- end of the 50 gated slots ------------------------------
-        # -- 3b. the r10 additions (never gated — r11 debuts; 4 new
-        # entries this round, backlog 4 of the <= 13 cap) ---------------
+        # -- 3b. the r10 additions (never gated — r11 debuts; 5 new
+        # entries this round, backlog 5 of the <= 13 cap) ---------------
         "curate_corpus": q_curate_corpus,
         "dedup_exact_inc": q_dedup_exact_inc,
         "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
         "stream_dedup_inc": q_stream_dedup_inc,
+        "dedup_exact_best": q_dedup_exact_best,
         # -- 4. r11 queue head: the two r7-green entries displaced by
         # the rows-only refresh, then the remaining 26 r7-green --------
         "repetition_ratios": q_repetition_ratios,
@@ -8743,6 +8795,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_inc": ORACLE_DEDUP_EXACT_INC,
         "dedup_paragraphs_inc": ORACLE_DEDUP_PARAGRAPHS_INC,
         "stream_dedup_inc": ORACLE_STREAM_DEDUP_INC,
+        "dedup_exact_best": ORACLE_DEDUP_EXACT_BEST,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

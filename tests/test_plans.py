@@ -215,6 +215,9 @@ SCALAR_AGG_OK = [
     # + broadcast fingerprint probes of the corpus scan — equi joins
     # only, the corpus never shuffles
     "dedup_exact_inc", "dedup_paragraphs_inc",
+    # quality-winner dedup: one fingerprint-PARTITIONED row_number
+    # window (hash exchange on the 8-byte fp, never single-partition)
+    "dedup_exact_best",
 ]
 
 # size-dispatched global-order helpers: single partition ALLOWED below the
