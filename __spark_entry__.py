@@ -8213,21 +8213,35 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an HTML entity, exact duplicate rows for doc_id % 7 == 0) so
     every stage does real work; langid is skipped here (it is gated
     separately as langid_predict) to keep the oracle one SQL chain.
-    A fixed per-SF root, DELETED at call start — every call recomputes
+    A per-(SF, pid) root, DELETED at call start — every call recomputes
     (the gate times/hashes the compute path, never a warm cache) while
-    repeated bench/emu invocations keep at most ONE materialization on
-    disk instead of leaking a stage set per call. Delete-at-start, not
-    at end: the returned plan lazily reads the stage parquet."""
+    repeated bench/emu invocations in one process keep at most ONE
+    materialization on disk instead of leaking a stage set per call.
+    Delete-at-start, not at end: the returned plan lazily reads the
+    stage parquet. The pid suffix de-races concurrent bench/gate
+    processes at the same SF (a fixed shared root would let one process
+    delete stage files the other's returned lazy plan still scans);
+    stale roots left by DEAD pids are swept here best-effort."""
+    import glob
     import os
     import shutil
     import tempfile
 
     from pylluminator_spark.operators.curate import curate_pipeline
 
-    root = os.path.join(
+    prefix = os.path.join(
         tempfile.gettempdir(),
-        "curate_gate_" + sf_dir.strip("/").replace("/", "_"),
+        "curate_gate_" + sf_dir.strip("/").replace("/", "_") + "_pid",
     )
+    for stale in glob.glob(prefix + "*"):
+        try:
+            pid = int(stale.rsplit("pid", 1)[-1])
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave its root alone
+    root = prefix + str(os.getpid())
     shutil.rmtree(root, ignore_errors=True)
 
     docs = _t(spark, sf_dir, "documents")
@@ -8555,25 +8569,22 @@ SELECT doc_id, CAST(q AS BIGINT) AS q FROM ranked WHERE rn = 1
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
-    # against the DuckDB oracle each round. Round-10 rotation (VERDICT
-    # r9 #1 plus the standing never-gated-first policy): slots 1-3 are
-    # the 3 round-9 additions that have never carried a driver row
-    # (hard_negatives, doremi_weights, decontaminate_spans — judge
-    # emu-verified at sf0.01 AND sf0.1 in VERDICT r9); slots 4-26 are
-    # the 23 remaining r6-green entries (the oldest driver rows);
-    # slots 27-48 are the oldest 22 r7-green entries in their r7 gate
-    # order; slots 49-50 refresh the two rows-only entries
-    # (mixedlm_dmp, dr_scores — no oracle possible; their only driver
-    # rows are r3, VERDICT r9 #7 asked for fresh rows-only records).
-    # After this round no oracle-bearing entry's latest driver row is
-    # older than r7 (the two r7-greens displaced by the refresh lead
-    # the r11 queue). The r11 queue head (section 4) is curate_corpus
-    # (new, never gated), repetition_ratios, decontaminate, then the
-    # remaining 26 r7-green entries.
+    # against the DuckDB oracle each round. Round-11 rotation (VERDICT
+    # r10 #1 plus the standing never-gated-first policy): slots 1-5 are
+    # the five round-10 additions that have never carried a driver row
+    # (curate_corpus, dedup_exact_inc, dedup_paragraphs_inc,
+    # stream_dedup_inc, dedup_exact_best — judge emu-verified at sf0.01
+    # AND sf0.1 in VERDICT r10); slots 6-33 are the 28 r7-green entries
+    # (the oldest driver rows after the r10 rotation: repetition_ratios
+    # and decontaminate, displaced by the r10 rows-only refresh, then
+    # the remaining 26 in r7 gate order); slots 34-50 are the oldest 17
+    # r8-green entries in r8 gate order. After this round no entry's
+    # latest driver row is older than r8. The r12 queue head (section
+    # 3b/4) is any r11 addition, then the remaining 33 r8-green entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 176 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with 181 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(176/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(181/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -8582,76 +8593,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays <= 13 (one gate section). A driver row is the gold signal;
     # the emu sweep is the bridge that keeps the interval covered.
     return {
-        # -- 1. slots 1-3: the round-9 additions (never gated; judge
-        # emu-verified at sf0.01 AND sf0.1 in VERDICT r9) --------------
-        "hard_negatives": q_hard_negatives,
-        "doremi_weights": q_doremi_weights,
-        "decontaminate_spans": q_decontaminate_spans,
-        # -- 2. slots 4-26: the 23 remaining r6-green entries (oldest
-        # driver rows after the r9 rotation) ---------------------------
-        "exists_shapes": q_exists_shapes,
-        "min_cost_match": q_min_cost_match,
-        "agg_equals_max": q_agg_equals_max,
-        "skew_salted_agg": q_skew_salted_agg,
-        "bpe_token_stats": q_bpe_token_stats,
-        "unpivot_melt": q_unpivot_melt,
-        "shipping_priority": _tpch.QUERIES["shipping_priority"],
-        "late_orders": _tpch.QUERIES["late_orders"],
-        "filter_scan_revenue": _tpch.QUERIES["filter_scan_revenue"],
-        "volume_shipping": _tpch.QUERIES["volume_shipping"],
-        "market_share": _tpch.QUERIES["market_share"],
-        "product_profit": _tpch.QUERIES["product_profit"],
-        "returned_items": _tpch.QUERIES["returned_items"],
-        "important_parts": _tpch.QUERIES["important_parts"],
-        "promo_revenue": _tpch.QUERIES["promo_revenue"],
-        "supplier_part_cnt": _tpch.QUERIES["supplier_part_cnt"],
-        "large_orders": _tpch.QUERIES["large_orders"],
-        "disjunctive_pred": _tpch.QUERIES["disjunctive_pred"],
-        "bulk_suppliers": _tpch.QUERIES["bulk_suppliers"],
-        "idle_customers": _tpch.QUERIES["idle_customers"],
-        "media_decode": q_media_decode,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "stream_join": q_stream_join,
-        # -- 3. slots 27-50: the oldest 24 r7-green entries (r7 gate
-        # order) -------------------------------------------------------
-        "tfidf_pairs": q_tfidf_pairs,
-        "apply_changes": q_apply_changes,
-        "k_anonymity": q_k_anonymity,
-        "bloom_prune": q_bloom_prune,
-        "bigram_lm": q_bigram_lm,
-        "dsir_weights": q_dsir_weights,
-        "hist_quantiles": q_hist_quantiles,
-        "minimizer_sigs": q_minimizer_sigs,
-        "minimizer_pairs": q_minimizer_pairs,
-        "calibration_bins": q_calibration_bins,
-        "winsorize": q_winsorize,
-        "quantile_bins": q_quantile_bins,
-        "robust_zscore": q_robust_zscore,
-        "hash_split": q_hash_split,
-        "priority_shipmode": _tpch.QUERIES["priority_shipmode"],
-        "ols_dmp": q_ols_dmp,
-        "sample_distances": q_sample_distances,
-        "beta_density": q_beta_density,
-        "stream_tumbling": q_stream_tumbling,
-        "media_decode_jpeg": q_media_decode_jpeg,
-        "pca_gram": q_pca_gram,
-        "gopher_quality": q_gopher_quality,
-        # -- slots 49-50: rows-only refresh (VERDICT r9 #1/#7) — their
-        # only driver rows are r3 no_oracle records; a fresh rows-only
-        # row costs two r7-green slots (both still satisfy the
-        # "nothing older than r7" invariant from the r11 queue head) --
-        "mixedlm_dmp": q_mixedlm_dmp,
-        "dr_scores": q_dr_scores,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 3b. the r10 additions (never gated — r11 debuts; 5 new
-        # entries this round, backlog 5 of the <= 13 cap) ---------------
+        # -- 1. slots 1-5: the five round-10 additions (never gated;
+        # judge emu-verified at sf0.01 AND sf0.1 in VERDICT r10) -------
         "curate_corpus": q_curate_corpus,
         "dedup_exact_inc": q_dedup_exact_inc,
         "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
         "stream_dedup_inc": q_stream_dedup_inc,
         "dedup_exact_best": q_dedup_exact_best,
-        # -- 4. r11 queue head: the two r7-green entries displaced by
-        # the rows-only refresh, then the remaining 26 r7-green --------
+        # -- 2. slots 6-33: the 28 r7-green entries (the oldest driver
+        # rows after the r10 rotation: the two displaced by the r10
+        # rows-only refresh, then the remaining 26 in r7 gate order) ---
         "repetition_ratios": q_repetition_ratios,
         "decontaminate": q_decontaminate,
         "bm25_rank": q_bm25_rank,
@@ -8680,7 +8631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_channel": q_infer_channel,
         "total_ib_intensity": q_total_ib_intensity,
         "corr_by_brand": q_corr_by_brand,
-        # -- 5. r8-gated rows (all 50 green in CORRECTNESS_r08) --------
+        # -- 3. slots 34-50: the oldest 17 r8-green entries (r8 gate
+        # order) --------------------------------------------------------
         "exact_substr_spans": q_exact_substr_spans,
         "suffix_array_ranks": q_suffix_array_ranks,
         "exact_substr_dedup": q_exact_substr_dedup,
@@ -8698,6 +8650,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 3b. r11 additions (never gated -- r12 queue head) ----------
+        # (new r11 gate entries are registered here)
+        # -- 4. r12 queue: the remaining 33 r8-green entries (r8 gate
+        # order) --------------------------------------------------------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
@@ -8731,8 +8688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
-        # -- 6. r9-gated rows (all 50 green in CORRECTNESS_r09 — the
-        # freshest driver rows) ----------------------------------------
+        # -- 5. r9-gated rows (all 50 green in CORRECTNESS_r09) --------
         "video_near_dup": q_video_near_dup,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "langid_predict": q_langid_predict,
@@ -8783,6 +8739,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_time": q_moving_avg_time,
         "window_ranks": q_window_ranks,
         "grouping_sets": q_grouping_sets,
+        # -- 6. r10-gated rows (all 48 oracle-green in CORRECTNESS_r10,
+        # the freshest driver rows; mixedlm_dmp/dr_scores carry fresh
+        # r10 rows-only records) ----------------------------------------
+        "hard_negatives": q_hard_negatives,
+        "doremi_weights": q_doremi_weights,
+        "decontaminate_spans": q_decontaminate_spans,
+        "exists_shapes": q_exists_shapes,
+        "min_cost_match": q_min_cost_match,
+        "agg_equals_max": q_agg_equals_max,
+        "skew_salted_agg": q_skew_salted_agg,
+        "bpe_token_stats": q_bpe_token_stats,
+        "unpivot_melt": q_unpivot_melt,
+        "shipping_priority": _tpch.QUERIES["shipping_priority"],
+        "late_orders": _tpch.QUERIES["late_orders"],
+        "filter_scan_revenue": _tpch.QUERIES["filter_scan_revenue"],
+        "volume_shipping": _tpch.QUERIES["volume_shipping"],
+        "market_share": _tpch.QUERIES["market_share"],
+        "product_profit": _tpch.QUERIES["product_profit"],
+        "returned_items": _tpch.QUERIES["returned_items"],
+        "important_parts": _tpch.QUERIES["important_parts"],
+        "promo_revenue": _tpch.QUERIES["promo_revenue"],
+        "supplier_part_cnt": _tpch.QUERIES["supplier_part_cnt"],
+        "large_orders": _tpch.QUERIES["large_orders"],
+        "disjunctive_pred": _tpch.QUERIES["disjunctive_pred"],
+        "bulk_suppliers": _tpch.QUERIES["bulk_suppliers"],
+        "idle_customers": _tpch.QUERIES["idle_customers"],
+        "media_decode": q_media_decode,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "stream_join": q_stream_join,
+        "tfidf_pairs": q_tfidf_pairs,
+        "apply_changes": q_apply_changes,
+        "k_anonymity": q_k_anonymity,
+        "bloom_prune": q_bloom_prune,
+        "bigram_lm": q_bigram_lm,
+        "dsir_weights": q_dsir_weights,
+        "hist_quantiles": q_hist_quantiles,
+        "minimizer_sigs": q_minimizer_sigs,
+        "minimizer_pairs": q_minimizer_pairs,
+        "calibration_bins": q_calibration_bins,
+        "winsorize": q_winsorize,
+        "quantile_bins": q_quantile_bins,
+        "robust_zscore": q_robust_zscore,
+        "hash_split": q_hash_split,
+        "priority_shipmode": _tpch.QUERIES["priority_shipmode"],
+        "ols_dmp": q_ols_dmp,
+        "sample_distances": q_sample_distances,
+        "beta_density": q_beta_density,
+        "stream_tumbling": q_stream_tumbling,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "pca_gram": q_pca_gram,
+        "gopher_quality": q_gopher_quality,
+        "mixedlm_dmp": q_mixedlm_dmp,
+        "dr_scores": q_dr_scores,
         # -- 7. remaining rows-only (no oracle possible) ---------------
         "audio_spectral": q_audio_spectral,
         "image_phash_pairs": q_image_phash_pairs,

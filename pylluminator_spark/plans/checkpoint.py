@@ -41,8 +41,14 @@ CHECKPOINT_DIR_CONF = "spark.pylluminator.checkpointDir"
 # switches to a fresh `<dir>/<UUID>` subdirectory, so calling it per
 # round of an iterative operator would scatter each round's blocks into
 # its own directory (one mkdir RPC per round, N live copies on the
-# durable store). Set once per (context, path) instead.
-_CONFIGURED: dict[int, str] = {}
+# durable store). Set once per (context, path) instead. Keyed by
+# applicationId, NOT id(sc): a stopped context's id can be recycled by
+# the allocator for a fresh context, which would skip setCheckpointDir
+# and fail df.checkpoint() with "checkpoint directory has not been set"
+# (and the dict would pin dead contexts alive-looking forever).
+# applicationId is unique per context lifetime; stale entries for dead
+# applications are harmless strings and are dropped opportunistically.
+_CONFIGURED: dict[str, str] = {}
 
 
 def stable_checkpoint(
@@ -70,7 +76,11 @@ def stable_checkpoint(
     # checkpoint. Reliable-checkpoint files are not auto-deleted by
     # default — set spark.cleaner.referenceTracking.cleanCheckpoints=true
     # for ContextCleaner-driven cleanup of no-longer-referenced ones.
-    if _CONFIGURED.get(id(sc)) != checkpoint_dir:
+    app_id = sc.applicationId
+    if _CONFIGURED.get(app_id) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
-        _CONFIGURED[id(sc)] = checkpoint_dir
+        # evict other applications' entries — a dead context's row is
+        # inert but there is no reason to accumulate one per session
+        _CONFIGURED.clear()
+        _CONFIGURED[app_id] = checkpoint_dir
     return df.checkpoint(eager=eager)
