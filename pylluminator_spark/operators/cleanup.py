@@ -60,6 +60,7 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     pattern: str = PARAGRAPH_SPLIT_PATTERN,
     min_chars: int = 0,
+    keep_fps_col: str | None = None,
 ) -> DataFrame:
     """Remove duplicate paragraphs corpus-wide, keeping each paragraph's
     globally-first occurrence (ordered by ``(id_col, para_idx)``), then
@@ -77,6 +78,12 @@ def dedup_paragraphs(
     same fingerprint, so a hash collision could at worst drop a false-
     duplicate paragraph — the standard exact-dedup trade, same as
     operators/dedup.dedup_exact).
+
+    ``keep_fps_col`` additionally emits the kept paragraphs' DISTINCT
+    fingerprints as an ``array<long>`` column under that name (sorted;
+    8 B/paragraph in parquet) — persist it and later increments probe
+    the fingerprint column instead of re-splitting + re-hashing the
+    corpus text (``dedup_paragraphs_against(existing_fps_col=...)``).
     """
     paras = split_paragraphs(df, text_col, id_col, pattern)
     paras = paras.withColumn("fp", F.xxhash64("para"))
@@ -94,15 +101,18 @@ def dedup_paragraphs(
             & (F.col("first_at.para_idx") == F.col("para_idx"))
         )
     ).alias("kept")
-    flagged = joined.select(id_col, "para_idx", "para", kept_flag)
-    return _reassemble_flagged(df, flagged, id_col)
+    flagged = joined.select(id_col, "para_idx", "para", "fp", kept_flag)
+    return _reassemble_flagged(df, flagged, id_col, keep_fps_col)
 
 
 def _reassemble_flagged(
-    df: DataFrame, flagged: DataFrame, id_col: str
+    df: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    keep_fps_col: str | None = None,
 ) -> DataFrame:
-    """Rebuild documents from a (id, para_idx, para, kept) table — the
-    shared tail of the corpus-wide and incremental paragraph dedups.
+    """Rebuild documents from a (id, para_idx, para, fp, kept) table —
+    the shared tail of the corpus-wide and incremental paragraph dedups.
     One doc-keyed aggregate; per-group state bounded by a document's
     own paragraph count."""
     rebuilt = flagged.groupBy(id_col).agg(
@@ -110,26 +120,47 @@ def _reassemble_flagged(
             F.collect_list(
                 F.when(
                     F.col("kept"),
-                    F.struct(F.col("para_idx").alias("i"), F.col("para").alias("p")),
+                    F.struct(
+                        F.col("para_idx").alias("i"),
+                        F.col("para").alias("p"),
+                        F.col("fp").alias("f"),
+                    ),
                 )
             )
         ).alias("kept_paras"),
         F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_paras_dropped"),
     )
-    out = rebuilt.select(
+    cols = [
         id_col,
         F.concat_ws(
             "\n\n", F.transform("kept_paras", lambda s: s["p"])
         ).alias("clean_text"),
         F.size("kept_paras").cast("long").alias("n_paras_kept"),
         F.col("n_paras_dropped").cast("long").alias("n_paras_dropped"),
-    )
+    ]
+    if keep_fps_col is not None:
+        cols.append(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("kept_paras", lambda s: s["f"])
+                )
+            ).alias(keep_fps_col)
+        )
+    out = rebuilt.select(*cols)
     # left join back so fully-empty documents (no paragraphs at all) survive
-    return (
+    res = (
         df.select(id_col)
         .join(out, id_col, "left")
         .fillna({"clean_text": "", "n_paras_kept": 0, "n_paras_dropped": 0})
     )
+    if keep_fps_col is not None:
+        res = res.withColumn(
+            keep_fps_col,
+            F.coalesce(
+                F.col(keep_fps_col), F.array().cast("array<long>")
+            ),
+        )
+    return res
 
 
 def dedup_paragraphs_against(
@@ -140,6 +171,8 @@ def dedup_paragraphs_against(
     existing_text_col: str | None = None,
     pattern: str = PARAGRAPH_SPLIT_PATTERN,
     min_chars: int = 0,
+    existing_fps_col: str | None = None,
+    keep_fps_col: str | None = None,
 ) -> DataFrame:
     """INCREMENTAL paragraph dedup: apply the ``dedup_paragraphs`` rule
     within the new batch (batch-first occurrence survives), and
@@ -159,6 +192,16 @@ def dedup_paragraphs_against(
     leaves the scan. ``existing_text_col`` names the corpus's text
     column when it differs from the batch's (e.g. an already-curated
     store exposing ``clean_text``).
+
+    ``existing_fps_col`` names an ALREADY-COMPUTED paragraph-fingerprint
+    column on ``existing`` instead: ``array<long>`` (as persisted by
+    ``dedup_paragraphs(keep_fps_col=...)`` — exploded here) or a plain
+    ``long`` column of pre-exploded fingerprints. The corpus scan then
+    reads ONLY that 8 B/paragraph column (parquet column pruning) — no
+    text is re-split or re-hashed, turning the per-increment corpus
+    cost into a fingerprint probe. ``keep_fps_col`` emits the batch's
+    kept-paragraph fingerprints (array<long>) so THIS increment's
+    store can be probed the same way by the next one.
     """
     paras = split_paragraphs(new_docs, text_col, id_col, pattern)
     paras = paras.withColumn("fp", F.xxhash64("para"))
@@ -169,24 +212,36 @@ def dedup_paragraphs_against(
         F.min(F.struct(id_col, "para_idx")).alias("first_at")
     )
     batch_fps = eligible.select("fp").distinct()
-    old_text = existing_text_col or text_col
-    # corpus side: map-side split + fingerprint, broadcast-probed by the
-    # batch fingerprint set; a short-exempt batch paragraph can never
-    # match (same fp => same text => same length), so no length filter
-    # is needed here. Only the text column is read from the corpus — a
-    # literal stands in for the id split_paragraphs wants, so the store
-    # may key on any id column (or none).
-    old_hits = (
-        split_paragraphs(
+    if existing_fps_col is not None:
+        from pyspark.sql.types import ArrayType
+
+        fld = existing.schema[existing_fps_col]
+        old_fp = (
+            F.explode(existing_fps_col)
+            if isinstance(fld.dataType, ArrayType)
+            else F.col(existing_fps_col)
+        )
+        old_src = existing.select(old_fp.alias("fp"))
+    else:
+        old_text = existing_text_col or text_col
+        # corpus side: map-side split + fingerprint; only the text
+        # column is read from the corpus — a literal stands in for the
+        # id split_paragraphs wants, so the store may key on any id
+        # column (or none).
+        old_src = split_paragraphs(
             existing.select(
                 F.lit(0).alias("_exid"), F.col(old_text).alias("_extext")
             ),
             "_extext",
             "_exid",
             pattern,
-        )
-        .select(F.xxhash64("para").alias("fp"))
-        .join(F.broadcast(batch_fps), "fp", "left_semi")
+        ).select(F.xxhash64("para").alias("fp"))
+    # broadcast-probed by the batch fingerprint set; a short-exempt
+    # batch paragraph can never match (same fp => same text => same
+    # length — and short paragraphs are absent from batch_fps anyway),
+    # so no length filter is needed on the corpus side.
+    old_hits = (
+        old_src.join(F.broadcast(batch_fps), "fp", "left_semi")
         .distinct()
         .withColumn("_in_corpus", F.lit(True))
     )
@@ -199,8 +254,8 @@ def dedup_paragraphs_against(
             & F.col("_in_corpus").isNull()
         )
     ).alias("kept")
-    flagged = joined.select(id_col, "para_idx", "para", kept_flag)
-    return _reassemble_flagged(new_docs, flagged, id_col)
+    flagged = joined.select(id_col, "para_idx", "para", "fp", kept_flag)
+    return _reassemble_flagged(new_docs, flagged, id_col, keep_fps_col)
 
 
 def cap_per_domain(

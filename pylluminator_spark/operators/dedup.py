@@ -55,12 +55,25 @@ def _prefer_winners(
     )
 
 
+def content_fp_expr(text_col: str, normalize: bool = True) -> Column:
+    """The 8-byte content fingerprint ``dedup_exact`` keys on —
+    ``xxhash64`` of the (optionally lowercased + whitespace-collapsed)
+    text. Exposed so fingerprint CONSUMERS (incremental dedup probing a
+    persisted fingerprint column, curation stages materializing one)
+    compute bit-identical keys from one definition."""
+    content = F.col(text_col)
+    if normalize:
+        content = F.array_join(tokens_expr(F.lower(content)), " ")
+    return F.xxhash64(content)
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
     prefer_col: str | None = None,
+    keep_fp_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup: keep one row per content fingerprint — the lowest id
     by default, or the row with the HIGHEST ``prefer_col`` (native-type
@@ -75,17 +88,22 @@ def dedup_exact(
     default path is a map-side-combinable ``min`` aggregate, the
     preferred path a fingerprint-partitioned ``row_number`` (see
     ``_prefer_winners``).
+
+    ``keep_fp_col`` keeps the 8-byte fingerprint in the output under
+    that name — persist it (it costs 8 B/doc in parquet) and later
+    increments probe the fingerprint COLUMN instead of re-hashing the
+    corpus text (``dedup_exact_against(existing_fp_col=...)``): a
+    column-pruned scan that never reads the text bytes.
     """
-    content = F.col(text_col)
-    if normalize:
-        content = F.array_join(tokens_expr(F.lower(content)), " ")
-    with_fp = df.withColumn("_fp", F.xxhash64(content))
+    with_fp = df.withColumn("_fp", content_fp_expr(text_col, normalize))
     if prefer_col is None:
         keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-        return with_fp.join(
-            keep, ["_fp", id_col], "left_semi"
-        ).drop("_fp")
-    return _prefer_winners(with_fp, id_col, prefer_col).drop("_fp")
+        out = with_fp.join(keep, ["_fp", id_col], "left_semi")
+    else:
+        out = _prefer_winners(with_fp, id_col, prefer_col)
+    if keep_fp_col is not None:
+        return out.withColumnRenamed("_fp", keep_fp_col)
+    return out.drop("_fp")
 
 
 def dedup_exact_against(
@@ -95,6 +113,8 @@ def dedup_exact_against(
     id_col: str = "doc_id",
     normalize: bool = True,
     prefer_col: str | None = None,
+    existing_fp_col: str | None = None,
+    keep_fp_col: str | None = None,
 ) -> DataFrame:
     """INCREMENTAL exact dedup: rows of ``new_docs`` that survive the
     ``dedup_exact`` rule within the batch (lowest id per normalized
@@ -109,17 +129,25 @@ def dedup_exact_against(
     corpus is never shuffled and its text never leaves the scan
     projection. Same 8-byte-collision trade as ``dedup_exact``.
 
+    ``existing_fp_col`` names an ALREADY-COMPUTED fingerprint column on
+    ``existing`` (persisted by ``dedup_exact(keep_fp_col=...)`` — the
+    same ``content_fp_expr`` under the same ``normalize``): the corpus
+    scan then reads ONLY that 8 B/doc column (parquet column pruning —
+    the text bytes are never read), turning the per-increment corpus
+    cost from a full text re-hash into a fingerprint-column probe.
+    Without it ``existing``'s fingerprints are recomputed from
+    ``text_col`` map-side — correct, but O(corpus text) per increment.
+
     ``prefer_col`` applies the ``dedup_exact`` quality-winner rule to
     the WITHIN-BATCH choice only — content the corpus already holds
     always drops regardless of preference (the corpus keeps its copy;
-    an increment cannot swap it).
+    an increment cannot swap it). ``keep_fp_col`` keeps the batch
+    fingerprint in the output (so THIS increment's store can be probed
+    by the next one), as in ``dedup_exact``.
     """
 
     def _fp() -> Column:
-        content = F.col(text_col)
-        if normalize:
-            content = F.array_join(tokens_expr(F.lower(content)), " ")
-        return F.xxhash64(content)
+        return content_fp_expr(text_col, normalize)
 
     batch = new_docs.withColumn("_fp", _fp())
     if prefer_col is None:
@@ -127,13 +155,27 @@ def dedup_exact_against(
         batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
     else:
         batch_kept = _prefer_winners(batch, id_col, prefer_col)
+    # batch_kept feeds BOTH the broadcast fingerprint set and the final
+    # anti join — unmaterialized, its within-batch dedup (a fingerprint
+    # shuffle, and under prefer_col a fp-partitioned window sort) runs
+    # twice. The batch is dimension-sized next to the corpus, so one
+    # lineage-cutting materialization is cheap and halves the batch work.
+    batch_kept = stable_checkpoint(batch_kept)
     batch_fps = batch_kept.select("_fp").distinct()
+    old_fp = (
+        F.col(existing_fp_col)
+        if existing_fp_col is not None
+        else _fp()
+    )
     old_hits = (
-        existing.select(_fp().alias("_fp"))
+        existing.select(old_fp.alias("_fp"))
         .join(F.broadcast(batch_fps), "_fp", "left_semi")
         .distinct()
     )
-    return batch_kept.join(old_hits, "_fp", "left_anti").drop("_fp")
+    out = batch_kept.join(old_hits, "_fp", "left_anti")
+    if keep_fp_col is not None:
+        return out.withColumnRenamed("_fp", keep_fp_col)
+    return out.drop("_fp")
 
 
 def minhash_signature(

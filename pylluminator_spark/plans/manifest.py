@@ -213,7 +213,11 @@ class PipelineManifest:
         )
 
     def frame_source(
-        self, name: str, df: DataFrame, fingerprint: str | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        fingerprint: str | None = None,
+        meta: dict | None = None,
     ) -> StageRef:
         """Root a pipeline at a LIVE DataFrame (no backing path): the
         frame is materialized into the store once under ``fingerprint``
@@ -238,7 +242,13 @@ class PipelineManifest:
           sessions could collide on the same key for DIFFERENT data.
           The default is therefore ``content_fingerprint`` (one
           aggregation job over the frame — pass an explicit fingerprint
-          to skip it for large frames)."""
+          to skip it for large frames).
+
+        ``meta`` attaches caller metadata (small JSON-safe dict) to the
+        ledger entry on FIRST materialization — e.g. a content
+        fingerprint recorded for later same-content-different-key
+        detection (``curate_increment``). Ignored on cache hits (the
+        entry already exists)."""
         if fingerprint is None:
             plan = df._jdf.queryExecution().analyzed().toString()
             files = sorted(df.inputFiles())
@@ -268,17 +278,18 @@ class PipelineManifest:
                 from_cache=True,
             )
         df.write.mode("overwrite").parquet(out_dir)
-        self._append(
-            {
-                "key": key,
-                "name": name,
-                "inputs": [],
-                "input_names": [],
-                "params": {},
-                "path": out_dir,
-                "written_at": time.time(),
-            }
-        )
+        entry = {
+            "key": key,
+            "name": name,
+            "inputs": [],
+            "input_names": [],
+            "params": {},
+            "path": out_dir,
+            "written_at": time.time(),
+        }
+        if meta:
+            entry["meta"] = meta
+        self._append(entry)
         return StageRef(
             name=name,
             key=key,
@@ -397,11 +408,18 @@ class PipelineManifest:
 
     def latest(self, name: str) -> StageRef | None:
         """Most recently written stage named ``name`` whose parquet still
-        exists, as a from_cache StageRef — the anchor for INCREMENTAL
-        pipelines that extend an earlier run's output (e.g.
-        ``curate_increment`` dedups a new batch against the base run's
-        ``dedup_exact`` / ``dedup_paragraphs`` stages). Returns None when
-        no such stage has been materialized in this store."""
+        exists, as a from_cache StageRef. Returns None when no such
+        stage has been materialized in this store.
+
+        CAUTION — this is a convenience for ad-hoc inspection of a
+        single stage, NOT a way to reconstruct a coherent pipeline run:
+        per-stage ``latest`` can mix stages from DIFFERENT runs (a later
+        run that cache-hits upstream stages writes only its downstream
+        ones, so its "latest dedup" and the "latest quality_gate" may
+        belong to different parameterizations). Incremental consumers
+        (``curate_increment``) therefore resolve generations by walking
+        the ledger chain from each terminal entry instead — see
+        ``entry`` / ``by_key`` / ``entries_named``."""
         best = None
         for e in self._entries.values():
             if e.get("name") != name or not e.get("path"):

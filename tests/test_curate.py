@@ -581,3 +581,268 @@ def test_pipeline_prefer_col_winner(spark, tmp_path):
     )
     ids = sorted(r.doc_id for r in res.documents.collect())
     assert ids == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# r11: persisted fingerprint stages — increments probe 8 B/doc fingerprint
+# columns instead of re-scanning every generation's full text
+# ---------------------------------------------------------------------------
+
+
+class TestFingerprintProbes:
+    def test_dedup_exact_against_fp_frame_parity(self, spark):
+        """Probing a persisted fingerprint column must equal re-hashing
+        the corpus text — same fingerprints, same survivors."""
+        from pylluminator_spark.operators.dedup import (
+            content_fp_expr,
+            dedup_exact_against,
+        )
+
+        existing = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "ALPHA   beta gamma"),
+                (11, "new unique document"),
+                (12, "new  unique DOCUMENT"),
+            ],
+            ["doc_id", "text"],
+        )
+        via_text = sorted(
+            r.doc_id for r in dedup_exact_against(batch, existing).collect()
+        )
+        fps = existing.select(content_fp_expr("text").alias("content_fp"))
+        via_fp = sorted(
+            r.doc_id
+            for r in dedup_exact_against(
+                batch, fps, existing_fp_col="content_fp"
+            ).collect()
+        )
+        assert via_text == via_fp == [11]
+
+    def test_dedup_paragraphs_against_fp_frame_parity(self, spark):
+        """Array<long> and pre-exploded long fingerprint frames both
+        reproduce the text-scan suppression exactly."""
+        from pylluminator_spark.operators.cleanup import (
+            dedup_paragraphs,
+            dedup_paragraphs_against,
+        )
+
+        existing = spark.createDataFrame(
+            [(1, "corpus body one\n\nshared boilerplate here")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "fresh body ten\n\nshared boilerplate here"),
+                (11, "batch dup para\n\nfresh body eleven"),
+                (12, "batch dup para\n\nfresh body twelve"),
+            ],
+            ["doc_id", "text"],
+        )
+
+        def snap(df):
+            return {
+                r.doc_id: (r.clean_text, r.n_paras_kept, r.n_paras_dropped)
+                for r in df.collect()
+            }
+
+        via_text = snap(dedup_paragraphs_against(batch, existing))
+        fp_arrays = dedup_paragraphs(
+            existing, keep_fps_col="para_fps"
+        ).select("para_fps")
+        via_arr = snap(
+            dedup_paragraphs_against(
+                batch, fp_arrays, existing_fps_col="para_fps"
+            )
+        )
+        fp_longs = fp_arrays.select(
+            F.explode("para_fps").alias("para_fp")
+        )
+        via_long = snap(
+            dedup_paragraphs_against(
+                batch, fp_longs, existing_fps_col="para_fp"
+            )
+        )
+        assert via_text == via_arr == via_long
+
+    def test_keep_fps_col_matches_resplit(self, spark):
+        """The persisted para_fps must equal re-splitting + re-hashing
+        the reassembled clean_text — the invariant the incremental
+        probe depends on."""
+        from pylluminator_spark.operators.cleanup import (
+            dedup_paragraphs,
+            split_paragraphs,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "first body para\n\nshared common para"),
+                (2, "shared common para\n\nsecond body para"),
+                (3, ""),  # empty doc: empty fps array, still present
+            ],
+            ["doc_id", "text"],
+        )
+        out = dedup_paragraphs(docs, keep_fps_col="para_fps")
+        resplit = {
+            r.doc_id: sorted(r.fps)
+            for r in split_paragraphs(
+                out.select("doc_id", F.col("clean_text").alias("text"))
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.xxhash64("para")).alias("fps"))
+            .collect()
+        }
+        got = {r.doc_id: sorted(r.para_fps) for r in out.collect()}
+        assert got[3] == []
+        for doc_id, fps in resplit.items():
+            assert got[doc_id] == sorted(set(fps))
+
+    def test_increment_plan_reads_only_fingerprint_columns(
+        self, spark, docs, tmp_path
+    ):
+        """The physical plan of both incremental dedup stages must scan
+        the generations' stage parquet WITHOUT the text column — the
+        whole point of persisting fingerprints (VERDICT r10 #1): an
+        increment's corpus cost is a pruned 8 B/doc (8 B/para) read."""
+        from pylluminator_spark.operators.curate import (
+            _stage_inc_dedup_exact,
+            _stage_inc_dedup_paragraphs,
+        )
+
+        root = str(tmp_path / "m")
+        base = _run(spark, docs, root)
+        exact = spark.read.parquet(base.stages["dedup_exact"].path)
+        paras = spark.read.parquet(base.stages["dedup_paragraphs"].path)
+        gate = spark.read.parquet(base.stages["quality_gate"].path)
+        batch = spark.createDataFrame(
+            [(990, "aa", "fingerprint probe plan check body")],
+            "doc_id long, lang string, text string",
+        )
+
+        def assert_no_text_read(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            scans = [
+                ln for ln in plan.splitlines()
+                if "FileScan" in ln and root.replace("\\", "/") in ln
+            ]
+            assert scans, plan  # generation parquet must appear as scans
+            for ln in scans:
+                schema = ln.split("ReadSchema:")[-1]
+                assert "text" not in schema, ln
+
+        out_exact = _stage_inc_dedup_exact(
+            spark, batch, exact, gate,
+            text_col="text", doc_col="doc_id", normalize=True,
+        )
+        assert_no_text_read(out_exact)
+        assert out_exact.count() == 1  # fresh doc survives
+        out_paras = _stage_inc_dedup_paragraphs(
+            spark, batch.select("doc_id", "text"), paras, gate,
+            text_col="text", doc_col="doc_id", min_chars=0,
+        )
+        assert_no_text_read(out_paras)
+
+    def test_legacy_generation_without_fp_columns(
+        self, spark, docs, tmp_path
+    ):
+        """Generations written by a pre-fingerprint pipeline (no
+        content_fp / para_fps in their parquet) fall back to one text
+        re-hash — same suppression result."""
+        from pylluminator_spark.operators.curate import (
+            _stage_inc_dedup_exact,
+            _stage_inc_dedup_paragraphs,
+        )
+
+        root = str(tmp_path / "m")
+        base = _run(spark, docs, root)
+        exact = spark.read.parquet(base.stages["dedup_exact"].path)
+        paras = spark.read.parquet(base.stages["dedup_paragraphs"].path)
+        gate = spark.read.parquet(base.stages["quality_gate"].path)
+        batch = spark.createDataFrame(
+            [
+                # exact dup of base doc 0
+                (500, "aa", f"<p>{AA_BODY} variant able</p>\n\n{BOILER}"),
+                # fresh body + suppressed boilerplate paragraph
+                (501, "aa", f"legacy probe fresh body\n\n{BOILER}"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        kw = dict(text_col="text", doc_col="doc_id")
+        new = _stage_inc_dedup_exact(
+            spark, batch, exact, gate, normalize=True, **kw
+        )
+        legacy = _stage_inc_dedup_exact(
+            spark, batch, exact.drop("content_fp"), gate,
+            normalize=True, **kw
+        )
+        assert sorted(r.doc_id for r in new.collect()) == sorted(
+            r.doc_id for r in legacy.collect()
+        ) == [501]
+        new_p = _stage_inc_dedup_paragraphs(
+            spark, batch.select("doc_id", "text"), paras, gate,
+            min_chars=0, **kw
+        )
+        legacy_p = _stage_inc_dedup_paragraphs(
+            spark, batch.select("doc_id", "text"),
+            paras.drop("para_fps"), gate, min_chars=0, **kw
+        )
+        assert {(r.doc_id, r.text) for r in new_p.collect()} == {
+            (r.doc_id, r.text) for r in legacy_p.collect()
+        }
+
+    def test_same_content_different_source_key_raises(
+        self, spark, docs, tmp_path
+    ):
+        """ADVICE r10: re-running the same batch CONTENT under a
+        different source_fingerprint must raise instead of silently
+        treating its own earlier output as a prior generation (which
+        would suppress the whole batch to empty)."""
+        from pylluminator_spark.operators.curate import curate_increment
+
+        root = str(tmp_path / "m")
+        _run(spark, docs, root)
+        batch = spark.createDataFrame(
+            [(600, "aa", "stable fingerprint content body")],
+            "doc_id long, lang string, text string",
+        )
+        curate_increment(
+            spark, root, batch, source_fingerprint="day1",
+            min_tokens=2, max_tokens=10_000,
+        )
+        with pytest.raises(ValueError, match="different source"):
+            curate_increment(
+                spark, root, batch, source_fingerprint="day1-RENAMED",
+                min_tokens=2, max_tokens=10_000,
+            )
+
+    def test_gcd_generation_warns(self, spark, docs, tmp_path):
+        """A prior increment whose stage parquet was garbage-collected
+        mid-chain can no longer suppress duplicates — the next
+        increment must say so instead of silently skipping it."""
+        import shutil
+
+        from pylluminator_spark.operators.curate import curate_increment
+
+        root = str(tmp_path / "m")
+        _run(spark, docs, root)
+        b1 = spark.createDataFrame(
+            [(700, "aa", "first day increment body words")],
+            "doc_id long, lang string, text string",
+        )
+        r1 = curate_increment(
+            spark, root, b1, source_fingerprint="day1",
+            min_tokens=2, max_tokens=10_000,
+        )
+        shutil.rmtree(r1.stages["inc_dedup_exact"].path)
+        b2 = spark.createDataFrame(
+            [(750, "aa", "second day increment body words")],
+            "doc_id long, lang string, text string",
+        )
+        with pytest.warns(UserWarning, match="gc'd stage parquet"):
+            curate_increment(
+                spark, root, b2, source_fingerprint="day2",
+                min_tokens=2, max_tokens=10_000,
+            )
