@@ -8567,6 +8567,185 @@ SELECT doc_id, CAST(q AS BIGINT) AS q FROM ranked WHERE rn = 1
 """
 
 
+def q_dedup_fuzzy_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dedup, deterministic relational twin
+    (new r11): the algebra of operators.dedup.dedup_minhash_lsh_against
+    / operators.curate._stage_inc_fuzzy_dedup — batch documents banded,
+    candidates = batch-vs-(corpus index ∪ batch) band-bucket collisions,
+    exact token-set Jaccard >= 0.95 verification (integer-exact:
+    20*inter >= 19*union), batch doc drops iff a verified partner has a
+    smaller id (corpus ids all sort below batch ids, so this single
+    rule covers both corpus-wins and lowest-batch-id-wins). The engine
+    path uses xxhash64 shingle MinHash (pytest + plan-asserted); this
+    twin's 8 arithmetic permutation hashes over the union vocabulary
+    (h_i = (a_i*tid + b_i) mod p, 4 bands of 2 rows paired as
+    h_even * p + h_odd — exact 64-bit integers) replicate in ANSI SQL.
+    The batch plants near-dups of corpus docs (upper-cased text —
+    identical token set after lowering, J = 1, never byte-equal), fresh
+    docs, and a within-batch near-dup pair; the templated synthetic
+    corpus adds genuine >= 0.95 pairs of its own."""
+    from pylluminator_spark.functions.text import tokens_expr
+    from pylluminator_spark.operators.ordered import with_global_rank
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    d = F.col("doc_id")
+    existing = docs.filter(d % 3 != 0).select("doc_id", "text")
+    batch = (
+        # near-dups of corpus docs: upper-cased -> same token set
+        # after lowering (J = 1) without being byte-identical -> drop
+        docs.filter((d % 3 != 0) & (d % 4 == 1))
+        .select(
+            (d + 20000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            # fresh batch docs (corpus rows held out of `existing`)
+            docs.filter(d % 3 == 0).select(
+                (d + 40000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            # within-batch near-dups of the fresh docs -> higher id drops
+            docs.filter((d % 3 == 0) & (d % 5 == 2)).select(
+                (d + 60000).alias("doc_id"),
+                F.upper(F.col("text")).alias("text"),
+            )
+        )
+    )
+    alld = existing.unionByName(batch)
+    toks = alld.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens_expr(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    distinct_toks = toks.select("token").distinct().persist()
+    vocab = with_global_rank(
+        distinct_toks, ["token"], "tid", n_rows=distinct_toks.count()
+    ).withColumn("tid", F.col("tid").cast("long"))
+    dt = toks.join(vocab, "token").select("doc_id", "tid")
+    sig = dt.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MINHASH_P).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_PARAMS)
+        ]
+    )
+    band_cols = [
+        (
+            F.lit(j).alias("band"),
+            (
+                F.col(f"h{2 * j}") * F.lit(_MINHASH_P) + F.col(f"h{2 * j + 1}")
+            ).alias("bkey"),
+        )
+        for j in range(4)
+    ]
+    bands = None
+    for bc in band_cols:
+        part = sig.select("doc_id", *bc)
+        bands = part if bands is None else bands.unionByName(part)
+    n = bands.filter(F.col("doc_id") >= 20000).select(
+        F.col("doc_id").alias("nid"), "band", "bkey"
+    )
+    o = bands.select(F.col("doc_id").alias("oid"), "band", "bkey")
+    cand = (
+        n.join(o, ["band", "bkey"])
+        .filter(F.col("oid") < F.col("nid"))
+        .select("nid", "oid")
+        .distinct()
+    )
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(dt.select(F.col("doc_id").alias("nid"), "tid"), "nid")
+        .join(dt.select(F.col("doc_id").alias("oid"), "tid"), ["oid", "tid"])
+        .groupBy("nid", "oid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    losers = (
+        inter.join(sizes.select(F.col("doc_id").alias("nid"), F.col("sz").alias("sz_n")), "nid")
+        .join(sizes.select(F.col("doc_id").alias("oid"), F.col("sz").alias("sz_o")), "oid")
+        .filter(
+            F.lit(20) * F.col("inter")
+            >= F.lit(19) * (F.col("sz_n") + F.col("sz_o") - F.col("inter"))
+        )
+        .select(F.col("nid").alias("doc_id"))
+        .distinct()
+    )
+    surv = batch.join(losers, "doc_id", "left_anti")
+    return surv.join(sizes, "doc_id").select(
+        "doc_id", F.col("sz").cast("long").alias("n_tok")
+    )
+
+
+def _oracle_dedup_fuzzy_inc() -> str:
+    hashes = ", ".join(
+        f"MIN(({a} * tid + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    bands_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, "
+        f"h{2 * j} * {_MINHASH_P} + h{2 * j + 1} AS bkey FROM sig"
+        for j in range(4)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+), existing AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 3 != 0
+), batch AS (
+  SELECT doc_id + 20000 AS doc_id, upper(text) AS text FROM base
+  WHERE doc_id % 3 != 0 AND doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 40000, text FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 60000, upper(text) FROM base
+  WHERE doc_id % 3 = 0 AND doc_id % 5 = 2
+), alld AS (
+  SELECT * FROM existing UNION ALL SELECT * FROM batch
+), tokens AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')))
+           AS token
+  FROM alld
+), vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM tokens) t
+), dt AS (
+  SELECT tk.doc_id, v.tid FROM tokens tk JOIN vocab v ON tk.token = v.token
+), sig AS (
+  SELECT doc_id, {hashes} FROM dt GROUP BY doc_id
+), bands AS (
+{bands_union}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+  FROM bands n JOIN bands o ON n.band = o.band AND n.bkey = o.bkey
+  WHERE n.doc_id >= 20000 AND o.doc_id < n.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id
+), inters AS (
+  SELECT c.nid, c.oid, COUNT(*) AS inter
+  FROM cand c
+  JOIN dt a ON a.doc_id = c.nid
+  JOIN dt b ON b.doc_id = c.oid AND b.tid = a.tid
+  GROUP BY c.nid, c.oid
+), losers AS (
+  SELECT DISTINCT i.nid AS doc_id
+  FROM inters i
+  JOIN sizes sn ON sn.doc_id = i.nid
+  JOIN sizes so ON so.doc_id = i.oid
+  WHERE 20 * i.inter >= 19 * (sn.sz + so.sz - i.inter)
+)
+SELECT b.doc_id, CAST(s.sz AS BIGINT) AS n_tok
+FROM batch b
+JOIN sizes s ON s.doc_id = b.doc_id
+ANTI JOIN losers l ON b.doc_id = l.doc_id
+"""
+
+
+ORACLE_DEDUP_FUZZY_INC = _oracle_dedup_fuzzy_inc()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-11 rotation (VERDICT
@@ -8652,7 +8831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         # ---- end of the 50 gated slots ------------------------------
         # -- 3b. r11 additions (never gated -- r12 queue head) ----------
-        # (new r11 gate entries are registered here)
+        "dedup_fuzzy_inc": q_dedup_fuzzy_inc,
         # -- 4. r12 queue: the remaining 33 r8-green entries (r8 gate
         # order) --------------------------------------------------------
         "stratified_sample": q_stratified_sample,
@@ -8805,6 +8984,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs_inc": ORACLE_DEDUP_PARAGRAPHS_INC,
         "stream_dedup_inc": ORACLE_STREAM_DEDUP_INC,
         "dedup_exact_best": ORACLE_DEDUP_EXACT_BEST,
+        "dedup_fuzzy_inc": ORACLE_DEDUP_FUZZY_INC,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

@@ -141,6 +141,120 @@ def _stage_dedup_paragraphs(
     )
 
 
+def _stage_fuzzy_bands(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    text_col: str,
+    doc_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_size: int,
+) -> DataFrame:
+    """The persistable LSH INDEX of one generation: MinHash signatures
+    over word shingles, split into bands — one (id, _band, _band_hash)
+    row per band (operators.dedup.lsh_band_table). Keyed off the
+    generation's exact-dedup stage + the fuzzy knobs, so (a) increments
+    probing a generation CACHE-HIT the table its own run built, (b)
+    enabling fuzzy on a root whose base predates it builds the missing
+    table exactly once, and (c) a knob change re-keys and rebuilds."""
+    from pylluminator_spark.operators.dedup import (
+        lsh_band_table,
+        minhash_signature,
+    )
+
+    return lsh_band_table(
+        minhash_signature(docs, text_col, num_hashes, shingle_size),
+        id_col=doc_col,
+        bands=bands,
+    )
+
+
+def _stage_fuzzy_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    bands_tbl: DataFrame,
+    *,
+    text_col: str,
+    doc_col: str,
+    shingle_size: int,
+    threshold: float | None,
+) -> DataFrame:
+    """Corpus-wide MinHash-LSH near-dedup over the persisted band
+    table: bucket-join candidate pairs, optionally verify by exact
+    shingle Jaccard (``threshold=None`` treats any bucket collision as
+    a duplicate — no text re-read), drop each pair's larger id."""
+    from pylluminator_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_pairs_from_bands,
+    )
+
+    pairs = lsh_pairs_from_bands(bands_tbl, doc_col)
+    if threshold is not None:
+        pairs = jaccard_verify(
+            pairs,
+            docs.select(doc_col, text_col),
+            doc_col,
+            text_col,
+            shingle_size,
+            threshold,
+        ).select("id_a", "id_b")
+    losers = pairs.select(F.col("id_b").alias(doc_col)).distinct()
+    return docs.join(losers, doc_col, "left_anti")
+
+
+def _stage_inc_fuzzy_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_bands: DataFrame,
+    *refs: DataFrame,
+    text_col: str,
+    doc_col: str,
+    shingle_size: int,
+    threshold: float | None,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dedup: batch rows that near-dup
+    neither a gate-surviving document of ANY curated generation (probed
+    through each generation's persisted band table — the corpus is
+    never re-banded) nor a lower-id batch row. ``refs`` is the flat
+    [bands_0..n-1, exact_0..n-1, gate_0..n-1] list; the exact stages
+    supply corpus text ONLY when ``threshold`` verification is on
+    (bands-only mode never reads generation text)."""
+    from pylluminator_spark.operators.dedup import dedup_minhash_lsh_against
+
+    n = len(refs) // 3
+    bands_tbls, exacts, gates = refs[:n], refs[n : 2 * n], refs[2 * n :]
+    gated_bands = None
+    for b, g in zip(bands_tbls, gates):
+        part = b.join(
+            g.select(F.col(doc_col)), doc_col, "left_semi"
+        ).select(doc_col, "_band", "_band_hash")
+        gated_bands = (
+            part if gated_bands is None else gated_bands.unionByName(part)
+        )
+    existing_docs = None
+    if threshold is not None:
+        for e, g in zip(exacts, gates):
+            part = e.select(doc_col, text_col).join(
+                g.select(doc_col), doc_col, "left_semi"
+            )
+            existing_docs = (
+                part
+                if existing_docs is None
+                else existing_docs.unionByName(part)
+            )
+    return dedup_minhash_lsh_against(
+        batch,
+        gated_bands,
+        existing_docs,
+        id_col=doc_col,
+        text_col=text_col,
+        shingle_size=shingle_size,
+        threshold=threshold,
+        new_bands=batch_bands,
+    )
+
+
 def _stage_quality_gate(
     spark: SparkSession,
     docs: DataFrame,
@@ -411,6 +525,36 @@ def _stage_inc_pack(
 # the composed pipeline
 # --------------------------------------------------------------------------
 
+_FUZZY_DEFAULTS = {
+    "num_hashes": 64,
+    "bands": 16,
+    "shingle_size": 3,
+    "threshold": 0.7,
+}
+
+
+def _fuzzy_knobs(fuzzy) -> dict | None:
+    """Normalize the ``fuzzy=`` knob: None/False disables the stage,
+    True takes the defaults, a dict overrides them (unknown keys
+    raise — a typo'd knob must not silently fall back to a default)."""
+    if fuzzy is None or fuzzy is False:
+        return None
+    knobs = dict(_FUZZY_DEFAULTS)
+    if fuzzy is not True:
+        unknown = set(fuzzy) - set(_FUZZY_DEFAULTS)
+        if unknown:
+            raise ValueError(
+                f"unknown fuzzy knob(s) {sorted(unknown)}; valid: "
+                f"{sorted(_FUZZY_DEFAULTS)}"
+            )
+        knobs.update(fuzzy)
+    if knobs["num_hashes"] % knobs["bands"] != 0:
+        raise ValueError(
+            f"fuzzy num_hashes ({knobs['num_hashes']}) must be a "
+            f"multiple of bands ({knobs['bands']})"
+        )
+    return knobs
+
 
 @dataclass
 class CurateResult:
@@ -450,6 +594,7 @@ def curate_pipeline(
     normalize_exact: bool = True,
     prefer_col: str | None = None,
     para_min_chars: int = 0,
+    fuzzy: dict | bool | None = None,
     # quality gate
     min_tokens: int = 10,
     max_tokens: int = 100_000,
@@ -469,6 +614,16 @@ def curate_pipeline(
     ``keep_lang``, which drops mislabeled/garbled text too). Leave None
     for unlabeled corpora and run language filtering separately.
 
+    ``fuzzy`` enables MinHash-LSH NEAR-dedup between exact and
+    paragraph dedup (the FineWeb-style fuzzy stage): True for the
+    defaults, or a dict overriding ``num_hashes`` (64), ``bands`` (16),
+    ``shingle_size`` (3), ``threshold`` (0.7 — exact-Jaccard
+    verification of candidate pairs; None treats any band collision as
+    a duplicate and never re-reads the text). The band table is itself
+    a manifest stage (``fuzzy_bands``, keyed off the exact-dedup stage
+    + knobs) — the persistable LSH index increments probe instead of
+    re-banding the corpus.
+
     Returns a :class:`CurateResult`; every stage's parquet lives under
     ``manifest_root`` keyed by (inputs, params, stage code), so a rerun
     with nothing changed is pure cache reads and a param change
@@ -480,6 +635,7 @@ def curate_pipeline(
         )
     if pack_budget is not None and pack_budget < 1:
         raise ValueError(f"pack_budget must be >= 1, got {pack_budget}")
+    fz = _fuzzy_knobs(fuzzy)
     m = PipelineManifest(spark, manifest_root)
     if isinstance(source, str):
         cur = m.source("docs", source, fmt)
@@ -515,6 +671,32 @@ def curate_pipeline(
         },
     )
     res.stages["dedup_exact"] = cur
+    if fz is not None:
+        bands_ref = m.stage(
+            "fuzzy_bands",
+            _stage_fuzzy_bands,
+            [cur],
+            {
+                "text_col": text_col,
+                "doc_col": doc_col,
+                "num_hashes": fz["num_hashes"],
+                "bands": fz["bands"],
+                "shingle_size": fz["shingle_size"],
+            },
+        )
+        res.stages["fuzzy_bands"] = bands_ref
+        cur = m.stage(
+            "fuzzy_dedup",
+            _stage_fuzzy_dedup,
+            [cur, bands_ref],
+            {
+                "text_col": text_col,
+                "doc_col": doc_col,
+                "shingle_size": fz["shingle_size"],
+                "threshold": fz["threshold"],
+            },
+        )
+        res.stages["fuzzy_dedup"] = cur
     cur = m.stage(
         "dedup_paragraphs",
         _stage_dedup_paragraphs,
@@ -572,6 +754,7 @@ def curate_increment(
     normalize_exact: bool = True,
     prefer_col: str | None = None,
     para_min_chars: int = 0,
+    fuzzy: dict | bool | None = None,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
     pack_budget: int | None = None,
@@ -584,7 +767,14 @@ def curate_increment(
     Chain: (optional batch langid filter — pass ``langid_model``, a
     ``fit_langid(big_corpus)`` (weights, langs) pair, to classify under
     the corpus-fit model instead of a statistically-weak self-labeled
-    fit on the small batch) -> incremental exact dedup
+    fit on the small batch) -> incremental exact dedup -> (optional
+    ``fuzzy``: incremental MinHash-LSH near-dedup — batch bands probe
+    every generation's PERSISTED ``fuzzy_bands`` index, cost
+    proportional to the batch; knobs as in ``curate_pipeline``. Band
+    tables are content-addressed by (generation exact stage, knobs), so
+    a probe is always knob-consistent: matching the base's knobs reuses
+    its index for free, while a generation missing a table under the
+    probing knobs gets one built once through the manifest cache)
     -> incremental paragraph dedup -> HTML strip + token gate. The
     suppression references are EVERY curated generation in this root —
     the base run plus each prior increment — each probed through its
@@ -633,23 +823,30 @@ def curate_increment(
         raise ValueError(
             f"min_tokens ({min_tokens}) > max_tokens ({max_tokens})"
         )
+    fz = _fuzzy_knobs(fuzzy)
     m = PipelineManifest(spark, manifest_root)
 
-    def _chain(gate_entry, paras_name, exact_name):
+    def _chain(gate_entry, paras_name, exact_name, fuzzy_name):
         """(exact, paras, gate) StageRefs of ONE materialized run,
         resolved by the gate entry's input chain (inputs[0] is always
-        the previous stage in both pipeline shapes). Returns the string
-        'gc' when the chain's NAMES resolve but a stage's parquet is
-        gone (garbage-collected mid-chain) — the caller warns, since a
-        live generation that can no longer be probed means previously
-        suppressed duplicates could re-enter; None when the entry
-        belongs to a different pipeline shape (not an error)."""
+        the previous stage in both pipeline shapes; an optional
+        ``fuzzy_name`` near-dedup stage between paragraphs and exact is
+        walked through — its inputs[0] is the exact stage). Returns the
+        string 'gc' when the chain's NAMES resolve but a stage's
+        parquet is gone (garbage-collected mid-chain) — the caller
+        warns, since a live generation that can no longer be probed
+        means previously suppressed duplicates could re-enter; None
+        when the entry belongs to a different pipeline shape (not an
+        error)."""
         paras_key = (gate_entry.get("inputs") or [None])[0]
         paras_entry = m.entry(paras_key) if paras_key else None
         if not paras_entry or paras_entry.get("name") != paras_name:
             return None
         exact_key = (paras_entry.get("inputs") or [None])[0]
         exact_entry = m.entry(exact_key) if exact_key else None
+        if exact_entry and exact_entry.get("name") == fuzzy_name:
+            exact_key = (exact_entry.get("inputs") or [None])[0]
+            exact_entry = m.entry(exact_key) if exact_key else None
         if not exact_entry or exact_entry.get("name") != exact_name:
             return None
         gate_ref = m.by_key(gate_entry["key"])
@@ -663,7 +860,7 @@ def curate_increment(
     base_chain = None
     skipped_gc = []
     for e in reversed(base_entries):
-        ch = _chain(e, "dedup_paragraphs", "dedup_exact")
+        ch = _chain(e, "dedup_paragraphs", "dedup_exact", "fuzzy_dedup")
         if ch == "gc":
             skipped_gc.append(e["key"])
             continue
@@ -764,7 +961,7 @@ def curate_increment(
     inc_chains: dict[str, tuple] = {}
     gc_incs = []
     for e in m.entries_named("inc_quality_gate"):
-        ch = _chain(e, "inc_dedup_paragraphs", "inc_dedup_exact")
+        ch = _chain(e, "inc_dedup_paragraphs", "inc_dedup_exact", "inc_fuzzy_dedup")
         if ch == "gc":
             gc_incs.append(e["key"])
             continue
@@ -807,6 +1004,46 @@ def curate_increment(
         },
     )
     res.stages["inc_dedup_exact"] = cur
+    if fz is not None:
+        bands_params = {
+            "text_col": text_col,
+            "doc_col": doc_col,
+            "num_hashes": fz["num_hashes"],
+            "bands": fz["bands"],
+            "shingle_size": fz["shingle_size"],
+        }
+        # the batch's own band table (persisted — the next increment
+        # probes it), and each generation's: keyed off that generation's
+        # exact stage + knobs, so a generation that already built one
+        # (base run with fuzzy, prior fuzzy increment) is a pure cache
+        # hit, and enabling fuzzy on an older root builds the missing
+        # index exactly once (amortized, like the fingerprint fallback)
+        batch_bands = m.stage(
+            "fuzzy_bands", _stage_fuzzy_bands, [cur], bands_params
+        )
+        res.stages["fuzzy_bands"] = batch_bands
+        gen_bands = [
+            m.stage("fuzzy_bands", _stage_fuzzy_bands, [c[0]], bands_params)
+            for c in chains
+        ]
+        cur = m.stage(
+            "inc_fuzzy_dedup",
+            _stage_inc_fuzzy_dedup,
+            [
+                cur,
+                batch_bands,
+                *gen_bands,
+                *[c[0] for c in chains],
+                *[c[2] for c in chains],
+            ],
+            {
+                "text_col": text_col,
+                "doc_col": doc_col,
+                "shingle_size": fz["shingle_size"],
+                "threshold": fz["threshold"],
+            },
+        )
+        res.stages["inc_fuzzy_dedup"] = cur
     cur = m.stage(
         "inc_dedup_paragraphs",
         _stage_inc_dedup_paragraphs,

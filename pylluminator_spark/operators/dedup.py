@@ -244,18 +244,15 @@ def lsh_band_table(
     )
 
 
-def lsh_candidate_pairs(
-    df_with_sig: DataFrame,
-    id_col: str = "doc_id",
-    sig_col: str = "minhash",
-    bands: int = 16,
+def lsh_pairs_from_bands(
+    banded: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` equal bands, bucket by
-    (band_id, hash(band)), emit candidate id pairs sharing any bucket.
-
-    Returns distinct (id_a, id_b) with id_a < id_b.
-    """
-    banded = lsh_band_table(df_with_sig, id_col, sig_col, bands)
+    """Candidate id pairs from an ALREADY-MATERIALIZED band table
+    (``lsh_band_table`` output, possibly read back from its persisted
+    parquet): bucket self-join on (_band, _band_hash), distinct
+    (id_a, id_b) with id_a < id_b. Split out so stored LSH indexes are
+    joined without re-banding (the curation pipeline persists the band
+    table as a manifest stage and derives pairs from the parquet)."""
     a = banded.select(
         F.col("_band"), F.col("_band_hash"), F.col(id_col).alias("id_a")
     )
@@ -268,6 +265,21 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    df_with_sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, bucket by
+    (band_id, hash(band)), emit candidate id pairs sharing any bucket.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = lsh_band_table(df_with_sig, id_col, sig_col, bands)
+    return lsh_pairs_from_bands(banded, id_col)
 
 
 def lsh_incremental_candidates(
@@ -380,6 +392,109 @@ def dedup_minhash_lsh(
     # every id that appears as the larger member of a verified pair is a dup
     losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_minhash_lsh_against(
+    new_docs: DataFrame,
+    existing_bands: DataFrame,
+    existing_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float | None = 0.7,
+    new_bands: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dedup: rows of ``new_docs`` that are
+    NOT a near-duplicate of (a) any document behind ``existing_bands``
+    (the persisted ``lsh_band_table`` of a curated corpus — the corpus
+    keeps its copy, the batch's drops) or (b) a LOWER-id batch document
+    (the ``dedup_minhash_lsh`` within-batch rule). Ids must be disjoint
+    between batch and corpus.
+
+    Scale: the batch is banded (``new_bands`` supplies pre-computed
+    batch bands, e.g. a persisted stage, skipping the signature map);
+    candidates come from ``lsh_incremental_candidates`` — a bucket
+    equi-join of BATCH bands against the stored index, cost
+    proportional to the batch, never re-banding the corpus
+    (index-vs-index pairs are never enumerated).
+
+    ``threshold=None`` is the bands-only mode: any bucket collision is
+    treated as a duplicate (classic LSH without verification) and the
+    corpus TEXT is never read. With a threshold, candidate pairs are
+    verified by exact shingle Jaccard, which requires ``existing_docs``
+    (id + text of the corpus) — the verify join touches only candidate
+    ids (batch-bounded), but on a columnar store the corpus text column
+    is still scanned to find them; keep verification for correctness-
+    critical dedup and prefer bands-only when scanning the corpus text
+    per increment is not acceptable."""
+    batch_bands = (
+        new_bands
+        if new_bands is not None
+        else lsh_band_table(
+            minhash_signature(new_docs, text_col, num_hashes, shingle_size),
+            id_col=id_col,
+            bands=bands,
+        )
+    )
+    n = batch_bands.select(
+        "_band", "_band_hash", F.col(id_col).alias("_nid")
+    )
+    o = batch_bands.unionByName(existing_bands).select(
+        "_band", "_band_hash", F.col(id_col).alias("_oid")
+    )
+    cand = (
+        n.join(o, ["_band", "_band_hash"])
+        .filter(F.col("_nid") != F.col("_oid"))
+        .select("_nid", "_oid")
+        .distinct()
+    )
+    # batch membership of the OTHER side decides the loser rule: a
+    # corpus partner always wins; a batch partner wins iff lower id.
+    # The batch id set is dimension-sized -> broadcast.
+    batch_ids = new_docs.select(F.col(id_col).alias("_oid")).distinct()
+    if threshold is None:
+        in_batch = cand.join(
+            F.broadcast(batch_ids), "_oid", "left_semi"
+        ).filter(F.col("_oid") < F.col("_nid"))
+        vs_corpus = cand.join(F.broadcast(batch_ids), "_oid", "left_anti")
+        losers = (
+            in_batch.select(F.col("_nid").alias(id_col))
+            .unionByName(vs_corpus.select(F.col("_nid").alias(id_col)))
+            .distinct()
+        )
+        return new_docs.join(losers, id_col, "left_anti")
+    if existing_docs is None:
+        raise ValueError(
+            "dedup_minhash_lsh_against: threshold verification needs "
+            "existing_docs (corpus id + text); pass threshold=None for "
+            "bands-only dedup without corpus text access"
+        )
+    pairs = cand.select(
+        F.least("_nid", "_oid").alias("id_a"),
+        F.greatest("_nid", "_oid").alias("id_b"),
+    ).distinct()
+    docs_union = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        existing_docs.select(F.col(id_col), F.col(text_col))
+    )
+    verified = jaccard_verify(
+        pairs, docs_union, id_col, text_col, shingle_size, threshold
+    )
+    b_ids_a = batch_ids.withColumnRenamed("_oid", "id_a")
+    b_ids_b = batch_ids.withColumnRenamed("_oid", "id_b")
+    # id_b in batch: loses to id_a (lower batch id or corpus doc).
+    # id_a in batch, id_b in corpus: the batch side loses regardless.
+    lose_b = verified.join(F.broadcast(b_ids_b), "id_b", "left_semi").select(
+        F.col("id_b").alias(id_col)
+    )
+    lose_a = (
+        verified.join(F.broadcast(b_ids_a), "id_a", "left_semi")
+        .join(F.broadcast(b_ids_b), "id_b", "left_anti")
+        .select(F.col("id_a").alias(id_col))
+    )
+    losers = lose_b.unionByName(lose_a).distinct()
+    return new_docs.join(losers, id_col, "left_anti")
 
 
 def simhash_expr(text_col: str = "text", bits: int = 64):

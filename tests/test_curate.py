@@ -846,3 +846,181 @@ class TestFingerprintProbes:
                 spark, root, b2, source_fingerprint="day2",
                 min_tokens=2, max_tokens=10_000,
             )
+
+
+# ---------------------------------------------------------------------------
+# r11: optional MinHash-LSH fuzzy (near-dup) stage in the curation chain
+# ---------------------------------------------------------------------------
+
+NEAR_A = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "startled geese scatter across the frozen pond at dawn light"
+)
+# one word changed -> high shingle overlap, not exact-identical
+NEAR_B = NEAR_A.replace("frozen", "misty")
+UNIQUE_C = (
+    "completely different subject matter entirely here involving "
+    "submarine cables, ocean currents and deep trench cartography"
+)
+
+
+class TestFuzzyStage:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_dedup_minhash_lsh_against_matches_union(self, spark):
+        """Batch survivors of the incremental operator must equal the
+        batch slice of corpus-wide dedup_minhash_lsh over the union
+        (corpus ids all below batch ids)."""
+        from pylluminator_spark.operators.dedup import (
+            dedup_minhash_lsh,
+            dedup_minhash_lsh_against,
+            lsh_band_table,
+            minhash_signature,
+        )
+
+        corpus = self._mk(
+            spark, [(1, NEAR_A), (2, UNIQUE_C)]
+        )
+        batch = self._mk(
+            spark,
+            [
+                (10, NEAR_B),            # near-dup of corpus 1 -> drop
+                (11, UNIQUE_C + " x"),   # near-dup of corpus 2 -> drop
+                (12, "a genuinely fresh batch document about volcanoes "
+                     "and the geology of basalt columns in iceland"),
+                (13, "a genuinely fresh batch document about volcanoes "
+                     "and the geology of basalt pillars in iceland"),
+                # 13 near-dups 12 -> lower batch id 12 survives
+            ],
+        )
+        bands_tbl = lsh_band_table(
+            minhash_signature(corpus, "text", 64, 3), bands=16
+        )
+        inc = sorted(
+            r.doc_id
+            for r in dedup_minhash_lsh_against(
+                batch, bands_tbl, corpus, threshold=0.5
+            ).collect()
+        )
+        union = dedup_minhash_lsh(
+            corpus.unionByName(batch), threshold=0.5
+        )
+        union_batch = sorted(
+            r.doc_id for r in union.collect() if r.doc_id >= 10
+        )
+        assert inc == union_batch == [12]
+        # bands-only mode: no corpus text needed, same drops here
+        bands_only = sorted(
+            r.doc_id
+            for r in dedup_minhash_lsh_against(
+                batch, bands_tbl, None, threshold=None
+            ).collect()
+        )
+        assert bands_only == [12]
+        # threshold without corpus text is an explicit error
+        with pytest.raises(ValueError, match="existing_docs"):
+            dedup_minhash_lsh_against(
+                batch, bands_tbl, None, threshold=0.5
+            ).collect()
+
+    def test_pipeline_fuzzy_stage(self, spark, tmp_path):
+        docs = self._mk(
+            spark,
+            [(1, NEAR_A), (2, NEAR_B), (3, UNIQUE_C)],
+        )
+        res = curate_pipeline(
+            spark, str(tmp_path / "m"), docs,
+            source_fingerprint="fz-v1", keep_lang=None,
+            fuzzy={"threshold": 0.5}, min_tokens=2, pack_budget=None,
+        )
+        assert "fuzzy_bands" in res.stages and "fuzzy_dedup" in res.stages
+        ids = sorted(r.doc_id for r in res.documents.collect())
+        assert ids == [1, 3]  # near-dup 2 dropped, lower id 1 kept
+        # knob validation
+        with pytest.raises(ValueError, match="unknown fuzzy knob"):
+            curate_pipeline(
+                spark, str(tmp_path / "m2"), docs,
+                source_fingerprint="fz-v1", keep_lang=None,
+                fuzzy={"thresold": 0.5}, pack_budget=None,
+            )
+        with pytest.raises(ValueError, match="multiple of bands"):
+            curate_pipeline(
+                spark, str(tmp_path / "m3"), docs,
+                source_fingerprint="fz-v1", keep_lang=None,
+                fuzzy={"num_hashes": 10, "bands": 16}, pack_budget=None,
+            )
+
+    def test_increment_fuzzy_probes_stored_index(self, spark, tmp_path):
+        from pylluminator_spark.operators.curate import curate_increment
+        from pylluminator_spark.plans.manifest import PipelineManifest
+
+        root = str(tmp_path / "m")
+        docs = self._mk(spark, [(1, NEAR_A), (2, UNIQUE_C)])
+        curate_pipeline(
+            spark, root, docs, source_fingerprint="fz-base",
+            keep_lang=None, fuzzy={"threshold": 0.5},
+            min_tokens=2, pack_budget=None,
+        )
+        batch = self._mk(
+            spark,
+            [
+                (10, NEAR_B),  # near-dup of base doc 1 -> drop
+                (11, "entirely new increment content mentioning railway "
+                     "gauges, viaducts and the economics of freight"),
+            ],
+        )
+        res = curate_increment(
+            spark, root, batch, source_fingerprint="fz-day1",
+            fuzzy={"threshold": 0.5}, min_tokens=2, max_tokens=10_000,
+        )
+        assert "inc_fuzzy_dedup" in res.stages
+        ids = sorted(r.doc_id for r in res.documents.collect())
+        assert ids == [11]
+        # the base generation's band table was REUSED (cache), not
+        # rebuilt: exactly two fuzzy_bands materializations exist —
+        # the base's and the batch's
+        m = PipelineManifest(spark, root)
+        assert len(m.entries_named("fuzzy_bands")) == 2
+        # chain walk resolves through the fuzzy stage: a second batch
+        # deduping against BOTH generations
+        b2 = self._mk(
+            spark,
+            [
+                # near-dup of increment doc 11 -> must drop against the
+                # PRIOR INCREMENT's band table
+                (20, "entirely new increment content mentioning railway "
+                     "gauges, viaducts and the economics of cargo"),
+                (21, "fresh second-day material on beekeeping, hive "
+                     "frames and the winter cluster behaviour of bees"),
+            ],
+        )
+        r2 = curate_increment(
+            spark, root, b2, source_fingerprint="fz-day2",
+            fuzzy={"threshold": 0.5}, min_tokens=2, max_tokens=10_000,
+        )
+        assert sorted(r.doc_id for r in r2.documents.collect()) == [21]
+
+    def test_increment_fuzzy_on_prefuzzy_base(self, spark, tmp_path):
+        """Enabling fuzzy at increment time on a base run that never
+        built a band table: the index is built ONCE through the
+        manifest cache, then reused."""
+        from pylluminator_spark.operators.curate import curate_increment
+        from pylluminator_spark.plans.manifest import PipelineManifest
+
+        root = str(tmp_path / "m")
+        docs = self._mk(spark, [(1, NEAR_A), (2, UNIQUE_C)])
+        curate_pipeline(
+            spark, root, docs, source_fingerprint="fz-base",
+            keep_lang=None, min_tokens=2, pack_budget=None,
+        )
+        m = PipelineManifest(spark, root)
+        assert len(m.entries_named("fuzzy_bands")) == 0
+        batch = self._mk(spark, [(10, NEAR_B)])
+        res = curate_increment(
+            spark, root, batch, source_fingerprint="fz-day1",
+            fuzzy={"threshold": 0.5}, min_tokens=2, max_tokens=10_000,
+        )
+        assert res.documents.count() == 0  # suppressed by the base
+        m = PipelineManifest(spark, root)
+        assert len(m.entries_named("fuzzy_bands")) == 2

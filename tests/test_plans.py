@@ -225,6 +225,10 @@ SCALAR_AGG_OK = [
 DISPATCHED = [
     "bh_adjust", "ecdf_pvalue", "minhash_signatures", "ngram_jaccard",
     "quantile_normalize", "simhash",
+    # incremental LSH twin: band/verify stages are pure equi joins; the
+    # union-vocabulary tid rank is the size-dispatched with_global_rank
+    # (same shape as minhash_signatures' _doc_tokens_df)
+    "dedup_fuzzy_inc",
     # token-vocabulary rank inside _doc_tokens_df is size-dispatched
     "dedup_components",
     # pack_sequences' global running sum is size-dispatched
