@@ -158,6 +158,7 @@ def ccnet_paragraph_filter(
     alpha: float = 1.0,
     backoff: float = 0.4,
     min_bigram_count: int = 1,
+    keep_fps_col: str | None = None,
 ) -> DataFrame:
     """Keep only the ``keep`` perplexity buckets of each document's
     paragraphs and reassemble the survivors (the CCNet head/middle cut,
@@ -184,32 +185,14 @@ def ccnet_paragraph_filter(
     )
     wanted = [b for b in keep] + (["short"] if keep_short else [])
     kept_flag = F.col("bucket").isin(wanted).alias("kept")
-    flagged = buckets.select(doc_col, "para_idx", "para", kept_flag)
-    rebuilt = flagged.groupBy(doc_col).agg(
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("kept"),
-                    F.struct(
-                        F.col("para_idx").alias("i"), F.col("para").alias("p")
-                    ),
-                )
-            )
-        ).alias("kept_paras"),
-        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias(
-            "n_paras_dropped"
-        ),
+    flagged = buckets.select(
+        doc_col, "para_idx", "para", F.xxhash64("para").alias("fp"), kept_flag
     )
-    out = rebuilt.select(
-        doc_col,
-        F.concat_ws(
-            "\n\n", F.transform("kept_paras", lambda s: s["p"])
-        ).alias("clean_text"),
-        F.size("kept_paras").cast("long").alias("n_paras_kept"),
-        F.col("n_paras_dropped").cast("long").alias("n_paras_dropped"),
-    )
-    return (
-        docs.select(doc_col)
-        .join(out, doc_col, "left")
-        .fillna({"clean_text": "", "n_paras_kept": 0, "n_paras_dropped": 0})
-    )
+    # shared reassembly with the paragraph dedups (one doc-keyed
+    # aggregate); ``keep_fps_col`` emits the kept paragraphs' distinct
+    # fingerprints so a curation pipeline placing this stage after
+    # paragraph dedup hands increments a probe-able fingerprint column
+    # reflecting the POST-ccnet surviving paragraphs
+    from pylluminator_spark.operators.cleanup import _reassemble_flagged
+
+    return _reassemble_flagged(docs, flagged, doc_col, keep_fps_col)

@@ -263,10 +263,24 @@ def _stage_quality_gate(
     doc_col: str,
     min_tokens: int,
     max_tokens: int,
+    gopher: dict | None = None,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """Strip HTML tags/entities, then keep documents whose whitespace
     token count lies in [min_tokens, max_tokens] — both pure codegen
-    expressions, no shuffle."""
+    expressions, no shuffle. Optional refinements run on the SAME
+    stripped text inside this one stage (so gate survivors remain
+    exactly the curated documents — the invariant the increments'
+    suppression filtering depends on):
+
+    - ``gopher``: Gopher-rule signal thresholds
+      (operators.corpus.gopher_signals + gopher_keep_expr — one
+      doc-keyed token aggregation);
+    - ``classifier``: a PRE-FIT quality logistic regression applied as
+      one codegen expression — ``{"weights": {feature: w}, "intercept":
+      b, "threshold": t}`` over operators.classifier.quality_feature_
+      exprs features (weights keyed by feature name; order-independent).
+    """
     from pylluminator_spark.functions.text import (
         strip_html_expr,
         token_count_expr,
@@ -276,9 +290,83 @@ def _stage_quality_gate(
         doc_col, strip_html_expr(F.col(text_col)).alias(text_col)
     )
     n_tok = token_count_expr(F.col(text_col))
-    return stripped.filter(
+    out = stripped.filter(
         (n_tok >= min_tokens) & (n_tok <= max_tokens)
     ).withColumn("n_tokens", n_tok.cast("long"))
+    if gopher is not None:
+        from pylluminator_spark.operators.corpus import (
+            gopher_keep_expr,
+            gopher_signals,
+        )
+
+        sig = gopher_signals(out, text_col, doc_col)
+        keep = sig.filter(gopher_keep_expr(**gopher)).select(doc_col)
+        out = out.join(keep, doc_col, "left_semi")
+    if classifier is not None:
+        from pylluminator_spark.operators.classifier import (
+            logreg_predict_expr,
+            quality_feature_exprs,
+        )
+
+        feats = quality_feature_exprs(F.col(text_col))
+        names = sorted(classifier["weights"])
+        score = logreg_predict_expr(
+            [feats[k] for k in names],
+            [classifier["weights"][k] for k in names],
+            classifier["intercept"],
+        )
+        out = out.filter(score >= F.lit(float(classifier["threshold"])))
+    return out
+
+
+def _stage_ccnet_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    *refs: DataFrame,
+    text_col: str,
+    doc_col: str,
+    keep: list,
+    keep_short: bool,
+    head_frac: float,
+    middle_frac: float,
+    alpha: float,
+    backoff: float,
+    min_bigram_count: int,
+) -> DataFrame:
+    """CCNet paragraph-perplexity cut (operators.ccnet.
+    ccnet_paragraph_filter): keep each document's ``keep``-bucket
+    paragraphs under the bigram LM, reassemble. Placed between
+    paragraph dedup and the quality gate (needs blank-line boundaries,
+    like dedup). ``refs`` optionally carries ONE reference corpus frame
+    the LM fits on (the CCNet semantic — fit on curated text, score the
+    crawl); empty refs self-fit on ``docs``. The output persists the
+    surviving paragraphs' fingerprints (``para_fps``) — with this stage
+    in the chain IT is the generation's paragraph-suppression reference
+    (paragraphs ccnet dropped exist nowhere in the corpus and must not
+    suppress new content)."""
+    from pylluminator_spark.operators.ccnet import ccnet_paragraph_filter
+
+    out = ccnet_paragraph_filter(
+        docs.select(doc_col, text_col),
+        text_col,
+        doc_col,
+        reference=refs[0] if refs else None,
+        keep=tuple(keep),
+        keep_short=keep_short,
+        head_frac=head_frac,
+        middle_frac=middle_frac,
+        alpha=alpha,
+        backoff=backoff,
+        min_bigram_count=min_bigram_count,
+        keep_fps_col="para_fps",
+    )
+    return out.select(
+        doc_col,
+        F.col("clean_text").alias(text_col),
+        "n_paras_kept",
+        "n_paras_dropped",
+        "para_fps",
+    )
 
 
 def _gated_fp_union(
@@ -556,6 +644,78 @@ def _fuzzy_knobs(fuzzy) -> dict | None:
     return knobs
 
 
+_GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_ratio": 0.8,
+    "min_stopword_hits": 2,
+    "max_dup_word_fraction": 0.63,
+}
+
+_CCNET_DEFAULTS = {
+    "keep": ["head", "middle"],
+    "keep_short": True,
+    "head_frac": 1.0 / 3.0,
+    "middle_frac": 1.0 / 3.0,
+    "alpha": 1.0,
+    "backoff": 0.4,
+    "min_bigram_count": 1,
+}
+
+
+def _knobs(kind: str, value, defaults: dict) -> dict | None:
+    """Shared True/dict/None knob normalization (see ``_fuzzy_knobs``)."""
+    if value is None or value is False:
+        return None
+    knobs = dict(defaults)
+    if value is not True:
+        unknown = set(value) - set(defaults)
+        if unknown:
+            raise ValueError(
+                f"unknown {kind} knob(s) {sorted(unknown)}; valid: "
+                f"{sorted(defaults)}"
+            )
+        knobs.update(value)
+    return knobs
+
+
+def _classifier_knobs(classifier) -> dict | None:
+    """Validate the pre-fit quality-classifier knob: weights keyed by
+    quality_feature_exprs feature names, an intercept, a threshold."""
+    if classifier is None:
+        return None
+    from pylluminator_spark.operators.classifier import (
+        quality_feature_exprs,
+    )
+
+    valid = set(quality_feature_exprs(F.lit("")).keys())
+    weights = classifier.get("weights")
+    if not isinstance(weights, dict) or not weights:
+        raise ValueError(
+            "classifier knob needs non-empty 'weights': {feature: w} "
+            f"over features {sorted(valid)}"
+        )
+    unknown = set(weights) - valid
+    if unknown:
+        raise ValueError(
+            f"unknown classifier feature(s) {sorted(unknown)}; valid: "
+            f"{sorted(valid)}"
+        )
+    extra = set(classifier) - {"weights", "intercept", "threshold"}
+    if extra:
+        raise ValueError(
+            f"unknown classifier knob(s) {sorted(extra)}; valid: "
+            "['intercept', 'threshold', 'weights']"
+        )
+    return {
+        "weights": {k: float(v) for k, v in weights.items()},
+        "intercept": float(classifier.get("intercept", 0.0)),
+        "threshold": float(classifier.get("threshold", 0.5)),
+    }
+
+
 @dataclass
 class CurateResult:
     """Handles to every materialized stage of one curate run.
@@ -595,9 +755,14 @@ def curate_pipeline(
     prefer_col: str | None = None,
     para_min_chars: int = 0,
     fuzzy: dict | bool | None = None,
-    # quality gate
+    # paragraph-perplexity cut (skipped when None)
+    ccnet: dict | bool | None = None,
+    ccnet_reference: DataFrame | None = None,
+    # quality gate (+ optional refinements inside the same stage)
     min_tokens: int = 10,
     max_tokens: int = 100_000,
+    gopher: dict | bool | None = None,
+    classifier: dict | None = None,
     # packing (skipped when None)
     pack_budget: int | None = 2048,
 ) -> CurateResult:
@@ -624,6 +789,18 @@ def curate_pipeline(
     + knobs) — the persistable LSH index increments probe instead of
     re-banding the corpus.
 
+    ``ccnet`` enables the CCNet paragraph-perplexity cut between
+    paragraph dedup and the quality gate (True for defaults, or a dict
+    over ``keep``/``keep_short``/``head_frac``/``middle_frac``/
+    ``alpha``/``backoff``/``min_bigram_count``); ``ccnet_reference``
+    optionally fits the bigram LM on a curated reference corpus instead
+    of self-fitting. ``gopher`` (Gopher-rule thresholds) and
+    ``classifier`` (a pre-fit quality logistic regression —
+    ``{"weights": {feature: w}, "intercept": b, "threshold": t}``)
+    refine the quality-gate STAGE itself, so gate survivors remain
+    exactly the curated documents (the invariant increments' gate
+    filtering depends on).
+
     Returns a :class:`CurateResult`; every stage's parquet lives under
     ``manifest_root`` keyed by (inputs, params, stage code), so a rerun
     with nothing changed is pure cache reads and a param change
@@ -636,6 +813,14 @@ def curate_pipeline(
     if pack_budget is not None and pack_budget < 1:
         raise ValueError(f"pack_budget must be >= 1, got {pack_budget}")
     fz = _fuzzy_knobs(fuzzy)
+    cc = _knobs("ccnet", ccnet, _CCNET_DEFAULTS)
+    gp = _knobs("gopher", gopher, _GOPHER_DEFAULTS)
+    cl = _classifier_knobs(classifier)
+    if ccnet_reference is not None and cc is None:
+        raise ValueError(
+            "ccnet_reference was given but ccnet is None — the "
+            "reference would be silently ignored; pass ccnet=True"
+        )
     m = PipelineManifest(spark, manifest_root)
     if isinstance(source, str):
         cur = m.source("docs", source, fmt)
@@ -708,17 +893,29 @@ def curate_pipeline(
         },
     )
     res.stages["dedup_paragraphs"] = cur
-    cur = m.stage(
-        "quality_gate",
-        _stage_quality_gate,
-        [cur],
-        {
+    if cc is not None:
+        cc_inputs = [cur]
+        if ccnet_reference is not None:
+            cc_inputs.append(
+                m.frame_source("ccnet_reference", ccnet_reference)
+            )
+        cur = m.stage("ccnet_filter", _stage_ccnet_filter, cc_inputs, {
             "text_col": text_col,
             "doc_col": doc_col,
-            "min_tokens": min_tokens,
-            "max_tokens": max_tokens,
-        },
-    )
+            **cc,
+        })
+        res.stages["ccnet_filter"] = cur
+    gate_params = {
+        "text_col": text_col,
+        "doc_col": doc_col,
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+    }
+    if gp is not None:
+        gate_params["gopher"] = gp
+    if cl is not None:
+        gate_params["classifier"] = cl
+    cur = m.stage("quality_gate", _stage_quality_gate, [cur], gate_params)
     res.stages["quality_gate"] = cur
     res.documents = cur.df
     if pack_budget is not None:
@@ -755,8 +952,12 @@ def curate_increment(
     prefer_col: str | None = None,
     para_min_chars: int = 0,
     fuzzy: dict | bool | None = None,
+    ccnet: dict | bool | None = None,
+    ccnet_reference: DataFrame | None = None,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
+    gopher: dict | bool | None = None,
+    classifier: dict | None = None,
     pack_budget: int | None = None,
 ) -> CurateResult:
     """Curate a NEW batch against an existing :func:`curate_pipeline`
@@ -775,7 +976,11 @@ def curate_increment(
     a probe is always knob-consistent: matching the base's knobs reuses
     its index for free, while a generation missing a table under the
     probing knobs gets one built once through the manifest cache)
-    -> incremental paragraph dedup -> HTML strip + token gate. The
+    -> incremental paragraph dedup -> (optional ``ccnet`` paragraph
+    cut — self-fit on the batch unless ``ccnet_reference`` supplies a
+    curated corpus to fit on) -> HTML strip + token gate (optionally
+    refined by ``gopher`` thresholds and a pre-fit ``classifier``,
+    inside the same stage — knobs as in ``curate_pipeline``). The
     suppression references are EVERY curated generation in this root —
     the base run plus each prior increment — each probed through its
     PERSISTED fingerprint columns (``content_fp`` on the exact-dedup
@@ -824,14 +1029,26 @@ def curate_increment(
             f"min_tokens ({min_tokens}) > max_tokens ({max_tokens})"
         )
     fz = _fuzzy_knobs(fuzzy)
+    cc = _knobs("ccnet", ccnet, _CCNET_DEFAULTS)
+    gp = _knobs("gopher", gopher, _GOPHER_DEFAULTS)
+    cl = _classifier_knobs(classifier)
+    if ccnet_reference is not None and cc is None:
+        raise ValueError(
+            "ccnet_reference was given but ccnet is None — the "
+            "reference would be silently ignored; pass ccnet=True"
+        )
     m = PipelineManifest(spark, manifest_root)
 
-    def _chain(gate_entry, paras_name, exact_name, fuzzy_name):
+    def _chain(gate_entry, paras_name, exact_name, fuzzy_name, ccnet_name):
         """(exact, paras, gate) StageRefs of ONE materialized run,
         resolved by the gate entry's input chain (inputs[0] is always
-        the previous stage in both pipeline shapes; an optional
-        ``fuzzy_name`` near-dedup stage between paragraphs and exact is
-        walked through — its inputs[0] is the exact stage). Returns the
+        the previous stage in every pipeline shape). Two optional
+        stages are handled: a ``ccnet_name`` paragraph cut between the
+        gate and paragraph dedup — when present IT becomes the
+        paragraph-suppression reference (it carries ``para_fps`` of the
+        POST-cut surviving paragraphs; paragraphs ccnet dropped exist
+        nowhere in the corpus) — and a ``fuzzy_name`` near-dedup stage
+        between paragraphs and exact, walked through. Returns the
         string 'gc' when the chain's NAMES resolve but a stage's
         parquet is gone (garbage-collected mid-chain) — the caller
         warns, since a live generation that can no longer be probed
@@ -840,9 +1057,17 @@ def curate_increment(
         error)."""
         paras_key = (gate_entry.get("inputs") or [None])[0]
         paras_entry = m.entry(paras_key) if paras_key else None
-        if not paras_entry or paras_entry.get("name") != paras_name:
-            return None
-        exact_key = (paras_entry.get("inputs") or [None])[0]
+        if paras_entry and paras_entry.get("name") == ccnet_name:
+            inner_key = (paras_entry.get("inputs") or [None])[0]
+            inner = m.entry(inner_key) if inner_key else None
+            if not inner or inner.get("name") != paras_name:
+                return None
+            walk_entry = inner
+        else:
+            if not paras_entry or paras_entry.get("name") != paras_name:
+                return None
+            walk_entry = paras_entry
+        exact_key = (walk_entry.get("inputs") or [None])[0]
         exact_entry = m.entry(exact_key) if exact_key else None
         if exact_entry and exact_entry.get("name") == fuzzy_name:
             exact_key = (exact_entry.get("inputs") or [None])[0]
@@ -860,7 +1085,10 @@ def curate_increment(
     base_chain = None
     skipped_gc = []
     for e in reversed(base_entries):
-        ch = _chain(e, "dedup_paragraphs", "dedup_exact", "fuzzy_dedup")
+        ch = _chain(
+            e, "dedup_paragraphs", "dedup_exact", "fuzzy_dedup",
+            "ccnet_filter",
+        )
         if ch == "gc":
             skipped_gc.append(e["key"])
             continue
@@ -961,7 +1189,10 @@ def curate_increment(
     inc_chains: dict[str, tuple] = {}
     gc_incs = []
     for e in m.entries_named("inc_quality_gate"):
-        ch = _chain(e, "inc_dedup_paragraphs", "inc_dedup_exact", "inc_fuzzy_dedup")
+        ch = _chain(
+            e, "inc_dedup_paragraphs", "inc_dedup_exact",
+            "inc_fuzzy_dedup", "inc_ccnet_filter",
+        )
         if ch == "gc":
             gc_incs.append(e["key"])
             continue
@@ -1055,16 +1286,36 @@ def curate_increment(
         },
     )
     res.stages["inc_dedup_paragraphs"] = cur
+    if cc is not None:
+        # self-fits the bigram LM on the BATCH unless a reference is
+        # given — a daily batch is a statistically weaker fit than the
+        # corpus (same trade as the self-labeled langid); pass
+        # ccnet_reference (e.g. the base run's documents) for the
+        # CCNet fit-on-curated semantic
+        cc_inputs = [cur]
+        if ccnet_reference is not None:
+            cc_inputs.append(
+                m.frame_source("ccnet_reference", ccnet_reference)
+            )
+        cur = m.stage(
+            "inc_ccnet_filter",
+            _stage_ccnet_filter,
+            cc_inputs,
+            {"text_col": text_col, "doc_col": doc_col, **cc},
+        )
+        res.stages["inc_ccnet_filter"] = cur
+    gate_params = {
+        "text_col": text_col,
+        "doc_col": doc_col,
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+    }
+    if gp is not None:
+        gate_params["gopher"] = gp
+    if cl is not None:
+        gate_params["classifier"] = cl
     cur = m.stage(
-        "inc_quality_gate",
-        _stage_quality_gate,
-        [cur],
-        {
-            "text_col": text_col,
-            "doc_col": doc_col,
-            "min_tokens": min_tokens,
-            "max_tokens": max_tokens,
-        },
+        "inc_quality_gate", _stage_quality_gate, [cur], gate_params
     )
     res.stages["inc_quality_gate"] = cur
     res.documents = cur.df

@@ -1024,3 +1024,172 @@ class TestFuzzyStage:
         assert res.documents.count() == 0  # suppressed by the base
         m = PipelineManifest(spark, root)
         assert len(m.entries_named("fuzzy_bands")) == 2
+
+
+# ---------------------------------------------------------------------------
+# r11: optional quality stages — ccnet paragraph cut, gopher thresholds,
+# pre-fit classifier — composed through the manifest
+# ---------------------------------------------------------------------------
+
+GOOD_BODY = (
+    "the research vessel departed the northern harbour before dawn and "
+    "charted the shallow banks for three weeks while the crew logged "
+    "water temperature salinity and current speed at every station"
+)
+
+
+class TestQualityStages:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_gopher_knob_drops_planted_garbage(self, spark, tmp_path):
+        docs = self._mk(
+            spark,
+            [
+                (1, GOOD_BODY),
+                # planted: no stopwords, short tokens, digit soup ->
+                # fails alpha ratio / stopword rules
+                (2, "11 22 33 44 55 66 77 88 99 00 11 22 33 44 55"),
+                # planted: one word repeated -> dup_word_fraction ~ 1
+                (3, ("lorem " * 40).strip()),
+            ],
+        )
+        res = curate_pipeline(
+            spark, str(tmp_path / "m"), docs,
+            source_fingerprint="gq-v1", keep_lang=None,
+            min_tokens=2, pack_budget=None,
+            gopher={"min_words": 5, "min_stopword_hits": 1},
+        )
+        ids = sorted(r.doc_id for r in res.documents.collect())
+        assert ids == [1]
+        # gate survivors ARE the curated documents (suppression
+        # invariant): the quality_gate stage parquet equals documents
+        gate_ids = sorted(
+            r.doc_id
+            for r in spark.read.parquet(
+                res.stages["quality_gate"].path
+            ).collect()
+        )
+        assert gate_ids == [1]
+        with pytest.raises(ValueError, match="unknown gopher knob"):
+            curate_pipeline(
+                spark, str(tmp_path / "m2"), docs,
+                source_fingerprint="gq-v1", keep_lang=None,
+                gopher={"min_wordz": 5}, pack_budget=None,
+            )
+
+    def test_classifier_knob(self, spark, tmp_path):
+        docs = self._mk(
+            spark,
+            [
+                (1, GOOD_BODY),
+                (2, "!!! ??? ;;; ,,, ... !!! ??? ;;; ,,, ... !!! ???"),
+            ],
+        )
+        # a hand-set model: punish punctuation ratio hard
+        clf = {
+            "weights": {"punct_ratio": -40.0, "stopword_ratio": 4.0},
+            "intercept": 2.0,
+            "threshold": 0.5,
+        }
+        res = curate_pipeline(
+            spark, str(tmp_path / "m"), docs,
+            source_fingerprint="cl-v1", keep_lang=None,
+            min_tokens=2, pack_budget=None, classifier=clf,
+        )
+        assert sorted(r.doc_id for r in res.documents.collect()) == [1]
+        with pytest.raises(ValueError, match="unknown classifier feature"):
+            curate_pipeline(
+                spark, str(tmp_path / "m2"), docs,
+                source_fingerprint="cl-v1", keep_lang=None,
+                classifier={"weights": {"nope": 1.0}}, pack_budget=None,
+            )
+
+    def test_ccnet_stage_cuts_tail_paragraphs(self, spark, tmp_path):
+        # corpus where each doc = a fluent paragraph + a rare-word
+        # gibberish paragraph; with a reference LM fit on fluent text
+        # the gibberish ranks tail and is cut
+        fluent = [
+            "the quiet harbour opened before the morning ferry arrived",
+            "the morning ferry arrived while the quiet harbour slept",
+            "before the ferry arrived the harbour pilots checked the tide",
+            "the tide turned and the pilots guided the ferry to the quay",
+        ]
+        gibberish = [
+            "zxqv bnmt krrw ploo vvxz qqrt",
+            "mmze ttlo ppra zzkc wwqu hhgb",
+        ]
+        rows = [
+            (i, f"{fluent[i]}\n\n{gibberish[i % 2]} extra{i}")
+            for i in range(4)
+        ]
+        docs = self._mk(spark, rows)
+        ref = self._mk(
+            spark, [(100 + i, t) for i, t in enumerate(fluent * 3)]
+        )
+        res = curate_pipeline(
+            spark, str(tmp_path / "m"), docs,
+            source_fingerprint="cc-v1", keep_lang=None,
+            min_tokens=2, pack_budget=None,
+            ccnet={"keep": ["head"], "keep_short": False,
+                   "head_frac": 0.5, "middle_frac": 0.25},
+            ccnet_reference=ref,
+        )
+        assert "ccnet_filter" in res.stages
+        out = {r.doc_id: r.text for r in res.documents.collect()}
+        # fluent paragraphs survive; at least the head cut dropped the
+        # bottom half of paragraphs by perplexity — no gibberish in any
+        # surviving doc's head text
+        for i, t in out.items():
+            assert fluent[i].split()[1] in t
+        joined = " ".join(out.values())
+        assert "zxqv" not in joined and "mmze" not in joined
+        with pytest.raises(ValueError, match="ccnet_reference"):
+            curate_pipeline(
+                spark, str(tmp_path / "m2"), docs,
+                source_fingerprint="cc-v1", keep_lang=None,
+                ccnet_reference=ref, pack_budget=None,
+            )
+
+    def test_increment_with_quality_stages(self, spark, tmp_path):
+        """The quality stages compose in increments, and the chain walk
+        resolves generations THROUGH the inc_ccnet_filter stage; the
+        ccnet stage's para_fps (post-cut survivors) is the paragraph
+        suppression reference — a paragraph ccnet dropped from the
+        corpus must not suppress new content."""
+        from pylluminator_spark.operators.curate import curate_increment
+
+        root = str(tmp_path / "m")
+        shared = "a steady shared paragraph that repeats across documents"
+        kept_doc = f"{GOOD_BODY}\n\n{shared}"
+        docs = self._mk(spark, [(1, kept_doc), (2, GOOD_BODY + " two")])
+        curate_pipeline(
+            spark, root, docs, source_fingerprint="q-base",
+            keep_lang=None, min_tokens=2, pack_budget=None,
+            ccnet={"keep": ["head", "middle"], "keep_short": False,
+                   "head_frac": 0.9, "middle_frac": 0.05},
+            gopher={"min_words": 3, "min_stopword_hits": 1},
+        )
+        batch = self._mk(
+            spark,
+            [
+                # carries the base's surviving shared paragraph -> that
+                # paragraph suppressed, fresh body kept
+                (10, f"fresh incremental reporting body arrived with the "
+                     f"evening tide and salt spray\n\n{shared}"),
+                # planted gopher garbage -> dropped by the inc gate
+                (11, "00 11 22 33 44 55 66 77 88 99"),
+            ],
+        )
+        res = curate_increment(
+            spark, root, batch, source_fingerprint="q-day1",
+            min_tokens=2, max_tokens=10_000,
+            ccnet={"keep": ["head", "middle"], "keep_short": False,
+                   "head_frac": 0.9, "middle_frac": 0.05},
+            gopher={"min_words": 3, "min_stopword_hits": 1},
+        )
+        assert "inc_ccnet_filter" in res.stages
+        out = {r.doc_id: r.text for r in res.documents.collect()}
+        assert sorted(out) == [10]
+        assert shared not in out[10]
+        assert "evening tide" in out[10]
