@@ -527,6 +527,97 @@ def _score_doc_bigrams(
     )
 
 
+def _score_doc_bigrams_dual(
+    doc_big: DataFrame,
+    ref_big: DataFrame,
+    self_big: DataFrame,
+    doc_col: str,
+    *,
+    alpha: float,
+    backoff: float,
+    min_bigram_count: int,
+) -> DataFrame:
+    """Score per-doc bigram counts under TWO stupid-backoff models in
+    ONE pass over ``doc_big`` — the DoReMi shape (reference fit +
+    self fit over the same corpus). ``_score_doc_bigrams`` twice walks
+    the corpus-sized count table twice and sorts/folds each document's
+    bigrams twice; here the two models are full-outer-joined on (u, w)
+    first (model-sized, not corpus-sized), so the corpus table is
+    joined, sorted, and folded ONCE, with a two-double struct
+    accumulator. Each document's two sums run in the same sorted (u, w)
+    order over the same per-element terms as the separate scorers, so
+    both NLLs are BIT-IDENTICAL to ``_score_doc_bigrams``'s (a struct
+    fold updating two independent accumulators equals two separate
+    folds element-for-element).
+
+    Returns (doc_col, n_bigrams, nll_ref, nll_self)."""
+
+    def _parts(big, tag):
+        model = (
+            big.groupBy("u", "w")
+            .agg(F.sum("dcnt").alias(f"cuw_{tag}"))
+            .filter(F.col(f"cuw_{tag}") >= min_bigram_count)
+        )
+        u_tot = big.groupBy("u").agg(F.sum("dcnt").alias(f"cu_{tag}"))
+        model = model.join(u_tot, "u")
+        uni = big.groupBy("w").agg(F.sum("dcnt").alias(f"cw_{tag}"))
+        corpus = uni.agg(
+            F.sum(f"cw_{tag}").alias(f"t_{tag}"),
+            F.count(F.lit(1)).alias(f"v_{tag}"),
+        )
+        return model, uni, corpus
+
+    m_r, uni_r, corp_r = _parts(ref_big, "r")
+    m_s, uni_s, corp_s = _parts(self_big, "s")
+    model = m_r.join(m_s, ["u", "w"], "full_outer")
+    uni = uni_r.join(uni_s, "w", "full_outer")
+
+    def _p(tag):
+        denom = F.col(f"t_{tag}") + alpha * (F.col(f"v_{tag}") + F.lit(1.0))
+        return F.when(
+            F.col(f"cuw_{tag}").isNotNull(),
+            F.col(f"cuw_{tag}") / F.col(f"cu_{tag}"),
+        ).otherwise(
+            F.lit(backoff)
+            * ((F.coalesce(F.col(f"cw_{tag}"), F.lit(0)) + F.lit(alpha)) / denom)
+        )
+
+    scored = (
+        doc_big.join(model, ["u", "w"], "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(corp_r))
+        .crossJoin(F.broadcast(corp_s))
+        .withColumn("_c_r", F.col("dcnt") * F.log(_p("r")))
+        .withColumn("_c_s", F.col("dcnt") * F.log(_p("s")))
+    )
+    agg = scored.groupBy(doc_col).agg(
+        F.sum("dcnt").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("u"),
+                        F.col("w"),
+                        F.col("_c_r").alias("cr"),
+                        F.col("_c_s").alias("cs"),
+                    )
+                )
+            ),
+            F.struct(F.lit(0.0).alias("r"), F.lit(0.0).alias("s")),
+            lambda acc, x: F.struct(
+                (acc["r"] + x["cr"]).alias("r"),
+                (acc["s"] + x["cs"]).alias("s"),
+            ),
+        ).alias("_f"),
+    )
+    return agg.select(
+        doc_col,
+        "n_bigrams",
+        (-F.col("_f.r") / F.col("n_bigrams")).alias("nll_ref"),
+        (-F.col("_f.s") / F.col("n_bigrams")).alias("nll_self"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document repeated-substring detection
 # ---------------------------------------------------------------------------

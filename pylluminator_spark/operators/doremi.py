@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from pylluminator_spark.operators.corpus import (
     _bigram_doc_counts,
-    _score_doc_bigrams,
+    _score_doc_bigrams_dual,
 )
 from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
@@ -87,23 +87,24 @@ def doremi_domain_weights(
     )
     # tokenize the target corpus ONCE: both scorings (reference model
     # and self-fit model) read the same checkpointed (doc, u, w) counts
-    # instead of each re-running the explode + shuffle
+    # instead of each re-running the explode + shuffle — and score in
+    # ONE pass (_score_doc_bigrams_dual: the two models are outer-joined
+    # model-side, so the corpus-sized count table is joined and folded
+    # once; per-doc NLLs bit-identical to two separate scorings)
     doc_big = stable_checkpoint(
         _bigram_doc_counts(docs, text_col, doc_col)
     )
     ref_big = _bigram_doc_counts(reference, text_col, doc_col)
-    ref_scores = _score_doc_bigrams(doc_big, ref_big, doc_col, **kw).select(
+    scores = _score_doc_bigrams_dual(
+        doc_big, ref_big, doc_big, doc_col, **kw
+    ).select(
         doc_col,
         F.col("n_bigrams").alias("_n"),
-        F.col("avg_nll").alias("_nll_ref"),
+        F.col("nll_ref").alias("_nll_ref"),
+        F.col("nll_self").alias("_nll_self"),
     )
-    self_scores = _score_doc_bigrams(doc_big, doc_big, doc_col, **kw).select(
-        doc_col, F.col("avg_nll").alias("_nll_self")
-    )
-    per_doc = (
-        docs.select(doc_col, F.col(domain_col).alias("_dom"))
-        .join(ref_scores, doc_col)
-        .join(self_scores, doc_col)
+    per_doc = docs.select(doc_col, F.col(domain_col).alias("_dom")).join(
+        scores, doc_col
     )
 
     # per-domain float reduction. Production path: plain SUMs — constant
