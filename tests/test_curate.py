@@ -1193,3 +1193,25 @@ class TestQualityStages:
         assert sorted(out) == [10]
         assert shared not in out[10]
         assert "evening tide" in out[10]
+
+
+def test_increment_pack_with_fully_suppressed_batch(spark, docs, tmp_path):
+    """A batch whose every document is suppressed (all exact dups of the
+    base) must pack to an empty frame without errors — the running sum
+    over zero rows and the id-ordering validation both see no rows
+    (VERDICT r10 #7 review spot)."""
+    from pylluminator_spark.operators.curate import curate_increment
+
+    root = str(tmp_path / "m")
+    _run(spark, docs, root)  # pack_budget=40
+    batch = spark.createDataFrame(
+        [(5000, "aa", f"<p>{AA_BODY} variant able</p>\n\n{BOILER}")],
+        "doc_id long, lang string, text string",
+    )
+    res = curate_increment(
+        spark, root, batch, source_fingerprint="empty-day",
+        min_tokens=2, max_tokens=10_000, pack_budget=40,
+    )
+    assert res.documents.count() == 0
+    assert res.sequences is not None
+    assert res.sequences.count() == 0

@@ -88,3 +88,24 @@ def test_r10_debut_entries_carry_signal(spark):
         docs.count() + docs.filter(F.col("doc_id") % 7 == 0).count()
     )
     assert 0 < n_cur < n_injected
+
+
+def test_dedup_fuzzy_inc_carries_signal(spark):
+    """The r11 incremental-LSH debut must exercise BOTH paths at the
+    smallest SF: batch survivors exist (not hash-matching on
+    emptiness) AND near-duplicates were dropped (fewer survivors than
+    the raw batch — the planted upper-cased copies have token-set
+    Jaccard 1.0 and must always drop)."""
+    import pyspark.sql.functions as F
+
+    out = em.queries()["dedup_fuzzy_inc"](spark, SF)
+    n = out.count()
+    assert n > 0, "degenerate 0-row fuzzy gate"
+    docs = em._t(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    d = F.col("doc_id")
+    raw_batch = (
+        docs.filter((d % 3 != 0) & (d % 4 == 1)).count()
+        + docs.filter(d % 3 == 0).count()
+        + docs.filter((d % 3 == 0) & (d % 5 == 2)).count()
+    )
+    assert n < raw_batch, "no near-duplicate was dropped"
