@@ -8586,8 +8586,17 @@ def q_dedup_fuzzy_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus adds genuine >= 0.95 pairs of its own."""
     from pylluminator_spark.functions.text import tokens_expr
     from pylluminator_spark.operators.ordered import with_global_rank
+    from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # the 60-row base frame feeds every branch (existing, three batch
+    # plants, token explode, sizes, verify) — unmaterialized, each
+    # branch re-scans the full documents parquet; one checkpoint makes
+    # the rest of the twin operate on the tiny cut
+    docs = stable_checkpoint(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
     d = F.col("doc_id")
     existing = docs.filter(d % 3 != 0).select("doc_id", "text")
     batch = (
@@ -8623,7 +8632,10 @@ def q_dedup_fuzzy_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = with_global_rank(
         distinct_toks, ["token"], "tid", n_rows=distinct_toks.count()
     ).withColumn("tid", F.col("tid").cast("long"))
-    dt = toks.join(vocab, "token").select("doc_id", "tid")
+    # dt is read four times (signatures, sizes, both verify sides)
+    dt = stable_checkpoint(
+        toks.join(vocab, "token").select("doc_id", "tid")
+    )
     sig = dt.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("tid") + F.lit(b)) % _MINHASH_P).alias(
@@ -8632,19 +8644,29 @@ def q_dedup_fuzzy_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_MINHASH_PARAMS)
         ]
     )
-    band_cols = [
-        (
-            F.lit(j).alias("band"),
-            (
-                F.col(f"h{2 * j}") * F.lit(_MINHASH_P) + F.col(f"h{2 * j + 1}")
-            ).alias("bkey"),
-        )
-        for j in range(4)
-    ]
-    bands = None
-    for bc in band_cols:
-        part = sig.select("doc_id", *bc)
-        bands = part if bands is None else bands.unionByName(part)
+    # one generator pass (posexplode of the 4 band structs) instead of
+    # a 4-way union that would re-run the signature aggregation per
+    # branch; sig is 60 rows — checkpoint so the n/o self-join sides
+    # read it instead of re-aggregating
+    bands = stable_checkpoint(
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            (
+                                F.col(f"h{2 * j}") * F.lit(_MINHASH_P)
+                                + F.col(f"h{2 * j + 1}")
+                            ).alias("bkey"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("_b"),
+        ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bkey").alias("bkey"))
+    )
     n = bands.filter(F.col("doc_id") >= 20000).select(
         F.col("doc_id").alias("nid"), "band", "bkey"
     )
