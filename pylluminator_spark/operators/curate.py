@@ -81,6 +81,37 @@ def _stage_langid_filter(
     return docs.join(keep, doc_col)
 
 
+def _stage_domain_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    *refs: DataFrame,
+    domain_col: str,
+    cap: int | None,
+    blocked: list | None,
+    doc_col: str,
+) -> DataFrame:
+    """Crawl-diversity / policy controls on the RAW frame (C4/Gopher
+    both apply them before dedup): drop blocklisted domains (broadcast
+    anti join — ``blocked`` inline list, or a one-column frame passed
+    through ``refs``), then keep at most ``cap`` rows per domain
+    (deterministic keyed-hash sample; one hash-partitioned window —
+    operators.cleanup.cap_per_domain). Runs FIRST so every column of
+    the source passes through to downstream stages."""
+    from pylluminator_spark.operators.cleanup import (
+        blocklist_filter,
+        cap_per_domain,
+    )
+
+    out = docs
+    if blocked is not None:
+        out = blocklist_filter(out, blocked, domain_col)
+    if refs:
+        out = blocklist_filter(out, refs[0], domain_col)
+    if cap is not None:
+        out = cap_per_domain(out, domain_col, cap, id_col=doc_col)
+    return out
+
+
 def _stage_dedup_exact(
     spark: SparkSession,
     docs: DataFrame,
@@ -744,6 +775,10 @@ def curate_pipeline(
     source_fingerprint: str | None = None,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    # crawl-diversity / policy controls (skipped when both are None)
+    domain_col: str = "source",
+    domain_cap: int | None = None,
+    domain_blocklist=None,
     # language ID (skipped entirely when keep_lang is None)
     keep_lang: str | None = None,
     label_col: str = "lang",
@@ -772,6 +807,14 @@ def curate_pipeline(
     fingerprint of the files — any rewrite invalidates downstream) or a
     live DataFrame (keyed per ``PipelineManifest.frame_source``; pass
     ``source_fingerprint`` to skip the content hash for large frames).
+
+    ``domain_cap`` / ``domain_blocklist`` enable the crawl-diversity
+    and policy controls FIRST in the chain (C4/Gopher apply them before
+    dedup): drop rows whose ``domain_col`` is blocklisted (an inline
+    list, hashed into the stage key, or a one-column DataFrame
+    registered as a frame source), then keep at most ``domain_cap``
+    rows per domain — a deterministic keyed-hash per-domain sample
+    (operators.cleanup.cap_per_domain).
 
     ``keep_lang`` enables the language-ID stage: the corpus must carry
     ``label_col`` (the self-labeled fit — the model is fit on the
@@ -828,6 +871,27 @@ def curate_pipeline(
         cur = m.frame_source("docs", source, source_fingerprint)
     res = CurateResult()
     res.stages["docs"] = cur
+    if domain_cap is not None or domain_blocklist is not None:
+        df_inputs = [cur]
+        blocked_param = None
+        if isinstance(domain_blocklist, DataFrame):
+            df_inputs.append(
+                m.frame_source("domain_blocklist", domain_blocklist)
+            )
+        elif domain_blocklist is not None:
+            blocked_param = sorted(domain_blocklist)
+        cur = m.stage(
+            "domain_filter",
+            _stage_domain_filter,
+            df_inputs,
+            {
+                "domain_col": domain_col,
+                "cap": domain_cap,
+                "blocked": blocked_param,
+                "doc_col": doc_col,
+            },
+        )
+        res.stages["domain_filter"] = cur
     if keep_lang is not None:
         cur = m.stage(
             "langid_filter",
@@ -942,6 +1006,9 @@ def curate_increment(
     source_fingerprint: str | None = None,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    domain_col: str = "source",
+    domain_cap: int | None = None,
+    domain_blocklist=None,
     keep_lang: str | None = None,
     label_col: str = "lang",
     langid_n: int = 3,
@@ -965,7 +1032,12 @@ def curate_increment(
     the base corpus is never recomputed or reshuffled; the batch dedups
     against it via broadcast fingerprint probes.
 
-    Chain: (optional batch langid filter — pass ``langid_model``, a
+    Chain: (optional ``domain_blocklist`` / ``domain_cap`` policy
+    filter — the blocklist is the same control as the base's; the CAP
+    is BATCH-LOCAL, at most ``domain_cap`` rows of this batch per
+    domain, since a corpus-wide cap would need domain columns the
+    generations' stage parquet does not carry)
+    -> (optional batch langid filter — pass ``langid_model``, a
     ``fit_langid(big_corpus)`` (weights, langs) pair, to classify under
     the corpus-fit model instead of a statistically-weak self-labeled
     fit on the small batch) -> incremental exact dedup -> (optional
@@ -1133,6 +1205,32 @@ def curate_increment(
     res.stages["increment"] = cur
     res.stages["base_dedup_exact"] = base_chain[0]
     res.stages["base_dedup_paragraphs"] = base_chain[1]
+    if domain_cap is not None or domain_blocklist is not None:
+        # blocklist: same policy filter as the base. cap: BATCH-LOCAL —
+        # at most domain_cap rows of THIS batch per domain; a
+        # cross-generation corpus-wide cap is not enforced here (the
+        # generations' stage parquet does not carry the domain column;
+        # cap the corpus upstream or re-run the base to re-cap)
+        df_inputs = [cur]
+        blocked_param = None
+        if isinstance(domain_blocklist, DataFrame):
+            df_inputs.append(
+                m.frame_source("domain_blocklist", domain_blocklist)
+            )
+        elif domain_blocklist is not None:
+            blocked_param = sorted(domain_blocklist)
+        cur = m.stage(
+            "inc_domain_filter",
+            _stage_domain_filter,
+            df_inputs,
+            {
+                "domain_col": domain_col,
+                "cap": domain_cap,
+                "blocked": blocked_param,
+                "doc_col": doc_col,
+            },
+        )
+        res.stages["inc_domain_filter"] = cur
     if keep_lang is not None and langid_model is not None:
         # pre-fit model (fit_langid on the big corpus): a self-labeled
         # fit on a small daily batch is statistically weak; the model
@@ -1181,10 +1279,20 @@ def curate_increment(
     def _batch_root(exact_ref) -> str:
         exact_entry = m.entry(exact_ref.key) or {}
         src = (exact_entry.get("inputs") or [exact_ref.key])[0]
-        src_entry = m.entry(src)
-        if src_entry and src_entry.get("name") == "inc_langid_filter":
-            src = (src_entry.get("inputs") or [src])[0]
-        return src
+        # walk through the optional pre-dedup batch stages (langid,
+        # domain filter) to the batch's FRAME-SOURCE key — the stable
+        # identity a re-run with refit models / changed policy knobs
+        # must still resolve to (else a batch's own prior run would
+        # look like a different batch and self-suppress it)
+        while True:
+            src_entry = m.entry(src)
+            if src_entry and src_entry.get("name") in (
+                "inc_langid_filter",
+                "inc_domain_filter",
+            ):
+                src = (src_entry.get("inputs") or [src])[0]
+            else:
+                return src
 
     inc_chains: dict[str, tuple] = {}
     gc_incs = []

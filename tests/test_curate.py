@@ -1215,3 +1215,90 @@ def test_increment_pack_with_fully_suppressed_batch(spark, docs, tmp_path):
     assert res.documents.count() == 0
     assert res.sequences is not None
     assert res.sequences.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r11: domain cap / blocklist policy stage
+# ---------------------------------------------------------------------------
+
+
+class TestDomainStage:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_pipeline_cap_and_blocklist(self, spark, tmp_path):
+        rows = [
+            (i, "bulk.example", f"bulk domain doc body number {i} words")
+            for i in range(10)
+        ]
+        rows += [
+            (100, "spam.example", "blocked domain document body words"),
+            (101, "nice.example", "a perfectly fine document body here"),
+        ]
+        docs = self._mk(spark, rows)
+        res = curate_pipeline(
+            spark, str(tmp_path / "m"), docs,
+            source_fingerprint="dom-v1", keep_lang=None,
+            domain_cap=3, domain_blocklist=["spam.example"],
+            min_tokens=2, pack_budget=None,
+        )
+        assert "domain_filter" in res.stages
+        out = {r.doc_id for r in res.documents.collect()}
+        assert 100 not in out              # blocklisted
+        assert 101 in out                  # untouched domain
+        assert len(out & set(range(10))) == 3  # capped to 3
+        # DataFrame-shaped blocklist gives the same drop, and the
+        # keyed-hash cap sample is deterministic across runs
+        bl = spark.createDataFrame(
+            [("spam.example",)], ["domain"]
+        )
+        res2 = curate_pipeline(
+            spark, str(tmp_path / "m2"), docs,
+            source_fingerprint="dom-v1", keep_lang=None,
+            domain_cap=3, domain_blocklist=bl,
+            min_tokens=2, pack_budget=None,
+        )
+        assert {r.doc_id for r in res2.documents.collect()} == out
+
+    def test_increment_blocklist_and_batch_root_stability(
+        self, spark, tmp_path
+    ):
+        """Domain knobs on an increment must not change the batch's
+        frame-source identity: a re-run of the SAME batch with a
+        different blocklist resolves to the same root (no
+        self-suppression), and blocked rows drop before dedup."""
+        from pylluminator_spark.operators.curate import curate_increment
+
+        root = str(tmp_path / "m")
+        base = self._mk(
+            spark,
+            [(1, "a.example", "the base corpus document body words")],
+        )
+        curate_pipeline(
+            spark, root, base, source_fingerprint="dom-base",
+            keep_lang=None, min_tokens=2, pack_budget=None,
+        )
+        batch = self._mk(
+            spark,
+            [
+                (10, "spam.example", "spam content body words here"),
+                (11, "ok.example", "a fresh increment document body"),
+            ],
+        )
+        r1 = curate_increment(
+            spark, root, batch, source_fingerprint="dom-day1",
+            domain_blocklist=["spam.example"],
+            min_tokens=2, max_tokens=10_000,
+        )
+        assert {r.doc_id for r in r1.documents.collect()} == {11}
+        # same batch, different policy: the chain re-keys (recompute)
+        # but the batch root is still the frame source — its own prior
+        # run is excluded and the batch does NOT self-suppress
+        r2 = curate_increment(
+            spark, root, batch, source_fingerprint="dom-day1",
+            domain_blocklist=["spam.example", "other.example"],
+            min_tokens=2, max_tokens=10_000,
+        )
+        assert {r.doc_id for r in r2.documents.collect()} == {11}
