@@ -8768,6 +8768,228 @@ ANTI JOIN losers l ON b.doc_id = l.doc_id
 ORACLE_DEDUP_FUZZY_INC = _oracle_dedup_fuzzy_inc()
 
 
+def q_curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED incremental-curation chain end-to-end
+    (operators.curate.curate_increment against a curate_pipeline base in
+    the same manifest root, new r11 as a composition gate): base =
+    exact dedup -> paragraph dedup -> HTML strip + token gate over a
+    two-paragraph corpus (body + shared footer with an HTML entity);
+    batch = exact copies of base docs (suppressed via the PERSISTED
+    content_fp column), fresh docs carrying the base footer paragraph
+    (footer suppressed via the persisted para_fps, body kept), and
+    within-batch duplicate pairs (lowest id survives). Suppression is
+    gate-filtered: content the base REJECTED never suppresses. Same
+    per-(SF, pid) temp-root discipline as q_curate_corpus."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pylluminator_spark.operators.curate import (
+        curate_increment,
+        curate_pipeline,
+    )
+
+    prefix = os.path.join(
+        tempfile.gettempdir(),
+        "curate_inc_gate_" + sf_dir.strip("/").replace("/", "_") + "_pid",
+    )
+    for stale in glob.glob(prefix + "*"):
+        try:
+            pid = int(stale.rsplit("pid", 1)[-1])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
+    root = prefix + str(os.getpid())
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    footer = F.lit("SHARED FOOTER &amp; notices")
+    ptext = F.concat_ws("\n\n", F.substring("text", 1, 80), footer)
+    fresh_text = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("FRESH "), F.substring("text", 1, 80)),
+        footer,
+    )
+    base_src = docs.select("doc_id", ptext.alias("text"))
+    curate_pipeline(
+        spark,
+        root,
+        base_src,
+        source_fingerprint="inc-gate-base",
+        keep_lang=None,
+        min_tokens=2,
+        max_tokens=100_000,
+        pack_budget=None,
+    )
+    batch = (
+        # exact copies of base docs -> suppressed against the corpus
+        docs.filter(d % 6 == 0)
+        .select((d + 50000).alias("doc_id"), ptext.alias("text"))
+        .unionByName(
+            # fresh bodies carrying the base footer paragraph
+            docs.filter(d % 6 == 3).select(
+                (d + 70000).alias("doc_id"), fresh_text.alias("text")
+            )
+        )
+        .unionByName(
+            # within-batch duplicates of the fresh docs -> higher id drops
+            docs.filter((d % 6 == 3) & (d % 12 == 3)).select(
+                (d + 90000).alias("doc_id"), fresh_text.alias("text")
+            )
+        )
+    )
+    res = curate_increment(
+        spark,
+        root,
+        batch,
+        source_fingerprint="inc-gate-day1",
+        min_tokens=2,
+        max_tokens=100_000,
+    )
+    return res.documents.select(
+        "doc_id", "text", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+ORACLE_CURATE_INCREMENT = rf"""
+WITH bsrc AS (
+  SELECT doc_id,
+         substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices' AS t
+  FROM documents
+), bnorm AS (
+  SELECT doc_id, t,
+         array_to_string(list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM bsrc
+), bkeep AS (
+  SELECT nrm, MIN(doc_id) AS doc_id FROM bnorm GROUP BY nrm
+), bded AS (
+  SELECT n.doc_id, n.t, n.nrm
+  FROM bnorm n JOIN bkeep k ON n.doc_id = k.doc_id AND n.nrm = k.nrm
+), bsplit AS (
+  SELECT doc_id, string_split_regex(t, '\n{{2,}}') AS lst FROM bded
+), bparas AS (
+  SELECT doc_id, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM bsplit, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), branked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+  FROM bparas
+), brebuilt AS (
+  SELECT d.doc_id, COALESCE(r.ct, '') AS ct
+  FROM bded d LEFT JOIN (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+             FILTER (WHERE rn = 1) AS ct
+    FROM branked GROUP BY doc_id
+  ) r ON d.doc_id = r.doc_id
+), bstripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(ct,
+               '{_HTML_BLOCK}', ' ', 'g'),
+               '{_HTML_COMMENT}', ' ', 'g'),
+               '{_HTML_TAG}', ' ', 'g'),
+             '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
+             '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+  FROM brebuilt
+), bgated AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM bstripped
+), bkept AS (
+  SELECT doc_id FROM bgated WHERE n_tokens BETWEEN 2 AND 100000
+), base_nrm AS (
+  -- the persisted content_fp probe: normalized exact-dedup-stage text
+  -- of GATE-SURVIVING base docs
+  SELECT DISTINCT d.nrm FROM bded d JOIN bkept k ON d.doc_id = k.doc_id
+), base_paras AS (
+  -- the persisted para_fps probe: kept paragraphs (re-split of the
+  -- reassembled clean text) of gate-surviving base docs
+  SELECT DISTINCT para FROM branked r
+  JOIN bkept k ON r.doc_id = k.doc_id
+  WHERE r.rn = 1
+), batch AS (
+  SELECT doc_id + 50000 AS doc_id,
+         substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices' AS t
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 70000,
+         'FRESH ' || substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices'
+  FROM documents WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT doc_id + 90000,
+         'FRESH ' || substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices'
+  FROM documents WHERE doc_id % 6 = 3 AND doc_id % 12 = 3
+), qnorm AS (
+  SELECT doc_id, t,
+         array_to_string(list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM batch
+), qkeep AS (
+  SELECT nrm, MIN(doc_id) AS doc_id FROM qnorm GROUP BY nrm
+), qded AS (
+  -- within-batch exact dedup, then the corpus fingerprint anti join
+  SELECT n.doc_id, n.t
+  FROM qnorm n
+  JOIN qkeep k ON n.doc_id = k.doc_id AND n.nrm = k.nrm
+  ANTI JOIN base_nrm b ON n.nrm = b.nrm
+), qsplit AS (
+  SELECT doc_id, string_split_regex(t, '\n{{2,}}') AS lst FROM qded
+), qparas AS (
+  SELECT doc_id, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM qsplit, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), qflag AS (
+  SELECT p.*,
+         ROW_NUMBER() OVER (PARTITION BY p.para
+                            ORDER BY p.doc_id, p.para_idx) AS rn,
+         CASE WHEN bp.para IS NOT NULL THEN 1 ELSE 0 END AS in_corpus
+  FROM qparas p LEFT JOIN base_paras bp ON p.para = bp.para
+), qrebuilt AS (
+  SELECT d.doc_id, COALESCE(r.ct, '') AS ct
+  FROM qded d LEFT JOIN (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+             FILTER (WHERE rn = 1 AND in_corpus = 0) AS ct
+    FROM qflag GROUP BY doc_id
+  ) r ON d.doc_id = r.doc_id
+), qstripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(ct,
+               '{_HTML_BLOCK}', ' ', 'g'),
+               '{_HTML_COMMENT}', ' ', 'g'),
+               '{_HTML_TAG}', ' ', 'g'),
+             '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
+             '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+  FROM qrebuilt
+), qgated AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM qstripped
+)
+SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM qgated WHERE n_tokens BETWEEN 2 AND 100000
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
     # against the DuckDB oracle each round. Round-11 rotation (VERDICT
@@ -8854,6 +9076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50 gated slots ------------------------------
         # -- 3b. r11 additions (never gated -- r12 queue head) ----------
         "dedup_fuzzy_inc": q_dedup_fuzzy_inc,
+        "curate_increment_corpus": q_curate_increment,
         # -- 4. r12 queue: the remaining 33 r8-green entries (r8 gate
         # order) --------------------------------------------------------
         "stratified_sample": q_stratified_sample,
@@ -9007,6 +9230,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_inc": ORACLE_STREAM_DEDUP_INC,
         "dedup_exact_best": ORACLE_DEDUP_EXACT_BEST,
         "dedup_fuzzy_inc": ORACLE_DEDUP_FUZZY_INC,
+        "curate_increment_corpus": ORACLE_CURATE_INCREMENT,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

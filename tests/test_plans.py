@@ -211,6 +211,11 @@ SCALAR_AGG_OK = [
     # call (pack_sequences' size-dispatched running sum included); the
     # RETURNED plan is an equi join of two stage-parquet scans
     "curate_corpus",
+    # composed incremental curation: base + increment materialize
+    # eagerly through the manifest (fingerprint-probe anti joins,
+    # broadcast batch fps); the RETURNED plan is a pruned scan of the
+    # increment's gate-stage parquet
+    "curate_increment_corpus",
     # incremental dedup vs an existing corpus: within-batch hash dedup
     # + broadcast fingerprint probes of the corpus scan — equi joins
     # only, the corpus never shuffles
