@@ -1302,3 +1302,88 @@ class TestDomainStage:
             min_tokens=2, max_tokens=10_000,
         )
         assert {r.doc_id for r in r2.documents.collect()} == {11}
+
+
+def test_all_optional_stages_compose(spark, tmp_path):
+    """Kitchen sink: domain filter + langid + exact dedup + fuzzy +
+    paragraph dedup + ccnet + gate(gopher) + pack all enabled in the
+    base, then an increment with the same knobs — exercises the chain
+    walk through every optional stage at once, and a second identical
+    run of each must be pure cache."""
+    from pylluminator_spark.operators.curate import (
+        curate_increment,
+        curate_pipeline,
+    )
+
+    good = (
+        "the steady research narrative continued through the harbour "
+        "season while the crew kept careful notes about the tides"
+    )
+    rows = []
+    for i in range(6):
+        rows.append(
+            (i, "a.example", "aa",
+             f"{AA_BODY} chapter {'able ' * (i + 1)}\n\n{good}")
+        )
+    rows.append((50, "spam.example", "aa", f"{AA_BODY} spam body\n\n{good}"))
+    rows.append((60, "a.example", "zz", f"{ZZ_BODY} zone\n\n{ZZ_BODY} more"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    kw = dict(
+        keep_lang="aa",
+        langid_buckets=256,
+        domain_blocklist=["spam.example"],
+        fuzzy={"threshold": 0.5},
+        ccnet={"keep": ["head", "middle"], "keep_short": True,
+               "head_frac": 0.5, "middle_frac": 0.4},
+        gopher={"min_words": 3, "min_stopword_hits": 1},
+        min_tokens=2,
+        max_tokens=10_000,
+    )
+    root = str(tmp_path / "m")
+    res = curate_pipeline(
+        spark, root, docs, source_fingerprint="sink-v1",
+        pack_budget=40, **kw
+    )
+    expected_stages = {
+        "docs", "domain_filter", "langid_filter", "dedup_exact",
+        "fuzzy_bands", "fuzzy_dedup", "dedup_paragraphs", "ccnet_filter",
+        "quality_gate", "pack",
+    }
+    assert expected_stages <= set(res.stages)
+    ids = {r.doc_id for r in res.documents.collect()}
+    assert 50 not in ids  # blocklisted domain
+    assert 60 not in ids  # language filter
+    assert ids  # something survives
+    rerun = curate_pipeline(
+        spark, root, docs, source_fingerprint="sink-v1",
+        pack_budget=40, **kw
+    )
+    assert all(rerun.from_cache.values())
+    batch = spark.createDataFrame(
+        [
+            (100, "a.example", "aa",
+             f"a genuinely fresh increment chapter about beacons and "
+             f"signal lamps along the coast\n\n{good}"),
+            (101, "spam.example", "aa", "blocked increment body words"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    inc = curate_increment(
+        spark, root, batch, source_fingerprint="sink-day1",
+        pack_budget=40, **kw
+    )
+    assert "inc_fuzzy_dedup" in inc.stages
+    assert "inc_ccnet_filter" in inc.stages
+    assert "inc_domain_filter" in inc.stages
+    out = {r.doc_id: r.text for r in inc.documents.collect()}
+    assert sorted(out) == [100]
+    assert good not in out[100]  # shared paragraph suppressed
+    inc2 = curate_increment(
+        spark, root, batch, source_fingerprint="sink-day1",
+        pack_budget=40, **kw
+    )
+    assert all(
+        v for k, v in inc2.from_cache.items() if k.startswith("inc_")
+    )
