@@ -174,13 +174,20 @@ def _stage_dedup_paragraphs(
         min_chars=min_chars,
         keep_fps_col="para_fps",
     )
-    return out.select(
+    out = out.select(
         doc_col,
         F.col("clean_text").alias(text_col),
         "n_paras_kept",
         "n_paras_dropped",
         "para_fps",
     )
+    # carry the exact stage's content_fp through (one doc-keyed join at
+    # pipeline time) so the GATE stage ends up holding every
+    # fingerprint an increment needs in one parquet — see
+    # _stage_quality_gate
+    if "content_fp" in docs.columns:
+        out = out.join(docs.select(doc_col, "content_fp"), doc_col)
+    return out
 
 
 def _stage_fuzzy_bands(
@@ -322,14 +329,26 @@ def _stage_quality_gate(
       one codegen expression — ``{"weights": {feature: w}, "intercept":
       b, "threshold": t}`` over operators.classifier.quality_feature_
       exprs features (weights keyed by feature name; order-independent).
+
+    The upstream dedup fingerprints (``content_fp``, ``para_fps``) ride
+    through as PASSENGER columns when present, so the gate's stage
+    parquet alone carries (curated doc, text, n_tokens, every
+    fingerprint) — an increment probes ONE pruned parquet scan per
+    generation with no joins, and old generations can garbage-collect
+    every intermediate stage keeping only their gate parquet.
     """
     from pylluminator_spark.functions.text import (
         strip_html_expr,
         token_count_expr,
     )
 
+    passengers = [
+        c for c in ("content_fp", "para_fps") if c in docs.columns
+    ]
     stripped = docs.select(
-        doc_col, strip_html_expr(F.col(text_col)).alias(text_col)
+        doc_col,
+        strip_html_expr(F.col(text_col)).alias(text_col),
+        *passengers,
     )
     n_tok = token_count_expr(F.col(text_col))
     out = stripped.filter(
@@ -402,13 +421,16 @@ def _stage_ccnet_filter(
         min_bigram_count=min_bigram_count,
         keep_fps_col="para_fps",
     )
-    return out.select(
+    out = out.select(
         doc_col,
         F.col("clean_text").alias(text_col),
         "n_paras_kept",
         "n_paras_dropped",
         "para_fps",
     )
+    if "content_fp" in docs.columns:  # passenger — see _stage_quality_gate
+        out = out.join(docs.select(doc_col, "content_fp"), doc_col)
+    return out
 
 
 def _gated_fp_union(
@@ -431,10 +453,18 @@ def _gated_fp_union(
 
     ``kind`` = 'doc' reads the persisted ``content_fp`` column (8 B/doc
     — the stage scan is column-pruned, the generation's TEXT is never
-    read); 'para' explodes the persisted ``para_fps`` array. A
-    generation written by a pre-fingerprint pipeline (no such column in
-    its parquet) falls back to recomputing fingerprints from its text —
-    the one-time legacy cost; its NEXT generation carries the column."""
+    read); 'para' explodes the persisted ``para_fps`` array.
+
+    FAST PATH: a generation whose GATE stage carries the fingerprint
+    passenger columns (pipelines from r11 on) is probed as ONE pruned
+    scan of the gate parquet — the gate rows ARE the curated documents,
+    so no gate semi join runs at all (the join below is the
+    intermediate-format path, where fingerprints live on the dedup
+    stage and must be restricted to gate survivors — a per-increment
+    doc-keyed shuffle the fast path eliminates). A generation written
+    by a pre-fingerprint pipeline (no fingerprint column anywhere)
+    falls back to recomputing fingerprints from its text — the one-time
+    legacy cost; its NEXT generation carries the columns."""
     from pylluminator_spark.operators.cleanup import split_paragraphs
     from pylluminator_spark.operators.dedup import content_fp_expr
 
@@ -442,7 +472,15 @@ def _gated_fp_union(
     stages, gates = refs[:n], refs[n:]
     parts = []
     for s, g in zip(stages, gates):
-        if kind == "doc":
+        col = "content_fp" if kind == "doc" else "para_fps"
+        if col in g.columns:
+            fp = (
+                F.col("content_fp")
+                if kind == "doc"
+                else F.explode("para_fps")
+            )
+            parts.append(g.select(fp.alias("_exfp")))
+        elif kind == "doc":
             if "content_fp" in s.columns:
                 gated = s.select(doc_col, "content_fp").join(
                     g.select(doc_col), doc_col, "left_semi"

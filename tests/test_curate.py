@@ -721,36 +721,50 @@ class TestFingerprintProbes:
             [(990, "aa", "fingerprint probe plan check body")],
             "doc_id long, lang string, text string",
         )
+        # plan strings truncate Location paths at maxMetadataStringLength
+        # (default 100) — widen so the gate-path assertion can see them
+        prev_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
 
-        def assert_no_text_read(df):
+        def assert_gate_only_scan(df):
             plan = df._jdf.queryExecution().executedPlan().toString()
             scans = [
                 ln for ln in plan.splitlines()
                 if "FileScan" in ln and root.replace("\\", "/") in ln
             ]
             assert scans, plan  # generation parquet must appear as scans
+            gate_path = base.stages["quality_gate"].path
             for ln in scans:
                 schema = ln.split("ReadSchema:")[-1]
                 assert "text" not in schema, ln
+                # r11 fast path: the gate parquet carries the
+                # fingerprints as passenger columns, so it is the ONLY
+                # generation parquet in the plan — no dedup-stage scan,
+                # no gate semi join (zero per-increment corpus shuffle)
+                assert gate_path in ln, ln
 
-        out_exact = _stage_inc_dedup_exact(
-            spark, batch, exact, gate,
-            text_col="text", doc_col="doc_id", normalize=True,
-        )
-        assert_no_text_read(out_exact)
-        assert out_exact.count() == 1  # fresh doc survives
-        out_paras = _stage_inc_dedup_paragraphs(
-            spark, batch.select("doc_id", "text"), paras, gate,
-            text_col="text", doc_col="doc_id", min_chars=0,
-        )
-        assert_no_text_read(out_paras)
+        try:
+            out_exact = _stage_inc_dedup_exact(
+                spark, batch, exact, gate,
+                text_col="text", doc_col="doc_id", normalize=True,
+            )
+            assert_gate_only_scan(out_exact)
+            assert out_exact.count() == 1  # fresh doc survives
+            out_paras = _stage_inc_dedup_paragraphs(
+                spark, batch.select("doc_id", "text"), paras, gate,
+                text_col="text", doc_col="doc_id", min_chars=0,
+            )
+            assert_gate_only_scan(out_paras)
+        finally:
+            spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
 
     def test_legacy_generation_without_fp_columns(
         self, spark, docs, tmp_path
     ):
-        """Generations written by a pre-fingerprint pipeline (no
-        content_fp / para_fps in their parquet) fall back to one text
-        re-hash — same suppression result."""
+        """All three generation formats suppress identically: r11 fast
+        path (fingerprints on the gate), intermediate (fingerprints on
+        the dedup stage only — one gate semi join), and pre-fingerprint
+        legacy (text re-hash fallback)."""
         from pylluminator_spark.operators.curate import (
             _stage_inc_dedup_exact,
             _stage_inc_dedup_paragraphs,
@@ -761,6 +775,7 @@ class TestFingerprintProbes:
         exact = spark.read.parquet(base.stages["dedup_exact"].path)
         paras = spark.read.parquet(base.stages["dedup_paragraphs"].path)
         gate = spark.read.parquet(base.stages["quality_gate"].path)
+        bare_gate = gate.drop("content_fp", "para_fps")
         batch = spark.createDataFrame(
             [
                 # exact dup of base doc 0
@@ -771,27 +786,38 @@ class TestFingerprintProbes:
             "doc_id long, lang string, text string",
         )
         kw = dict(text_col="text", doc_col="doc_id")
-        new = _stage_inc_dedup_exact(
-            spark, batch, exact, gate, normalize=True, **kw
-        )
-        legacy = _stage_inc_dedup_exact(
-            spark, batch, exact.drop("content_fp"), gate,
-            normalize=True, **kw
-        )
-        assert sorted(r.doc_id for r in new.collect()) == sorted(
-            r.doc_id for r in legacy.collect()
-        ) == [501]
-        new_p = _stage_inc_dedup_paragraphs(
-            spark, batch.select("doc_id", "text"), paras, gate,
-            min_chars=0, **kw
-        )
-        legacy_p = _stage_inc_dedup_paragraphs(
-            spark, batch.select("doc_id", "text"),
-            paras.drop("para_fps"), gate, min_chars=0, **kw
-        )
-        assert {(r.doc_id, r.text) for r in new_p.collect()} == {
-            (r.doc_id, r.text) for r in legacy_p.collect()
-        }
+        variants = [
+            _stage_inc_dedup_exact(  # fast path: gate carries fps
+                spark, batch, exact, gate, normalize=True, **kw
+            ),
+            _stage_inc_dedup_exact(  # intermediate: stage fps + semi join
+                spark, batch, exact, bare_gate, normalize=True, **kw
+            ),
+            _stage_inc_dedup_exact(  # legacy: text re-hash
+                spark, batch, exact.drop("content_fp"), bare_gate,
+                normalize=True, **kw
+            ),
+        ]
+        got = [sorted(r.doc_id for r in v.collect()) for v in variants]
+        assert got[0] == got[1] == got[2] == [501]
+        p_variants = [
+            _stage_inc_dedup_paragraphs(
+                spark, batch.select("doc_id", "text"), paras, gate,
+                min_chars=0, **kw
+            ),
+            _stage_inc_dedup_paragraphs(
+                spark, batch.select("doc_id", "text"), paras, bare_gate,
+                min_chars=0, **kw
+            ),
+            _stage_inc_dedup_paragraphs(
+                spark, batch.select("doc_id", "text"),
+                paras.drop("para_fps"), bare_gate, min_chars=0, **kw
+            ),
+        ]
+        p_got = [
+            {(r.doc_id, r.text) for r in v.collect()} for v in p_variants
+        ]
+        assert p_got[0] == p_got[1] == p_got[2]
 
     def test_same_content_different_source_key_raises(
         self, spark, docs, tmp_path
