@@ -159,6 +159,7 @@ def ccnet_paragraph_filter(
     backoff: float = 0.4,
     min_bigram_count: int = 1,
     keep_fps_col: str | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Keep only the ``keep`` perplexity buckets of each document's
     paragraphs and reassemble the survivors (the CCNet head/middle cut,
@@ -195,4 +196,6 @@ def ccnet_paragraph_filter(
     # reflecting the POST-ccnet surviving paragraphs
     from pylluminator_spark.operators.cleanup import _reassemble_flagged
 
-    return _reassemble_flagged(docs, flagged, doc_col, keep_fps_col)
+    return _reassemble_flagged(
+        docs, flagged, doc_col, keep_fps_col, carry_cols
+    )

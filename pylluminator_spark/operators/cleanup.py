@@ -61,6 +61,7 @@ def dedup_paragraphs(
     pattern: str = PARAGRAPH_SPLIT_PATTERN,
     min_chars: int = 0,
     keep_fps_col: str | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Remove duplicate paragraphs corpus-wide, keeping each paragraph's
     globally-first occurrence (ordered by ``(id_col, para_idx)``), then
@@ -102,7 +103,7 @@ def dedup_paragraphs(
         )
     ).alias("kept")
     flagged = joined.select(id_col, "para_idx", "para", "fp", kept_flag)
-    return _reassemble_flagged(df, flagged, id_col, keep_fps_col)
+    return _reassemble_flagged(df, flagged, id_col, keep_fps_col, carry_cols)
 
 
 def _reassemble_flagged(
@@ -110,11 +111,14 @@ def _reassemble_flagged(
     flagged: DataFrame,
     id_col: str,
     keep_fps_col: str | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Rebuild documents from a (id, para_idx, para, fp, kept) table —
     the shared tail of the corpus-wide and incremental paragraph dedups.
     One doc-keyed aggregate; per-group state bounded by a document's
-    own paragraph count."""
+    own paragraph count. ``carry_cols`` names columns of ``df`` to pass
+    through unchanged — they ride the join-back this function performs
+    anyway, so passthrough costs no extra shuffle."""
     rebuilt = flagged.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(
@@ -149,7 +153,7 @@ def _reassemble_flagged(
     out = rebuilt.select(*cols)
     # left join back so fully-empty documents (no paragraphs at all) survive
     res = (
-        df.select(id_col)
+        df.select(id_col, *carry_cols)
         .join(out, id_col, "left")
         .fillna({"clean_text": "", "n_paras_kept": 0, "n_paras_dropped": 0})
     )
@@ -173,6 +177,7 @@ def dedup_paragraphs_against(
     min_chars: int = 0,
     existing_fps_col: str | None = None,
     keep_fps_col: str | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """INCREMENTAL paragraph dedup: apply the ``dedup_paragraphs`` rule
     within the new batch (batch-first occurrence survives), and
@@ -255,7 +260,9 @@ def dedup_paragraphs_against(
         )
     ).alias("kept")
     flagged = joined.select(id_col, "para_idx", "para", "fp", kept_flag)
-    return _reassemble_flagged(new_docs, flagged, id_col, keep_fps_col)
+    return _reassemble_flagged(
+        new_docs, flagged, id_col, keep_fps_col, carry_cols
+    )
 
 
 def cap_per_domain(

@@ -167,27 +167,27 @@ def _stage_dedup_paragraphs(
     instead of re-splitting + re-hashing every generation's text."""
     from pylluminator_spark.operators.cleanup import dedup_paragraphs
 
+    # content_fp rides the reassembly join this operator performs
+    # anyway (carry_cols — no extra shuffle) so the GATE stage ends up
+    # holding every fingerprint an increment needs in one parquet — see
+    # _stage_quality_gate
+    carry = ("content_fp",) if "content_fp" in docs.columns else ()
     out = dedup_paragraphs(
-        docs.select(doc_col, text_col),
+        docs.select(doc_col, text_col, *carry),
         text_col=text_col,
         id_col=doc_col,
         min_chars=min_chars,
         keep_fps_col="para_fps",
+        carry_cols=carry,
     )
-    out = out.select(
+    return out.select(
         doc_col,
         F.col("clean_text").alias(text_col),
         "n_paras_kept",
         "n_paras_dropped",
         "para_fps",
+        *carry,
     )
-    # carry the exact stage's content_fp through (one doc-keyed join at
-    # pipeline time) so the GATE stage ends up holding every
-    # fingerprint an increment needs in one parquet — see
-    # _stage_quality_gate
-    if "content_fp" in docs.columns:
-        out = out.join(docs.select(doc_col, "content_fp"), doc_col)
-    return out
 
 
 def _stage_fuzzy_bands(
@@ -407,8 +407,9 @@ def _stage_ccnet_filter(
     suppress new content)."""
     from pylluminator_spark.operators.ccnet import ccnet_paragraph_filter
 
+    carry = ("content_fp",) if "content_fp" in docs.columns else ()
     out = ccnet_paragraph_filter(
-        docs.select(doc_col, text_col),
+        docs.select(doc_col, text_col, *carry),
         text_col,
         doc_col,
         reference=refs[0] if refs else None,
@@ -420,17 +421,16 @@ def _stage_ccnet_filter(
         backoff=backoff,
         min_bigram_count=min_bigram_count,
         keep_fps_col="para_fps",
+        carry_cols=carry,  # passenger — see _stage_quality_gate
     )
-    out = out.select(
+    return out.select(
         doc_col,
         F.col("clean_text").alias(text_col),
         "n_paras_kept",
         "n_paras_dropped",
         "para_fps",
+        *carry,
     )
-    if "content_fp" in docs.columns:  # passenger — see _stage_quality_gate
-        out = out.join(docs.select(doc_col, "content_fp"), doc_col)
-    return out
 
 
 def _gated_fp_union(
