@@ -8989,6 +8989,201 @@ FROM qgated WHERE n_tokens BETWEEN 2 AND 100000
 """
 
 
+def _arith_token_band_fn(df):
+    """Deterministic banding for the stream-fuzzy gate: documents carry
+    SYNTHETIC tokens 'w<v>' with v = (seed*31 + j*7) mod p (see
+    q_stream_fuzzy_inc), so the per-token hash is just the parsed
+    integer — 8 arithmetic minhashes over the distinct token values,
+    4 bands of 2 paired as h_even * p + h_odd, exactly replicable in
+    ANSI SQL (the production path's xxhash64 shingle MinHash is
+    pytest-verified; this is the cross-engine twin, the
+    dedup_fuzzy_inc discipline). Output schema matches
+    lsh_band_table: (doc_id, _band, _band_hash)."""
+    from pylluminator_spark.functions.text import let_expr, tokens_expr
+
+    vs = F.transform(
+        tokens_expr(F.col("text")),
+        lambda t: F.substring(t, 2, 18).cast("long"),
+    )
+
+    def _sig(v):
+        return F.struct(
+            *[
+                F.array_min(
+                    F.transform(
+                        v, lambda x: (F.lit(a) * x + F.lit(b)) % _MINHASH_P
+                    )
+                ).alias(f"h{i}")
+                for i, (a, b) in enumerate(_MINHASH_PARAMS)
+            ]
+        )
+
+    sig = df.select("doc_id", let_expr(vs, _sig).alias("_h"))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_band"),
+                        (
+                            F.col(f"_h.h{2 * j}") * F.lit(_MINHASH_P)
+                            + F.col(f"_h.h{2 * j + 1}")
+                        ).alias("_band_hash"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "doc_id",
+        F.col("_b._band").alias("_band"),
+        F.col("_b._band_hash").alias("_band_hash"),
+    )
+
+
+def q_stream_fuzzy_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingestion against a persistent LSH band store
+    (streaming.events.streaming_fuzzy_dedup_to_store, new r11 — the
+    fuzzy twin of stream_dedup_inc): the store is SEEDED with a
+    corpus's band table, the stream drains availableNow through
+    foreachBatch, survivors + their bands land in batch_id-keyed store
+    partitions. Documents carry synthetic tokens 'w<v>' with
+    v = (seed*31 + j*7) mod p for j in 0..11 — distinct seeds share NO
+    token (31*(d-d') = 7*(j'-j) has no solution in range), so content
+    identity is exactly the seed. The stream plants reversed-token
+    copies of corpus docs (same token SET, different text -> all four
+    bands collide -> drop), fresh held-out seeds (survive), and
+    reversed within-batch copies of the fresh docs (higher id drops).
+    Banding is the arithmetic twin (_arith_token_band_fn); per-(SF,
+    pid) temp dirs with dead-pid sweep."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pylluminator_spark.streaming.events import (
+        streaming_fuzzy_dedup_to_store,
+    )
+
+    prefix = os.path.join(
+        tempfile.gettempdir(),
+        "stream_fuzzy_gate_" + sf_dir.strip("/").replace("/", "_") + "_pid",
+    )
+    for stale in glob.glob(prefix + "*"):
+        try:
+            pid = int(stale.rsplit("pid", 1)[-1])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
+    root = prefix + str(os.getpid())
+    shutil.rmtree(root, ignore_errors=True)
+    store = os.path.join(root, "store")
+    src = os.path.join(root, "src")
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+
+    def _text(reverse: bool = False):
+        rng = range(11, -1, -1) if reverse else range(12)
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    ((d * 31 + j * 7) % _MINHASH_P).cast("string"),
+                )
+                for j in rng
+            ],
+        )
+
+    corpus = docs.filter(d % 3 != 0).select("doc_id", _text().alias("text"))
+    _arith_token_band_fn(corpus).write.parquet(
+        os.path.join(store, "bands", "batch_id=seed")
+    )
+    stream_src = (
+        # reversed-token copies of corpus docs: same token set -> drop
+        docs.filter(d % 3 != 0)
+        .select((d + 50000).alias("doc_id"), _text(True).alias("text"))
+        .unionByName(
+            # fresh held-out seeds -> survive
+            docs.filter(d % 3 == 0).select(
+                (d + 70000).alias("doc_id"), _text().alias("text")
+            )
+        )
+        .unionByName(
+            # within-batch reversed copies of the fresh docs -> drop
+            docs.filter(d % 3 == 0).select(
+                (d + 90000).alias("doc_id"), _text(True).alias("text")
+            )
+        )
+    )
+    stream_src.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    q = streaming_fuzzy_dedup_to_store(
+        stream, store, band_fn=_arith_token_band_fn
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(store, "docs"))
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def _oracle_stream_fuzzy_inc() -> str:
+    hashes = ", ".join(
+        f"MIN(({a} * v + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    bands_union = "\n  UNION ALL\n".join(
+        f"  SELECT sid, {j} AS band, "
+        f"h{2 * j} * {_MINHASH_P} + h{2 * j + 1} AS bkey FROM sig"
+        for j in range(4)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id AS sid FROM documents WHERE doc_id < 200
+), toks AS (
+  SELECT sid, (sid * 31 + j * 7) % {_MINHASH_P} AS v
+  FROM base, UNNEST(range(0, 12)) r(j)
+), sig AS (
+  SELECT sid, {hashes} FROM toks GROUP BY sid
+), bands AS (
+{bands_union}
+), corpus AS (
+  SELECT sid FROM base WHERE sid % 3 != 0
+), stream AS (
+  SELECT sid, sid + 50000 AS doc_id FROM base WHERE sid % 3 != 0
+  UNION ALL
+  SELECT sid, sid + 70000 FROM base WHERE sid % 3 = 0
+  UNION ALL
+  SELECT sid, sid + 90000 FROM base WHERE sid % 3 = 0
+), losers AS (
+  -- a stream doc drops iff some band bucket holds a corpus doc or a
+  -- smaller-id stream doc (dedup_minhash_lsh_against, bands-only)
+  SELECT DISTINCT s.doc_id
+  FROM stream s
+  JOIN bands sb ON sb.sid = s.sid
+  JOIN bands ob ON ob.band = sb.band AND ob.bkey = sb.bkey
+  JOIN (
+    SELECT sid, NULL::BIGINT AS doc_id FROM corpus
+    UNION ALL
+    SELECT sid, doc_id FROM stream
+  ) o ON o.sid = ob.sid
+  WHERE o.doc_id IS NULL OR o.doc_id < s.doc_id
+)
+SELECT s.doc_id FROM stream s
+ANTI JOIN losers l ON s.doc_id = l.doc_id
+ORDER BY s.doc_id
+"""
+
+
+ORACLE_STREAM_FUZZY_INC = _oracle_stream_fuzzy_inc()
+
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
@@ -9077,6 +9272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 3b. r11 additions (never gated -- r12 queue head) ----------
         "dedup_fuzzy_inc": q_dedup_fuzzy_inc,
         "curate_increment_corpus": q_curate_increment,
+        "stream_fuzzy_inc": q_stream_fuzzy_inc,
         # -- 4. r12 queue: the remaining 33 r8-green entries (r8 gate
         # order) --------------------------------------------------------
         "stratified_sample": q_stratified_sample,
@@ -9231,6 +9427,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_best": ORACLE_DEDUP_EXACT_BEST,
         "dedup_fuzzy_inc": ORACLE_DEDUP_FUZZY_INC,
         "curate_increment_corpus": ORACLE_CURATE_INCREMENT,
+        "stream_fuzzy_inc": ORACLE_STREAM_FUZZY_INC,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
         "pricing_summary": ORACLE_PRICING,

@@ -423,6 +423,104 @@ def streaming_dedup_against(
     return deduped.join(ex, list(keys), "left_anti")
 
 
+def streaming_fuzzy_dedup_to_store(
+    stream: DataFrame,
+    store_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    band_fn=None,
+    checkpoint_location: str | None = None,
+):
+    """Streaming NEAR-dup ingestion against a persistent LSH band store
+    — the fuzzy twin of ``streaming_dedup_against`` and the streaming
+    analogue of ``operators.curate``'s incremental fuzzy stage: each
+    micro-batch keeps only documents that share no band bucket with the
+    store (bands-only MinHash-LSH, ``dedup_minhash_lsh_against``
+    ``threshold=None`` semantics) nor with a LOWER-id document of the
+    same batch, appends the survivors to ``<store>/docs`` and their
+    band rows to ``<store>/bands`` — so the NEXT micro-batch's probe
+    sees them (cross-batch near-dups drop, earliest batch wins).
+
+    Scale/state design: LSH state at corpus scale cannot live in the
+    streaming state store — here it lives in parquet. The stream side
+    is stateless (signature + banding are pure column expressions; the
+    store is re-read per batch inside ``foreachBatch``), so executor
+    state is zero and the store can be shared with the BATCH pipeline:
+    seed ``<store>/bands`` with a curated corpus's
+    ``lsh_band_table`` / ``curate_pipeline`` ``fuzzy_bands`` stage and
+    the stream filters against the same index batch increments probe.
+
+    Exactly-once: each batch writes to ``batch_id=N`` subdirectories
+    with overwrite, so a replayed batch after failure overwrites its own
+    prior output instead of duplicating it (requires a real
+    ``checkpoint_location`` to get stable batch ids across restarts).
+
+    ``band_fn`` overrides the banding (a callable df -> band table with
+    ``(id_col, _band, _band_hash)`` — e.g. a deterministic arithmetic
+    twin for cross-engine verification); default is the production
+    xxhash64 shingle MinHash. Returns the started StreamingQuery —
+    pair with ``.trigger`` availableNow via this helper's default and
+    ``awaitTermination()`` for drain-style use.
+    """
+    import os as _os
+
+    from pylluminator_spark.operators.dedup import (
+        dedup_minhash_lsh_against,
+        lsh_band_table,
+        minhash_signature,
+    )
+
+    bands_dir = _os.path.join(store_dir, "bands")
+    docs_dir = _os.path.join(store_dir, "docs")
+
+    if band_fn is None:
+
+        def band_fn(df):
+            return lsh_band_table(
+                minhash_signature(df, text_col, num_hashes, shingle_size),
+                id_col=id_col,
+                bands=bands,
+            )
+
+    def _process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if _os.path.isdir(bands_dir):
+            idx = spark.read.parquet(bands_dir).select(
+                id_col, "_band", "_band_hash"
+            )
+        else:  # unseeded store: the first batch probes an empty index
+            idx = band_fn(batch_df).limit(0).select(
+                id_col, "_band", "_band_hash"
+            )
+        surv = dedup_minhash_lsh_against(
+            batch_df,
+            idx,
+            None,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=None,
+            new_bands=band_fn(batch_df),
+        ).localCheckpoint(eager=True)
+        surv.write.mode("overwrite").parquet(
+            _os.path.join(docs_dir, f"batch_id={batch_id}")
+        )
+        band_fn(surv).write.mode("overwrite").parquet(
+            _os.path.join(bands_dir, f"batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -56,6 +56,10 @@ CLEAN = [
     # per-batch broadcast anti-join vs the static store; drained via the
     # memory sink like the other stream_* entries
     "stream_dedup_inc",
+    # r11 streaming fuzzy ingestion: stateless per-batch LSH band probe
+    # of a parquet store (foreachBatch); the RETURNED plan is a pruned
+    # scan of the store's docs partitions
+    "stream_fuzzy_inc",
     # round 4 cleanup ops: codegen regexp chains (clean_html/url_normalize:
     # no shuffle at all), fingerprint-keyed dedup + doc-keyed reassembly
     # (dedup_paragraphs), broadcast blocklist anti-join + hash-partitioned

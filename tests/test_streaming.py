@@ -366,3 +366,65 @@ def test_read_event_stream_auto_single_file_parity(spark):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_fuzzy_dedup_to_store(spark, tmp_path):
+    """Streaming near-dup ingestion against a persistent LSH band store:
+    seeded-corpus near-dups drop, fresh docs land, a LATER micro-batch's
+    near-dup of an EARLIER batch's survivor drops (the store grows
+    between batches), and batch_id-keyed overwrite keeps the store
+    layout replay-idempotent."""
+    import os
+
+    from pylluminator_spark.operators.dedup import (
+        lsh_band_table,
+        minhash_signature,
+    )
+    from pylluminator_spark.streaming.events import (
+        streaming_fuzzy_dedup_to_store,
+    )
+
+    def _doc(seed: int, extra: str = "") -> str:
+        toks = " ".join(f"w{seed}x{j}" for j in range(12))
+        return (toks + " " + extra).strip()
+
+    store = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(1, _doc(100)), (2, _doc(200))], "doc_id long, text string"
+    )
+    lsh_band_table(minhash_signature(corpus, "text", 64, 3)).write.parquet(
+        os.path.join(store, "bands", "batch_id=seed")
+    )
+    src = str(tmp_path / "src")
+    # file 1 -> batch 1: near-dup of corpus doc 1 (drop), fresh doc 11
+    spark.createDataFrame(
+        [(10, _doc(100, "tail")), (11, _doc(300))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f=1"))
+    # file 2 -> batch 2: near-dup of batch-1 survivor 11 (drop), fresh 21
+    spark.createDataFrame(
+        [(20, _doc(300, "tail")), (21, _doc(400))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f=2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, f int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).drop("f")
+    q = streaming_fuzzy_dedup_to_store(
+        stream,
+        store,
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(store, "docs")).collect()
+    }
+    assert got == {11, 21}
+    # the store's band partitions: the seed plus one per micro-batch
+    parts = sorted(os.listdir(os.path.join(store, "bands")))
+    # seed + one per micro-batch: maxFilesPerTrigger=1 over two files
+    # must produce TWO batches, or the cross-batch suppression above
+    # degenerates into the within-batch rule
+    assert "batch_id=seed" in parts and len(parts) == 3, parts
