@@ -9187,22 +9187,21 @@ ORACLE_STREAM_FUZZY_INC = _oracle_stream_fuzzy_inc()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
-    # against the DuckDB oracle each round. Round-11 rotation (VERDICT
-    # r10 #1 plus the standing never-gated-first policy): slots 1-5 are
-    # the five round-10 additions that have never carried a driver row
-    # (curate_corpus, dedup_exact_inc, dedup_paragraphs_inc,
-    # stream_dedup_inc, dedup_exact_best — judge emu-verified at sf0.01
-    # AND sf0.1 in VERDICT r10); slots 6-33 are the 28 r7-green entries
-    # (the oldest driver rows after the r10 rotation: repetition_ratios
-    # and decontaminate, displaced by the r10 rows-only refresh, then
-    # the remaining 26 in r7 gate order); slots 34-50 are the oldest 17
-    # r8-green entries in r8 gate order. After this round no entry's
-    # latest driver row is older than r8. The r12 queue head (section
-    # 3b/4) is any r11 addition, then the remaining 33 r8-green entries.
+    # against the DuckDB oracle each round. Round-12 rotation (VERDICT
+    # r11 #1 plus the standing never-gated-first policy): slots 1-3 are
+    # the three round-11 additions that have never carried a driver row
+    # (dedup_fuzzy_inc, curate_increment_corpus, stream_fuzzy_inc --
+    # judge emu-verified at sf0.01 AND sf0.1 in VERDICT r11); slots 4-5
+    # give audio_spectral / image_phash_pairs their FIRST rows-only
+    # driver records (no oracle possible -- FFT/DCT); slots 6-38 are
+    # the 33 r8-green entries (the oldest driver rows, r8 gate order);
+    # slots 39-50 are the 12 oldest r9-green entries (r9 gate order).
+    # After this round no entry's latest driver row is older than r9;
+    # the r13 queue head (section 5) is the remaining 38 r9 entries.
     #
-    # ROTATION POLICY (VERDICT r6 #5, standing): with 181 oracle-bearing
+    # ROTATION POLICY (VERDICT r6 #5, standing): with ~184 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
-    # is ceil(181/50) = 4 rounds. To keep verification staleness <= 1
+    # is ceil(184/50) = 4 rounds. To keep verification staleness <= 1
     # round anyway: (a) every round the gate takes any never-gated
     # entries first, then the oldest-green entries; (b) the deferred
     # tail (whatever misses the 50 slots) is run through the
@@ -9211,70 +9210,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays <= 13 (one gate section). A driver row is the gold signal;
     # the emu sweep is the bridge that keeps the interval covered.
     return {
-        # -- 1. slots 1-5: the five round-10 additions (never gated;
-        # judge emu-verified at sf0.01 AND sf0.1 in VERDICT r10) -------
-        "curate_corpus": q_curate_corpus,
-        "dedup_exact_inc": q_dedup_exact_inc,
-        "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
-        "stream_dedup_inc": q_stream_dedup_inc,
-        "dedup_exact_best": q_dedup_exact_best,
-        # -- 2. slots 6-33: the 28 r7-green entries (the oldest driver
-        # rows after the r10 rotation: the two displaced by the r10
-        # rows-only refresh, then the remaining 26 in r7 gate order) ---
-        "repetition_ratios": q_repetition_ratios,
-        "decontaminate": q_decontaminate,
-        "bm25_rank": q_bm25_rank,
-        "stream_sliding": q_stream_sliding,
-        "stream_session": q_stream_session,
-        "repeated_spans": q_repeated_spans,
-        "kmeans_assign": q_kmeans_assign,
-        "lm_score": q_lm_score,
-        "bh_adjust": q_bh_adjust,
-        "mask_nullout": q_mask_nullout,
-        "merge_by_group": q_merge_by_group,
-        "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "cosine_topk": q_cosine_topk,
-        "range_join_count": q_range_join_count,
-        "ecdf_pvalue": q_ecdf_pvalue,
-        "stouffer_groups": q_stouffer_groups,
-        "quantile_normalize": q_quantile_normalize,
-        "cnv_regression": q_cnv_regression,
-        "pivot_wide": q_pivot_wide,
-        "cube_agg": q_cube_agg,
-        "union_except": q_union_except,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "infer_channel": q_infer_channel,
-        "total_ib_intensity": q_total_ib_intensity,
-        "corr_by_brand": q_corr_by_brand,
-        # -- 3. slots 34-50: the oldest 17 r8-green entries (r8 gate
-        # order) --------------------------------------------------------
-        "exact_substr_spans": q_exact_substr_spans,
-        "suffix_array_ranks": q_suffix_array_ranks,
-        "exact_substr_dedup": q_exact_substr_dedup,
-        "lineage_stage_cache": q_lineage_stage_cache,
-        "explode_tokens": q_explode_tokens,
-        "mask_builders": q_mask_builders,
-        "probe_suffix_merge": q_probe_suffix_merge,
-        "typed_merge": q_typed_merge,
-        "interval_anti_join": q_interval_anti_join,
-        "beta_distribution": q_beta_distribution,
-        "quality_scores": q_quality_scores,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_ivf": q_ann_ivf,
-        "rollup_agg": q_rollup_agg,
-        "top_intensity_median": q_top_intensity_median,
-        "top_dm_genes": q_top_dm_genes,
-        "asof_join": q_asof_join,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 3b. r11 additions (never gated -- r12 queue head) ----------
+        # -- 1. slots 1-3: the three round-11 additions (never gated;
+        # judge emu-verified at sf0.01 AND sf0.1 in VERDICT r11) -------
         "dedup_fuzzy_inc": q_dedup_fuzzy_inc,
         "curate_increment_corpus": q_curate_increment,
         "stream_fuzzy_inc": q_stream_fuzzy_inc,
-        # -- 4. r12 queue: the remaining 33 r8-green entries (r8 gate
-        # order) --------------------------------------------------------
+        # -- 2. slots 4-5: first-ever rows-only driver records for the
+        # two no-oracle-by-necessity media entries (VERDICT r11 #1) ----
+        "audio_spectral": q_audio_spectral,
+        "image_phash_pairs": q_image_phash_pairs,
+        # -- 3. slots 6-38: the 33 r8-green entries (oldest driver
+        # rows after the r11 rotation, r8 gate order) ------------------
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
@@ -9308,7 +9254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
-        # -- 5. r9-gated rows (all 50 green in CORRECTNESS_r09) --------
+        # -- 4. slots 39-50: the 12 oldest r9-green entries (r9 gate
+        # order) -------------------------------------------------------
         "video_near_dup": q_video_near_dup,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "langid_predict": q_langid_predict,
@@ -9321,6 +9268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "scd2_history": q_scd2_history,
         "skyline_frontier": q_skyline_frontier,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 5. r13 queue head: the remaining 38 r9-green entries (r9
+        # gate order — the oldest rows after this round) ---------------
         "snapshot_diff": q_snapshot_diff,
         "inverted_postings": q_inverted_postings,
         "json_extract_agg": q_json_extract_agg,
@@ -9359,9 +9309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_time": q_moving_avg_time,
         "window_ranks": q_window_ranks,
         "grouping_sets": q_grouping_sets,
-        # -- 6. r10-gated rows (all 48 oracle-green in CORRECTNESS_r10,
-        # the freshest driver rows; mixedlm_dmp/dr_scores carry fresh
-        # r10 rows-only records) ----------------------------------------
+        # -- 6. r10-gated rows (second-freshest driver rows) -----------
         "hard_negatives": q_hard_negatives,
         "doremi_weights": q_doremi_weights,
         "decontaminate_spans": q_decontaminate_spans,
@@ -9412,9 +9360,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
-        # -- 7. remaining rows-only (no oracle possible) ---------------
-        "audio_spectral": q_audio_spectral,
-        "image_phash_pairs": q_image_phash_pairs,
+        # -- 7. r11-gated rows (the freshest driver rows) --------------
+        "curate_corpus": q_curate_corpus,
+        "dedup_exact_inc": q_dedup_exact_inc,
+        "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
+        "stream_dedup_inc": q_stream_dedup_inc,
+        "dedup_exact_best": q_dedup_exact_best,
+        "repetition_ratios": q_repetition_ratios,
+        "decontaminate": q_decontaminate,
+        "bm25_rank": q_bm25_rank,
+        "stream_sliding": q_stream_sliding,
+        "stream_session": q_stream_session,
+        "repeated_spans": q_repeated_spans,
+        "kmeans_assign": q_kmeans_assign,
+        "lm_score": q_lm_score,
+        "bh_adjust": q_bh_adjust,
+        "mask_nullout": q_mask_nullout,
+        "merge_by_group": q_merge_by_group,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "cosine_topk": q_cosine_topk,
+        "range_join_count": q_range_join_count,
+        "ecdf_pvalue": q_ecdf_pvalue,
+        "stouffer_groups": q_stouffer_groups,
+        "quantile_normalize": q_quantile_normalize,
+        "cnv_regression": q_cnv_regression,
+        "pivot_wide": q_pivot_wide,
+        "cube_agg": q_cube_agg,
+        "union_except": q_union_except,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "infer_channel": q_infer_channel,
+        "total_ib_intensity": q_total_ib_intensity,
+        "corr_by_brand": q_corr_by_brand,
+        "exact_substr_spans": q_exact_substr_spans,
+        "suffix_array_ranks": q_suffix_array_ranks,
+        "exact_substr_dedup": q_exact_substr_dedup,
+        "lineage_stage_cache": q_lineage_stage_cache,
+        "explode_tokens": q_explode_tokens,
+        "mask_builders": q_mask_builders,
+        "probe_suffix_merge": q_probe_suffix_merge,
+        "typed_merge": q_typed_merge,
+        "interval_anti_join": q_interval_anti_join,
+        "beta_distribution": q_beta_distribution,
+        "quality_scores": q_quality_scores,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "rollup_agg": q_rollup_agg,
+        "top_intensity_median": q_top_intensity_median,
+        "top_dm_genes": q_top_dm_genes,
+        "asof_join": q_asof_join,
     }
 
 
