@@ -230,24 +230,44 @@ def _stage_fuzzy_dedup(
     threshold: float | None,
 ) -> DataFrame:
     """Corpus-wide MinHash-LSH near-dedup over the persisted band
-    table: bucket-join candidate pairs, optionally verify by exact
-    shingle Jaccard (``threshold=None`` treats any bucket collision as
-    a duplicate — no text re-read), drop each pair's larger id."""
+    table. ``threshold=None`` (bands-only) treats any bucket collision
+    as a duplicate and never re-reads the text; a float threshold
+    verifies bucket-join candidate pairs by exact shingle Jaccard.
+    Either way each duplicate group keeps its lowest id.
+
+    The bands-only drop rule — "a doc loses iff ANY band-mate has a
+    smaller id" — needs no pair enumeration: per (_band, _band_hash)
+    bucket a doc loses iff it differs from the bucket's min id. That is
+    one window aggregate over the band table, LINEAR in the table even
+    when a boilerplate-heavy template family puts millions of docs in
+    one bucket, where the bucket self-join of ``lsh_pairs_from_bands``
+    is O(B^2) rows per bucket of size B. The verified path still
+    enumerates pairs (each pair's Jaccard must be computed) — there the
+    hot-bucket guard is the ``max_bucket`` cap, not this rewrite."""
     from pylluminator_spark.operators.dedup import (
         jaccard_verify,
         lsh_pairs_from_bands,
     )
 
-    pairs = lsh_pairs_from_bands(bands_tbl, doc_col)
-    if threshold is not None:
-        pairs = jaccard_verify(
-            pairs,
-            docs.select(doc_col, text_col),
-            doc_col,
-            text_col,
-            shingle_size,
-            threshold,
-        ).select("id_a", "id_b")
+    if threshold is None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_band", "_band_hash")
+        losers = (
+            bands_tbl.withColumn("_min_id", F.min(doc_col).over(w))
+            .filter(F.col(doc_col) > F.col("_min_id"))
+            .select(doc_col)
+            .distinct()
+        )
+        return docs.join(losers, doc_col, "left_anti")
+    pairs = jaccard_verify(
+        lsh_pairs_from_bands(bands_tbl, doc_col),
+        docs.select(doc_col, text_col),
+        doc_col,
+        text_col,
+        shingle_size,
+        threshold,
+    ).select("id_a", "id_b")
     losers = pairs.select(F.col("id_b").alias(doc_col)).distinct()
     return docs.join(losers, doc_col, "left_anti")
 

@@ -415,14 +415,17 @@ def dedup_minhash_lsh_against(
 
     Scale: the batch is banded (``new_bands`` supplies pre-computed
     batch bands, e.g. a persisted stage, skipping the signature map);
-    candidates come from ``lsh_incremental_candidates`` — a bucket
-    equi-join of BATCH bands against the stored index, cost
-    proportional to the batch, never re-banding the corpus
-    (index-vs-index pairs are never enumerated).
+    the stored index is only ever PROBED at the batch's bucket keys
+    (broadcast semi join — the corpus bands are never shuffled or
+    re-banded, and index-vs-index pairs are never enumerated).
 
     ``threshold=None`` is the bands-only mode: any bucket collision is
     treated as a duplicate (classic LSH without verification) and the
-    corpus TEXT is never read. With a threshold, candidate pairs are
+    corpus TEXT is never read. This mode enumerates NO candidate
+    pairs: losers come from a per-bucket min aggregate (see the branch
+    below), so a hot bucket — a template family with millions of
+    members — costs O(bucket) rather than O(batch-side x corpus-side)
+    rows. With a threshold, candidate pairs are
     verified by exact shingle Jaccard, which requires ``existing_docs``
     (id + text of the corpus) — the verify join touches only candidate
     ids (batch-bounded), but on a columnar store the corpus text column
@@ -438,6 +441,50 @@ def dedup_minhash_lsh_against(
             bands=bands,
         )
     )
+    if threshold is None:
+        # Bands-only loser rule — "a batch doc drops iff some bucket it
+        # occupies holds a corpus doc or a smaller-id batch doc" — needs
+        # no candidate-pair enumeration: per touched bucket, the WINNER
+        # is min(struct(priority, id)) where corpus rows get priority 0
+        # (a corpus partner always wins regardless of id) and batch rows
+        # priority 1; a batch doc drops iff any of its buckets' winner
+        # key sorts below its own. One broadcast semi join (corpus bands
+        # pruned to the batch's buckets — never shuffled) + one
+        # map-side-combinable aggregate, LINEAR in bucket size where the
+        # bucket join is O(B*b) rows for a hot bucket of B corpus and b
+        # batch docs.
+        touched = batch_bands.select("_band", "_band_hash").distinct()
+        corpus_hits = existing_bands.join(
+            F.broadcast(touched), ["_band", "_band_hash"], "left_semi"
+        )
+        marked = batch_bands.select(
+            "_band",
+            "_band_hash",
+            F.struct(
+                F.lit(1).alias("_pri"), F.col(id_col).alias("_mid")
+            ).alias("_key"),
+        ).unionByName(
+            corpus_hits.select(
+                "_band",
+                "_band_hash",
+                F.struct(
+                    F.lit(0).alias("_pri"), F.col(id_col).alias("_mid")
+                ).alias("_key"),
+            )
+        )
+        winners = marked.groupBy("_band", "_band_hash").agg(
+            F.min("_key").alias("_wkey")
+        )
+        losers = (
+            batch_bands.join(winners, ["_band", "_band_hash"])
+            .filter(
+                (F.col("_wkey._pri") == 0)
+                | (F.col("_wkey._mid") < F.col(id_col))
+            )
+            .select(id_col)
+            .distinct()
+        )
+        return new_docs.join(losers, id_col, "left_anti")
     n = batch_bands.select(
         "_band", "_band_hash", F.col(id_col).alias("_nid")
     )
@@ -454,17 +501,6 @@ def dedup_minhash_lsh_against(
     # corpus partner always wins; a batch partner wins iff lower id.
     # The batch id set is dimension-sized -> broadcast.
     batch_ids = new_docs.select(F.col(id_col).alias("_oid")).distinct()
-    if threshold is None:
-        in_batch = cand.join(
-            F.broadcast(batch_ids), "_oid", "left_semi"
-        ).filter(F.col("_oid") < F.col("_nid"))
-        vs_corpus = cand.join(F.broadcast(batch_ids), "_oid", "left_anti")
-        losers = (
-            in_batch.select(F.col("_nid").alias(id_col))
-            .unionByName(vs_corpus.select(F.col("_nid").alias(id_col)))
-            .distinct()
-        )
-        return new_docs.join(losers, id_col, "left_anti")
     if existing_docs is None:
         raise ValueError(
             "dedup_minhash_lsh_against: threshold verification needs "

@@ -1051,6 +1051,176 @@ class TestFuzzyStage:
         m = PipelineManifest(spark, root)
         assert len(m.entries_named("fuzzy_bands")) == 2
 
+    def test_bands_only_min_rule_equals_pair_enumeration(self, spark):
+        """The per-bucket-min loser rule (r12 rewrite of the bands-only
+        corpus stage) must drop exactly the ids the candidate-pair
+        formulation drops — checked on a corpus with a 4-member
+        duplicate family, a pair, and uniques."""
+        from pylluminator_spark.operators.curate import _stage_fuzzy_dedup
+        from pylluminator_spark.operators.dedup import (
+            lsh_band_table,
+            lsh_pairs_from_bands,
+            minhash_signature,
+        )
+
+        fam = "the quarterly report template with boilerplate header "
+        docs = self._mk(
+            spark,
+            [
+                (1, fam + "and totals"),
+                (4, fam + "and totals"),
+                (7, fam + "and totals"),
+                (9, fam + "and totals"),
+                (2, NEAR_A),
+                (5, NEAR_A),
+                (3, UNIQUE_C),
+                (8, "fresh content on tidal estuaries and salt marsh "
+                    "vegetation zonation gradients"),
+            ],
+        )
+        bands_tbl = lsh_band_table(
+            minhash_signature(docs, "text", 64, 3), bands=16
+        )
+        out = sorted(
+            r.doc_id
+            for r in _stage_fuzzy_dedup(
+                spark, docs, bands_tbl,
+                text_col="text", doc_col="doc_id",
+                shingle_size=3, threshold=None,
+            ).collect()
+        )
+        pair_losers = {
+            r.id_b
+            for r in lsh_pairs_from_bands(bands_tbl, "doc_id").collect()
+        }
+        expected = sorted(
+            r.doc_id
+            for r in docs.collect()
+            if r.doc_id not in pair_losers
+        )
+        assert out == expected
+        assert 1 in out and 4 not in out and 7 not in out  # family min
+
+    def test_bands_only_stage_plan_has_no_bucket_self_join(self, spark):
+        """threshold=None must not enumerate candidate pairs: the plan
+        is a window min over the band table plus exactly ONE join (the
+        final anti join) — a planted 500-doc hot bucket stays linear."""
+        import re
+
+        from pylluminator_spark.operators.curate import _stage_fuzzy_dedup
+        from pylluminator_spark.operators.dedup import (
+            lsh_band_table,
+            minhash_signature,
+        )
+
+        hot = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "identical template body repeated across the whole "
+                "scraped template family of documents"
+            ).alias("text"),
+        )
+        bands_tbl = lsh_band_table(
+            minhash_signature(hot, "text", 64, 3), bands=16
+        )
+        out = _stage_fuzzy_dedup(
+            spark, hot, bands_tbl,
+            text_col="text", doc_col="doc_id",
+            shingle_size=3, threshold=None,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        joins = re.findall(
+            r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct",
+            plan,
+        )
+        assert len(joins) == 1, f"expected 1 (anti) join, got: {joins}"
+        assert "Window" in plan
+        assert [r.doc_id for r in out.collect()] == [0]
+
+    def test_incremental_bands_only_min_rule_equals_pair_rule(self, spark):
+        """dedup_minhash_lsh_against threshold=None (r12 per-bucket-min
+        rewrite) must keep exactly the batch ids the old candidate-pair
+        rule kept: corpus partner in a shared bucket always wins; a
+        batch partner wins iff lower id."""
+        from pylluminator_spark.operators.dedup import (
+            dedup_minhash_lsh_against,
+            lsh_band_table,
+            minhash_signature,
+        )
+
+        fam = "the recurring newsletter footer template about unsubscribe "
+        corpus = self._mk(
+            spark,
+            [(100, fam + "links"), (101, NEAR_A), (102, UNIQUE_C)],
+        )
+        batch = self._mk(
+            spark,
+            [
+                (10, fam + "links"),   # bucket-mate of corpus 100 -> drop
+                (11, NEAR_B),          # near-dup of corpus 101: bands-only
+                                       # drops it only if a bucket collides
+                (12, "fresh batch content about glacier moraines and "
+                     "outwash plain sediment sorting"),
+                (13, "fresh batch content about glacier moraines and "
+                     "outwash plain sediment sorting"),  # dup of 12 -> drop
+            ],
+        )
+        idx = lsh_band_table(
+            minhash_signature(corpus, "text", 64, 3), bands=16
+        )
+        new = sorted(
+            r.doc_id
+            for r in dedup_minhash_lsh_against(
+                batch, idx, None, threshold=None
+            ).collect()
+        )
+        # reference: the pre-r12 candidate-pair formulation, inline
+        bb = lsh_band_table(
+            minhash_signature(batch, "text", 64, 3), bands=16
+        )
+        n = bb.select("_band", "_band_hash", F.col("doc_id").alias("_nid"))
+        o = bb.unionByName(idx).select(
+            "_band", "_band_hash", F.col("doc_id").alias("_oid")
+        )
+        cand = (
+            n.join(o, ["_band", "_band_hash"])
+            .filter(F.col("_nid") != F.col("_oid"))
+            .select("_nid", "_oid")
+            .distinct()
+            .collect()
+        )
+        batch_ids = {10, 11, 12, 13}
+        losers = {
+            c._nid
+            for c in cand
+            if c._oid not in batch_ids or c._oid < c._nid
+        }
+        expected = sorted(batch_ids - losers)
+        assert new == expected
+        assert 10 not in new and 13 not in new and 12 in new
+
+    def test_incremental_bands_only_plan_aggregates_buckets(self, spark):
+        """The bands-only incremental plan carries the per-bucket
+        winner aggregate (no candidate-pair distinct): the executed
+        plan shows the _wkey min aggregate and never a CartesianProduct."""
+        from pylluminator_spark.operators.dedup import (
+            dedup_minhash_lsh_against,
+            lsh_band_table,
+            minhash_signature,
+        )
+
+        corpus = self._mk(spark, [(100, NEAR_A), (101, UNIQUE_C)])
+        batch = self._mk(spark, [(10, NEAR_B), (11, UNIQUE_C + " y")])
+        idx = lsh_band_table(
+            minhash_signature(corpus, "text", 64, 3), bands=16
+        )
+        out = dedup_minhash_lsh_against(batch, idx, None, threshold=None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_wkey" in plan
+        assert "CartesianProduct" not in plan
+        out.collect()
+
 
 # ---------------------------------------------------------------------------
 # r11: optional quality stages — ccnet paragraph cut, gopher thresholds,
