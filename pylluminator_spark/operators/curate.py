@@ -228,6 +228,7 @@ def _stage_fuzzy_dedup(
     doc_col: str,
     shingle_size: int,
     threshold: float | None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus-wide MinHash-LSH near-dedup over the persisted band
     table. ``threshold=None`` (bands-only) treats any bucket collision
@@ -261,7 +262,7 @@ def _stage_fuzzy_dedup(
         )
         return docs.join(losers, doc_col, "left_anti")
     pairs = jaccard_verify(
-        lsh_pairs_from_bands(bands_tbl, doc_col),
+        lsh_pairs_from_bands(bands_tbl, doc_col, max_bucket=max_bucket),
         docs.select(doc_col, text_col),
         doc_col,
         text_col,
@@ -281,6 +282,7 @@ def _stage_inc_fuzzy_dedup(
     doc_col: str,
     shingle_size: int,
     threshold: float | None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dedup: batch rows that near-dup
     neither a gate-surviving document of ANY curated generation (probed
@@ -321,6 +323,7 @@ def _stage_inc_fuzzy_dedup(
         shingle_size=shingle_size,
         threshold=threshold,
         new_bands=batch_bands,
+        max_bucket=max_bucket,
     )
 
 
@@ -718,6 +721,12 @@ _FUZZY_DEFAULTS = {
     "bands": 16,
     "shingle_size": 3,
     "threshold": 0.7,
+    # bounded-recall hot-bucket cap for the VERIFIED (threshold set)
+    # paths — buckets larger than this are skipped with a warning
+    # before pair enumeration (operators.dedup._cap_buckets); None
+    # disables. The bands-only path ignores it (per-bucket min is
+    # linear under any skew).
+    "max_bucket": None,
 }
 
 
@@ -1012,6 +1021,7 @@ def curate_pipeline(
                 "doc_col": doc_col,
                 "shingle_size": fz["shingle_size"],
                 "threshold": fz["threshold"],
+                "max_bucket": fz["max_bucket"],
             },
         )
         res.stages["fuzzy_dedup"] = cur
@@ -1449,6 +1459,7 @@ def curate_increment(
                 "doc_col": doc_col,
                 "shingle_size": fz["shingle_size"],
                 "threshold": fz["threshold"],
+                "max_bucket": fz["max_bucket"],
             },
         )
         res.stages["inc_fuzzy_dedup"] = cur

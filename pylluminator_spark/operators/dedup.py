@@ -244,15 +244,64 @@ def lsh_band_table(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, max_bucket: int, what: str
+) -> DataFrame:
+    """Drop every (_band, _band_hash) bucket larger than ``max_bucket``
+    rows before pair enumeration, WARNING with the capped-bucket count
+    (no silent truncation — the caller trades recall in pathological
+    template-family buckets for a bounded candidate join; docs in a
+    capped bucket can still pair through their other, smaller buckets).
+    The bucket-size count is one window aggregate; the capped-bucket
+    census is one small eager aggregation job — only run when a cap is
+    requested."""
+    import warnings
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_band", "_band_hash")
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    capped = (
+        sized.filter(F.col("_bsz") > max_bucket)
+        .agg(
+            F.count_distinct("_band", "_band_hash").alias("n_buckets"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]
+    )
+    if capped["n_buckets"]:
+        warnings.warn(
+            f"{what}: skipping {capped['n_buckets']} bucket(s) larger "
+            f"than max_bucket={max_bucket} ({capped['n_rows']} band rows"
+            ") — near-dup pairs entirely inside those buckets are NOT "
+            "enumerated (bounded-recall cap); raise max_bucket or use "
+            "the bands-only (threshold=None) path, which handles hot "
+            "buckets linearly",
+            stacklevel=3,
+        )
+    return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+
+
 def lsh_pairs_from_bands(
-    banded: DataFrame, id_col: str = "doc_id"
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate id pairs from an ALREADY-MATERIALIZED band table
     (``lsh_band_table`` output, possibly read back from its persisted
     parquet): bucket self-join on (_band, _band_hash), distinct
     (id_a, id_b) with id_a < id_b. Split out so stored LSH indexes are
     joined without re-banding (the curation pipeline persists the band
-    table as a manifest stage and derives pairs from the parquet)."""
+    table as a manifest stage and derives pairs from the parquet).
+
+    ``max_bucket`` bounds the self-join against pathological buckets
+    (a template family collapsing millions of docs onto one band hash
+    makes the join O(B^2) in the bucket): buckets larger than the cap
+    are skipped with a warning counting them (``_cap_buckets`` — never
+    silent). Only pairs whose EVERY shared bucket exceeds the cap are
+    lost."""
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, max_bucket, "lsh_pairs_from_bands")
     a = banded.select(
         F.col("_band"), F.col("_band_hash"), F.col(id_col).alias("id_a")
     )
@@ -405,6 +454,7 @@ def dedup_minhash_lsh_against(
     shingle_size: int = 3,
     threshold: float | None = 0.7,
     new_bands: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL MinHash-LSH near-dedup: rows of ``new_docs`` that are
     NOT a near-duplicate of (a) any document behind ``existing_bands``
@@ -431,7 +481,13 @@ def dedup_minhash_lsh_against(
     ids (batch-bounded), but on a columnar store the corpus text column
     is still scanned to find them; keep verification for correctness-
     critical dedup and prefer bands-only when scanning the corpus text
-    per increment is not acceptable."""
+    per increment is not acceptable.
+
+    ``max_bucket`` (verified mode only) skips candidate buckets larger
+    than the cap with a warning counting them — the bounded-recall
+    guard against a pathological template-family bucket making the
+    candidate join quadratic; the bands-only mode needs no cap (its
+    per-bucket aggregate is linear under any skew)."""
     batch_bands = (
         new_bands
         if new_bands is not None
@@ -485,12 +541,19 @@ def dedup_minhash_lsh_against(
             .distinct()
         )
         return new_docs.join(losers, id_col, "left_anti")
+    # verified path: candidate pairs are unavoidable (each pair's
+    # Jaccard must be computed), so the hot-bucket guard is the
+    # max_bucket cap — union-side buckets above the cap are skipped
+    # with a warning (never silently; see _cap_buckets). The n side
+    # needs no cap: a bucket absent from o produces no pairs at all.
     n = batch_bands.select(
         "_band", "_band_hash", F.col(id_col).alias("_nid")
     )
     o = batch_bands.unionByName(existing_bands).select(
         "_band", "_band_hash", F.col(id_col).alias("_oid")
     )
+    if max_bucket is not None:
+        o = _cap_buckets(o, max_bucket, "dedup_minhash_lsh_against")
     cand = (
         n.join(o, ["_band", "_band_hash"])
         .filter(F.col("_nid") != F.col("_oid"))

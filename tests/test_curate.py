@@ -1221,6 +1221,60 @@ class TestFuzzyStage:
         assert "CartesianProduct" not in plan
         out.collect()
 
+    def test_verified_path_max_bucket_cap_warns_and_bounds(self, spark):
+        """With verification on, a planted hot bucket (identical docs
+        -> every band bucket holds all of them) is SKIPPED under
+        max_bucket with a warning counting capped buckets; pairs in
+        under-cap buckets still verify."""
+        import warnings as _warnings
+
+        from pylluminator_spark.operators.dedup import (
+            dedup_minhash_lsh_against,
+            lsh_band_table,
+            lsh_pairs_from_bands,
+            minhash_signature,
+        )
+
+        hot = spark.range(50).select(
+            (F.col("id") + 100).alias("doc_id"),
+            F.lit(
+                "boilerplate legal disclaimer repeated verbatim across "
+                "the scraped template family"
+            ).alias("text"),
+        )
+        small = self._mk(spark, [(1, NEAR_A), (2, NEAR_B)])
+        corpus = hot.unionByName(small)
+        bands_tbl = lsh_band_table(
+            minhash_signature(corpus, "text", 64, 3), bands=16
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            pairs = lsh_pairs_from_bands(
+                bands_tbl, "doc_id", max_bucket=10
+            ).collect()
+        msgs = [str(w.message) for w in caught]
+        assert any("skipping 16 bucket(s)" in m for m in msgs), msgs
+        got = {(p.id_a, p.id_b) for p in pairs}
+        assert (1, 2) in got  # under-cap bucket pairs survive
+        assert all(a < 100 for a, b in got)  # hot-family pairs capped
+        # incremental verified path: cap engages on the union side
+        batch = self._mk(spark, [(200, NEAR_A + " z"), (201, UNIQUE_C)])
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            kept = sorted(
+                r.doc_id
+                for r in dedup_minhash_lsh_against(
+                    batch,
+                    bands_tbl,
+                    corpus,
+                    threshold=0.5,
+                    max_bucket=10,
+                ).collect()
+            )
+        assert any("dedup_minhash_lsh_against" in str(w.message)
+                   for w in caught)
+        assert kept == [201]  # 200 near-dups corpus 1 via small bucket
+
 
 # ---------------------------------------------------------------------------
 # r11: optional quality stages — ccnet paragraph cut, gopher thresholds,
