@@ -273,6 +273,28 @@ def _stage_fuzzy_dedup(
     return docs.join(losers, doc_col, "left_anti")
 
 
+def _stage_gate_bands(
+    spark: SparkSession,
+    bands_tbl: DataFrame,
+    gate: DataFrame,
+    *,
+    doc_col: str,
+) -> DataFrame:
+    """A generation's POST-GATE band rows: its ``fuzzy_bands`` index
+    restricted to quality-gate survivors, materialized ONCE per
+    generation (keyed off the band stage + the gate stage, so a gate
+    or knob change re-keys). This is the band-table analogue of the
+    gate's persisted fingerprint passenger columns: without it every
+    increment re-runs a corpus-band-sized semi join per generation
+    (band table ⋉ gate — hundreds of bytes per doc shuffled per
+    increment); with it an increment's probe of a generation is ONE
+    pruned parquet scan of rows that are already exactly the curated
+    documents' bands."""
+    return bands_tbl.join(
+        gate.select(F.col(doc_col)), doc_col, "left_semi"
+    ).select(doc_col, "_band", "_band_hash")
+
+
 def _stage_inc_fuzzy_dedup(
     spark: SparkSession,
     batch: DataFrame,
@@ -286,20 +308,20 @@ def _stage_inc_fuzzy_dedup(
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dedup: batch rows that near-dup
     neither a gate-surviving document of ANY curated generation (probed
-    through each generation's persisted band table — the corpus is
-    never re-banded) nor a lower-id batch row. ``refs`` is the flat
-    [bands_0..n-1, exact_0..n-1, gate_0..n-1] list; the exact stages
-    supply corpus text ONLY when ``threshold`` verification is on
-    (bands-only mode never reads generation text)."""
+    through each generation's persisted GATE-FILTERED band table — the
+    corpus is never re-banded, and no per-increment band ⋉ gate semi
+    join runs: ``_stage_gate_bands`` materialized that restriction once
+    per generation) nor a lower-id batch row. ``refs`` is the flat
+    [gate_bands_0..n-1, exact_0..n-1, gate_0..n-1] list; the exact and
+    gate stages supply corpus text ONLY when ``threshold`` verification
+    is on (bands-only mode reads nothing but the gate_bands parquet)."""
     from pylluminator_spark.operators.dedup import dedup_minhash_lsh_against
 
     n = len(refs) // 3
     bands_tbls, exacts, gates = refs[:n], refs[n : 2 * n], refs[2 * n :]
     gated_bands = None
-    for b, g in zip(bands_tbls, gates):
-        part = b.join(
-            g.select(F.col(doc_col)), doc_col, "left_semi"
-        ).select(doc_col, "_band", "_band_hash")
+    for b in bands_tbls:
+        part = b.select(doc_col, "_band", "_band_hash")
         gated_bands = (
             part if gated_bands is None else gated_bands.unionByName(part)
         )
@@ -1061,6 +1083,19 @@ def curate_pipeline(
     cur = m.stage("quality_gate", _stage_quality_gate, [cur], gate_params)
     res.stages["quality_gate"] = cur
     res.documents = cur.df
+    if fz is not None:
+        # the generation's gate-filtered band index, materialized once
+        # so increments probe ONE pruned scan per generation instead of
+        # re-running the band ⋉ gate semi join each time (see
+        # _stage_gate_bands); an older root that never built one gets
+        # it built on demand by the first increment, through the same
+        # cache key
+        res.stages["gate_bands"] = m.stage(
+            "gate_bands",
+            _stage_gate_bands,
+            [res.stages["fuzzy_bands"], cur],
+            {"doc_col": doc_col},
+        )
     if pack_budget is not None:
         packed = m.stage(
             "pack",
@@ -1440,8 +1475,25 @@ def curate_increment(
             "fuzzy_bands", _stage_fuzzy_bands, [cur], bands_params
         )
         res.stages["fuzzy_bands"] = batch_bands
-        gen_bands = [
-            m.stage("fuzzy_bands", _stage_fuzzy_bands, [c[0]], bands_params)
+        # each generation contributes its GATE-FILTERED band index —
+        # materialized by its own run (base pipeline / prior increment)
+        # and a pure cache hit here; a generation that predates the
+        # gate_bands stage (or the fuzzy knob entirely) gets both
+        # stages built exactly once through the manifest cache, then
+        # every later increment reuses them
+        gen_gate_bands = [
+            m.stage(
+                "gate_bands",
+                _stage_gate_bands,
+                [
+                    m.stage(
+                        "fuzzy_bands", _stage_fuzzy_bands, [c[0]],
+                        bands_params,
+                    ),
+                    c[2],
+                ],
+                {"doc_col": doc_col},
+            )
             for c in chains
         ]
         cur = m.stage(
@@ -1450,7 +1502,7 @@ def curate_increment(
             [
                 cur,
                 batch_bands,
-                *gen_bands,
+                *gen_gate_bands,
                 *[c[0] for c in chains],
                 *[c[2] for c in chains],
             ],
@@ -1507,6 +1559,16 @@ def curate_increment(
     )
     res.stages["inc_quality_gate"] = cur
     res.documents = cur.df
+    if fz is not None:
+        # this increment's own gate-filtered band index, so the NEXT
+        # increment's probe of this generation is a pure cache hit
+        # (mirrors curate_pipeline's gate_bands stage)
+        res.stages["gate_bands"] = m.stage(
+            "gate_bands",
+            _stage_gate_bands,
+            [batch_bands, cur],
+            {"doc_col": doc_col},
+        )
     if pack_budget is not None:
         if pack_budget < 1:
             raise ValueError(

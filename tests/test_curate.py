@@ -1221,6 +1221,74 @@ class TestFuzzyStage:
         assert "CartesianProduct" not in plan
         out.collect()
 
+    def test_inc_fuzzy_probes_persisted_gate_bands_only(
+        self, spark, tmp_path
+    ):
+        """r12: each generation persists a GATE-FILTERED band stage
+        (gate_bands), so a bands-only increment's plan scans that
+        parquet and nothing else of the generation — no per-increment
+        band ⋉ gate semi join, no gate or exact-stage read."""
+        from pylluminator_spark.operators.curate import (
+            _stage_inc_fuzzy_dedup,
+            curate_increment,
+        )
+        from pylluminator_spark.operators.dedup import (
+            lsh_band_table,
+            minhash_signature,
+        )
+        from pylluminator_spark.plans.manifest import PipelineManifest
+
+        root = str(tmp_path / "m")
+        docs = self._mk(spark, [(1, NEAR_A), (2, UNIQUE_C)])
+        base = curate_pipeline(
+            spark, root, docs, source_fingerprint="gb-base",
+            keep_lang=None, fuzzy={"threshold": None},
+            min_tokens=2, pack_budget=None,
+        )
+        assert "gate_bands" in base.stages
+        batch = self._mk(
+            spark,
+            [(10, NEAR_A), (11, "fresh content about canal locks and "
+                                "the hydraulics of mitre gates")],
+        )
+        bb = lsh_band_table(
+            minhash_signature(batch, "text", 64, 3), bands=16
+        )
+        out = _stage_inc_fuzzy_dedup(
+            spark, batch, bb,
+            spark.read.parquet(base.stages["gate_bands"].path),
+            spark.read.parquet(base.stages["dedup_exact"].path),
+            spark.read.parquet(base.stages["quality_gate"].path),
+            text_col="text", doc_col="doc_id",
+            shingle_size=3, threshold=None,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and root.replace("\\", "/") in ln
+        ]
+        assert scans
+        # every generation scan reads band rows only — never the gate
+        # or exact stage's text/token columns (paths are truncated in
+        # the plan string, so assert on ReadSchema)
+        for ln in scans:
+            schema = ln.split("ReadSchema:")[-1]
+            assert "text" not in schema and "n_tokens" not in schema, ln
+            assert "_band" in schema, f"non-band generation scan: {ln}"
+        assert sorted(r.doc_id for r in out.collect()) == [11]
+        # the composed increment wires the same stage: one gate_bands
+        # per generation, the increment's own added after its gate
+        res = curate_increment(
+            spark, root, batch, source_fingerprint="gb-day1",
+            fuzzy={"threshold": None}, min_tokens=2, max_tokens=10_000,
+        )
+        assert sorted(
+            r.doc_id for r in res.documents.collect()
+        ) == [11]
+        m = PipelineManifest(spark, root)
+        # base's (cache-hit by the increment) + the increment's own
+        assert len(m.entries_named("gate_bands")) == 2
+
     def test_verified_path_max_bucket_cap_warns_and_bounds(self, spark):
         """With verification on, a planted hot bucket (identical docs
         -> every band bucket holds all of them) is SKIPPED under
