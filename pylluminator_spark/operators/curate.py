@@ -1195,8 +1195,12 @@ def curate_increment(
     increment stages. Increments are order-dependent by nature: a
     batch deduped before another landed keeps its result (cache);
     re-running it AFTER sees the newer generation too. Dedup knobs
-    (``normalize_exact``, ``para_min_chars``) should match the base
-    run's — they govern the same fingerprints.
+    (``normalize_exact``, ``para_min_chars``) MUST match every
+    referenced generation's — they govern the same fingerprint spaces
+    — and are VALIDATED against the generations' recorded stage params
+    in the ledger (mismatch raises; a fuzzy-knob mismatch only warns,
+    since band indexes are content-addressed by knob and rebuild
+    rather than probe the wrong space).
 
     FINGERPRINT STABILITY (required): a batch's prior runs are excluded
     from the suppression set by FRAME-SOURCE KEY equality, so re-running
@@ -1226,7 +1230,9 @@ def curate_increment(
     m = PipelineManifest(spark, manifest_root)
 
     def _chain(gate_entry, paras_name, exact_name, fuzzy_name, ccnet_name):
-        """(exact, paras, gate) StageRefs of ONE materialized run,
+        """(exact, paras, gate, fuzzy_entry) of ONE materialized run —
+        three StageRefs plus the ledger row of the run's fuzzy stage
+        (None when the run had none; used for knob validation) —
         resolved by the gate entry's input chain (inputs[0] is always
         the previous stage in every pipeline shape). Two optional
         stages are handled: a ``ccnet_name`` paragraph cut between the
@@ -1255,7 +1261,9 @@ def curate_increment(
             walk_entry = paras_entry
         exact_key = (walk_entry.get("inputs") or [None])[0]
         exact_entry = m.entry(exact_key) if exact_key else None
+        fuzzy_entry = None
         if exact_entry and exact_entry.get("name") == fuzzy_name:
+            fuzzy_entry = exact_entry
             exact_key = (exact_entry.get("inputs") or [None])[0]
             exact_entry = m.entry(exact_key) if exact_key else None
         if not exact_entry or exact_entry.get("name") != exact_name:
@@ -1265,7 +1273,7 @@ def curate_increment(
         paras_ref = m.by_key(paras_key)
         if gate_ref is None or paras_ref is None or exact_ref is None:
             return "gc"
-        return exact_ref, paras_ref, gate_ref
+        return exact_ref, paras_ref, gate_ref, fuzzy_entry
 
     base_entries = m.entries_named("quality_gate")
     base_chain = None
@@ -1444,6 +1452,60 @@ def curate_increment(
             stacklevel=2,
         )
     chains = [base_chain, *inc_chains.values()]
+    # Dedup-knob consistency with every referenced generation:
+    # normalize_exact / para_min_chars govern the fingerprint SPACES
+    # the increment probes — a run under different knobs would probe
+    # fingerprints computed in the OTHER normalization and silently
+    # fail to suppress duplicates. The ledger records every stage's
+    # params, so validate instead of merely documenting (the same
+    # pattern as the source-fingerprint self-suppression guard below).
+    for ch in chains:
+        ep = (m.entry(ch[0].key) or {}).get("params") or {}
+        if "normalize" in ep and ep["normalize"] != normalize_exact:
+            raise ValueError(
+                f"curate_increment: normalize_exact={normalize_exact} "
+                f"differs from generation {ch[0].key}'s recorded "
+                f"normalize={ep['normalize']} — the increment would "
+                "probe fingerprints computed under the other "
+                "normalization and silently fail to suppress "
+                "normalized-equal duplicates"
+            )
+        pp = (m.entry(ch[1].key) or {}).get("params") or {}
+        if "min_chars" in pp and pp["min_chars"] != para_min_chars:
+            raise ValueError(
+                f"curate_increment: para_min_chars={para_min_chars} "
+                f"differs from generation {ch[1].key}'s recorded "
+                f"min_chars={pp['min_chars']} — short-paragraph "
+                "exemption would disagree between the batch and the "
+                "generations' persisted paragraph fingerprints"
+            )
+        # fuzzy knobs are SELF-CONSISTENT by content-addressing (a knob
+        # change re-keys and rebuilds the band index, never probing the
+        # wrong space), so a mismatch is a cost/semantics choice, not a
+        # silent correctness hole — warn, don't raise.
+        if fz is not None and ch[3] is not None:
+            fp = ch[3].get("params") or {}
+            bp = (
+                m.entry((ch[3].get("inputs") or [None, None])[1]) or {}
+            ).get("params") or {}
+            rec = {
+                k: bp[k]
+                for k in ("num_hashes", "bands", "shingle_size")
+                if k in bp
+            }
+            for k in ("shingle_size", "threshold"):
+                if k in fp:
+                    rec[k] = fp[k]
+            if any(fz[k] != v for k, v in rec.items()):
+                warnings.warn(
+                    "curate_increment: fuzzy knobs "
+                    f"{ {k: fz[k] for k in rec} } differ from generation "
+                    f"{ch[0].key}'s recorded {rec} — its band index will "
+                    "be REBUILT under the new knobs (content-addressed, "
+                    "so probing stays knob-consistent, at one extra "
+                    "banding pass per changed generation)",
+                    stacklevel=2,
+                )
     # variadic stage inputs: [batch, stage_0..stage_n-1, gate_0..gate_n-1]
     cur = m.stage(
         "inc_dedup_exact",

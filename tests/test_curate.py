@@ -275,12 +275,14 @@ class TestCurateIncrement:
         # every increment stage depends on the base gate and recomputes
         # — Merkle invalidation flows through the whole increment
         _run(spark, docs, root, para_min_chars=3)
-        third = self._increment(spark, root, batch)
+        # the increment must match the new base's paragraph knob (the
+        # r12 ledger-param validation raises otherwise)
+        third = self._increment(spark, root, batch, para_min_chars=3)
         assert not third.from_cache["inc_dedup_exact"]
         assert not third.from_cache["inc_dedup_paragraphs"]
         assert not third.from_cache["inc_quality_gate"]
         # and a rerun against the new base is again pure cache
-        fourth = self._increment(spark, root, batch)
+        fourth = self._increment(spark, root, batch, para_min_chars=3)
         assert fourth.from_cache["inc_dedup_exact"]
         assert fourth.from_cache["inc_quality_gate"]
 
@@ -1288,6 +1290,55 @@ class TestFuzzyStage:
         m = PipelineManifest(spark, root)
         # base's (cache-hit by the increment) + the increment's own
         assert len(m.entries_named("gate_bands")) == 2
+
+    def test_increment_dedup_knob_mismatch_raises(self, spark, tmp_path):
+        """r12: an increment whose normalize_exact / para_min_chars
+        differ from the referenced generations' recorded stage params
+        raises (it would probe fingerprints computed in another
+        normalization space); a fuzzy knob mismatch only warns — the
+        band index is content-addressed by knob and rebuilds."""
+        import warnings as _warnings
+
+        from pylluminator_spark.operators.curate import curate_increment
+
+        root = str(tmp_path / "m")
+        docs = self._mk(spark, [(1, NEAR_A), (2, UNIQUE_C)])
+        curate_pipeline(
+            spark, root, docs, source_fingerprint="kb-base",
+            keep_lang=None, normalize_exact=True, para_min_chars=0,
+            fuzzy={"threshold": 0.5}, min_tokens=2, pack_budget=None,
+        )
+        batch = self._mk(spark, [(10, NEAR_B)])
+        with pytest.raises(ValueError, match="normalize_exact"):
+            curate_increment(
+                spark, root, batch, source_fingerprint="kb-day1",
+                normalize_exact=False, min_tokens=2, max_tokens=10_000,
+            )
+        with pytest.raises(ValueError, match="para_min_chars"):
+            curate_increment(
+                spark, root, batch, source_fingerprint="kb-day1",
+                para_min_chars=25, min_tokens=2, max_tokens=10_000,
+            )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            res = curate_increment(
+                spark, root, batch, source_fingerprint="kb-day1",
+                fuzzy={"threshold": 0.9, "bands": 32},
+                min_tokens=2, max_tokens=10_000,
+            )
+        assert any("fuzzy knobs" in str(w.message) for w in caught)
+        res.documents.collect()  # mismatch warns but still runs
+        # matching knobs (same-batch re-run keeps its source key): no
+        # error, no fuzzy warning
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            res2 = curate_increment(
+                spark, root, batch, source_fingerprint="kb-day1",
+                fuzzy={"threshold": 0.5}, min_tokens=2,
+                max_tokens=10_000,
+            )
+            res2.documents.collect()
+        assert not any("fuzzy knobs" in str(w.message) for w in caught)
 
     def test_verified_path_max_bucket_cap_warns_and_bounds(self, spark):
         """With verification on, a planted hot bucket (identical docs
