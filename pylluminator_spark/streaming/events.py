@@ -473,6 +473,7 @@ def streaming_fuzzy_dedup_to_store(
         lsh_band_table,
         minhash_signature,
     )
+    from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
     bands_dir = _os.path.join(store_dir, "bands")
     docs_dir = _os.path.join(store_dir, "docs")
@@ -487,29 +488,41 @@ def streaming_fuzzy_dedup_to_store(
             )
 
     def _process(batch_df, batch_id: int) -> None:
+        # checkpoints route through the package policy (reliable-dir
+        # conf honored); foreachBatch replay + batch_id-overwrite keeps
+        # executor loss recoverable either way, so the policy here buys
+        # consistency, not correctness
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = stable_checkpoint(batch_df)
+        # the batch's band table is computed ONCE and reused for the
+        # probe AND the store append (the survivors' bands are a filter
+        # of it, not a re-run of the signature map)
+        batch_bands = stable_checkpoint(band_fn(batch_df))
         if _os.path.isdir(bands_dir):
             idx = spark.read.parquet(bands_dir).select(
                 id_col, "_band", "_band_hash"
             )
         else:  # unseeded store: the first batch probes an empty index
-            idx = band_fn(batch_df).limit(0).select(
+            idx = batch_bands.limit(0).select(
                 id_col, "_band", "_band_hash"
             )
-        surv = dedup_minhash_lsh_against(
-            batch_df,
-            idx,
-            None,
-            id_col=id_col,
-            text_col=text_col,
-            threshold=None,
-            new_bands=band_fn(batch_df),
-        ).localCheckpoint(eager=True)
+        surv = stable_checkpoint(
+            dedup_minhash_lsh_against(
+                batch_df,
+                idx,
+                None,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=None,
+                new_bands=batch_bands,
+            )
+        )
         surv.write.mode("overwrite").parquet(
             _os.path.join(docs_dir, f"batch_id={batch_id}")
         )
-        band_fn(surv).write.mode("overwrite").parquet(
+        batch_bands.join(
+            surv.select(id_col), id_col, "left_semi"
+        ).write.mode("overwrite").parquet(
             _os.path.join(bands_dir, f"batch_id={batch_id}")
         )
 
