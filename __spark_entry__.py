@@ -1257,10 +1257,14 @@ def _doc_tokens_df(
         F.explode(F.array_distinct(tokens_expr(F.lower(F.col("text"))))).alias("token"),
     )
     from pylluminator_spark.operators.ordered import with_global_rank
+    from pylluminator_spark.plans.checkpoint import stable_checkpoint
 
     # dense token ids via a *distributed* global rank (vocabulary grows with
-    # the corpus; a bare row_number window would funnel it to one task)
-    distinct_toks = toks.select("token").distinct().persist()
+    # the corpus; a bare row_number window would funnel it to one task).
+    # stable_checkpoint, not persist: an explicit persist stays pinned in
+    # the cache manager across repeated bench/emu invocations in one
+    # session, while checkpointed blocks release when unreferenced
+    distinct_toks = stable_checkpoint(toks.select("token").distinct())
     vocab = with_global_rank(
         distinct_toks, ["token"], "tid", n_rows=distinct_toks.count()
     ).withColumn("tid", F.col("tid").cast("int"))
@@ -8628,7 +8632,9 @@ def q_dedup_fuzzy_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(tokens_expr(F.lower(F.col("text"))))
         ).alias("token"),
     )
-    distinct_toks = toks.select("token").distinct().persist()
+    # stable_checkpoint like the neighboring intermediates — a bare
+    # persist would pin cached blocks across repeated invocations
+    distinct_toks = stable_checkpoint(toks.select("token").distinct())
     vocab = with_global_rank(
         distinct_toks, ["token"], "tid", n_rows=distinct_toks.count()
     ).withColumn("tid", F.col("tid").cast("long"))

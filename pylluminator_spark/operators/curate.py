@@ -655,14 +655,23 @@ def _stage_inc_dedup_paragraphs(
         dedup_paragraphs_against,
     )
 
+    # content_fp rides the reassembly join as a passenger exactly like
+    # the base pipeline's _stage_dedup_paragraphs, so INCREMENT
+    # generations' gate parquet also ends up carrying BOTH fingerprint
+    # columns — without this, later increments' doc-fp probe of an
+    # increment generation would fall back to the semi-join path
+    # against its inc_dedup_exact stage instead of the one-scan gate
+    # fast path (ADVICE r11)
+    carry = ("content_fp",) if "content_fp" in batch.columns else ()
     out = dedup_paragraphs_against(
-        batch.select(doc_col, text_col),
+        batch.select(doc_col, text_col, *carry),
         _gated_fp_union(refs, text_col, doc_col, kind="para"),
         text_col=text_col,
         id_col=doc_col,
         min_chars=min_chars,
         existing_fps_col="_exfp",
         keep_fps_col="para_fps",
+        carry_cols=carry,
     )
     return out.select(
         doc_col,
@@ -670,6 +679,7 @@ def _stage_inc_dedup_paragraphs(
         "n_paras_kept",
         "n_paras_dropped",
         "para_fps",
+        *carry,
     )
 
 
@@ -1240,13 +1250,21 @@ def curate_increment(
         paragraph-suppression reference (it carries ``para_fps`` of the
         POST-cut surviving paragraphs; paragraphs ccnet dropped exist
         nowhere in the corpus) — and a ``fuzzy_name`` near-dedup stage
-        between paragraphs and exact, walked through. Returns the
-        string 'gc' when the chain's NAMES resolve but a stage's
-        parquet is gone (garbage-collected mid-chain) — the caller
-        warns, since a live generation that can no longer be probed
-        means previously suppressed duplicates could re-enter; None
-        when the entry belongs to a different pipeline shape (not an
-        error)."""
+        between paragraphs and exact, walked through.
+
+        GATE-ONLY FALLBACK (ADVICE r11): when the intermediate stages'
+        parquet was deleted (ledger rows intact) but the GATE parquet
+        survives AND carries the ``content_fp``/``para_fps`` passenger
+        columns, the gate stands in for the missing refs — the
+        ``_gated_fp_union`` fast path probes the gate alone anyway, so
+        such a generation keeps suppressing duplicates exactly as
+        documented ("old generations can gc every intermediate stage
+        keeping only their gate parquet"). Returns the string 'gc'
+        only when the generation truly cannot be probed (gate parquet
+        gone, or a pre-fingerprint gate without passenger columns) —
+        the caller warns, since previously suppressed duplicates could
+        re-enter; None when the entry belongs to a different pipeline
+        shape (not an error)."""
         paras_key = (gate_entry.get("inputs") or [None])[0]
         paras_entry = m.entry(paras_key) if paras_key else None
         if paras_entry and paras_entry.get("name") == ccnet_name:
@@ -1271,7 +1289,13 @@ def curate_increment(
         gate_ref = m.by_key(gate_entry["key"])
         exact_ref = m.by_key(exact_key)
         paras_ref = m.by_key(paras_key)
-        if gate_ref is None or paras_ref is None or exact_ref is None:
+        if gate_ref is None:
+            return "gc"
+        if paras_ref is None or exact_ref is None:
+            # gate-only generation: probe through the gate's persisted
+            # fingerprint passengers (fast path) — see docstring
+            if {"content_fp", "para_fps"} <= set(gate_ref.df.columns):
+                return gate_ref, gate_ref, gate_ref, fuzzy_entry
             return "gc"
         return exact_ref, paras_ref, gate_ref, fuzzy_entry
 
@@ -1399,16 +1423,23 @@ def curate_increment(
     # identical re-runs pure cache hits instead of re-keying against
     # their own output.
     def _batch_root(exact_ref) -> str:
-        exact_entry = m.entry(exact_ref.key) or {}
-        src = (exact_entry.get("inputs") or [exact_ref.key])[0]
-        # walk through the optional pre-dedup batch stages (langid,
-        # domain filter) to the batch's FRAME-SOURCE key — the stable
-        # identity a re-run with refit models / changed policy knobs
-        # must still resolve to (else a batch's own prior run would
-        # look like a different batch and self-suppress it)
+        # walk inputs[0] through every increment stage — including the
+        # optional pre-dedup ones (langid, domain filter) — down to the
+        # batch's FRAME-SOURCE key: the stable identity a re-run with
+        # refit models / changed policy knobs must still resolve to
+        # (else a batch's own prior run would look like a different
+        # batch and self-suppress it). Starting from the ref's own key
+        # lets a GATE-ONLY chain (whose ref is the inc_quality_gate
+        # stage) resolve identically to an intact one.
+        src = exact_ref.key
         while True:
             src_entry = m.entry(src)
             if src_entry and src_entry.get("name") in (
+                "inc_quality_gate",
+                "inc_ccnet_filter",
+                "inc_dedup_paragraphs",
+                "inc_fuzzy_dedup",
+                "inc_dedup_exact",
                 "inc_langid_filter",
                 "inc_domain_filter",
             ):

@@ -93,8 +93,16 @@ def dedup_exact(
     that name — persist it (it costs 8 B/doc in parquet) and later
     increments probe the fingerprint COLUMN instead of re-hashing the
     corpus text (``dedup_exact_against(existing_fp_col=...)``): a
-    column-pruned scan that never reads the text bytes.
+    column-pruned scan that never reads the text bytes. An INPUT
+    column of the same name (e.g. an already-curated frame fed back
+    through) is replaced by the freshly-computed fingerprint — never
+    duplicated into an ambiguous pair.
     """
+    # recompute, never trust a stale same-named input column (the text
+    # may have changed since it was stamped); drop it pre-rename so the
+    # output carries exactly one fingerprint column
+    if keep_fp_col is not None:
+        df = df.drop(keep_fp_col)
     with_fp = df.withColumn("_fp", content_fp_expr(text_col, normalize))
     if prefer_col is None:
         keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
@@ -143,12 +151,24 @@ def dedup_exact_against(
     always drops regardless of preference (the corpus keeps its copy;
     an increment cannot swap it). ``keep_fp_col`` keeps the batch
     fingerprint in the output (so THIS increment's store can be probed
-    by the next one), as in ``dedup_exact``.
+    by the next one), as in ``dedup_exact`` — a same-named input
+    column is replaced, never duplicated.
+
+    EAGER: calling this runs one Spark job immediately — the
+    within-batch winners are materialized via ``stable_checkpoint``
+    (they feed both the broadcast fingerprint set and the final anti
+    join; unmaterialized, the batch dedup would execute twice). Plan
+    inspection therefore triggers batch-sized work at call time, and
+    with a reliable checkpoint dir configured the checkpoint files
+    accumulate unless ``spark.cleaner.referenceTracking
+    .cleanCheckpoints`` is set.
     """
 
     def _fp() -> Column:
         return content_fp_expr(text_col, normalize)
 
+    if keep_fp_col is not None:  # replace, never duplicate (see above)
+        new_docs = new_docs.drop(keep_fp_col)
     batch = new_docs.withColumn("_fp", _fp())
     if prefer_col is None:
         keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))

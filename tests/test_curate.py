@@ -846,10 +846,59 @@ class TestFingerprintProbes:
                 min_tokens=2, max_tokens=10_000,
             )
 
+    def test_gate_only_generation_still_suppresses(
+        self, spark, docs, tmp_path
+    ):
+        """ADVICE r11 (medium): gc'ing a fingerprint-era generation's
+        INTERMEDIATE stage parquet is not a loss — its gate carries
+        content_fp + para_fps, so the chain walks fall back to
+        gate-only probing (no warning) and planted duplicates are
+        still suppressed, exactly as the _stage_quality_gate docstring
+        promises."""
+        import shutil
+        import warnings as _warnings
+
+        from pylluminator_spark.operators.curate import curate_increment
+
+        root = str(tmp_path / "m")
+        _run(spark, docs, root)
+        b1 = spark.createDataFrame(
+            [(700, "aa", "first day increment body words")],
+            "doc_id long, lang string, text string",
+        )
+        r1 = curate_increment(
+            spark, root, b1, source_fingerprint="day1",
+            min_tokens=2, max_tokens=10_000,
+        )
+        shutil.rmtree(r1.stages["inc_dedup_exact"].path)
+        shutil.rmtree(r1.stages["inc_dedup_paragraphs"].path)
+        b2 = spark.createDataFrame(
+            [
+                # exact dup of day1 doc 700 — the gate-only generation
+                # must still suppress it
+                (750, "aa", "first day increment body words"),
+                (751, "aa", "second day genuinely fresh body words"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            r2 = curate_increment(
+                spark, root, b2, source_fingerprint="day2",
+                min_tokens=2, max_tokens=10_000,
+            )
+        assert not any(
+            "gc'd stage parquet" in str(w.message) for w in caught
+        )
+        assert sorted(
+            r.doc_id for r in r2.documents.collect()
+        ) == [751]
+
     def test_gcd_generation_warns(self, spark, docs, tmp_path):
-        """A prior increment whose stage parquet was garbage-collected
-        mid-chain can no longer suppress duplicates — the next
-        increment must say so instead of silently skipping it."""
+        """A generation that truly cannot be probed — a
+        PRE-FINGERPRINT gate (no passenger columns) whose intermediate
+        stage parquet is gone — can no longer suppress duplicates; the
+        next increment must say so instead of silently skipping it."""
         import shutil
 
         from pylluminator_spark.operators.curate import curate_increment
@@ -865,6 +914,17 @@ class TestFingerprintProbes:
             min_tokens=2, max_tokens=10_000,
         )
         shutil.rmtree(r1.stages["inc_dedup_exact"].path)
+        # strip the fingerprint passengers from the generation's gate
+        # parquet (simulating a pre-r11 pipeline's format) — the
+        # gate-only fallback cannot engage without them
+        gate_path = r1.stages["inc_quality_gate"].path
+        legacy = (
+            spark.read.parquet(gate_path)
+            .drop("content_fp", "para_fps")
+            .toPandas()
+        )
+        shutil.rmtree(gate_path)
+        spark.createDataFrame(legacy).write.parquet(gate_path)
         b2 = spark.createDataFrame(
             [(750, "aa", "second day increment body words")],
             "doc_id long, lang string, text string",
