@@ -184,6 +184,15 @@ class PipelineManifest:
     >>> clean = m.stage("clean", clean_fn, [docs], {"min_len": 50})
     >>> stats = m.stage("stats", stats_fn, [clean], {})
     second run: every .stage() call returns from_cache=True instantly.
+
+    CONCURRENCY: two runs sharing one root (e.g. two increments
+    curating against the same corpus) are safe at the storage layer —
+    stage parquet publishes via write-to-temp + atomic rename (the
+    same-key loser discards its copy and reads the winner's), and
+    ledger appends are single O_APPEND write syscalls (line-atomic;
+    a torn tail from a killed writer is skipped on reload). The runs'
+    RESULTS remain order-dependent as documented in curate_increment —
+    whichever generation lands first is visible to later chain walks.
     """
 
     _LEDGER = "ledger.jsonl"
@@ -197,9 +206,17 @@ class PipelineManifest:
         if os.path.exists(ledger):
             with open(ledger) as fh:
                 for line in fh:
-                    if line.strip():
+                    if not line.strip():
+                        continue
+                    try:
                         e = json.loads(line)
-                        self._entries[e["key"]] = e
+                    except ValueError:
+                        # torn tail line (writer killed mid-append):
+                        # its stage either has no parquet (recomputed
+                        # cleanly) or gets re-appended on next reuse —
+                        # never worth failing the whole store over
+                        continue
+                    self._entries[e["key"]] = e
 
     # -- sources ---------------------------------------------------------
 
@@ -277,7 +294,7 @@ class PipelineManifest:
                 path=out_dir,
                 from_cache=True,
             )
-        df.write.mode("overwrite").parquet(out_dir)
+        won = self._publish(df, out_dir)
         entry = {
             "key": key,
             "name": name,
@@ -289,13 +306,14 @@ class PipelineManifest:
         }
         if meta:
             entry["meta"] = meta
-        self._append(entry)
+        if won or key not in self._entries:
+            self._append(entry)
         return StageRef(
             name=name,
             key=key,
             df=self.spark.read.parquet(out_dir),
             path=out_dir,
-            from_cache=False,
+            from_cache=not won,
         )
 
     # -- stages ----------------------------------------------------------
@@ -350,7 +368,7 @@ class PipelineManifest:
                 from_cache=True,
             )
         df = fn(self.spark, *[i.df for i in inputs], **params)
-        df.write.mode("overwrite").parquet(out_dir)
+        won = self._publish(df, out_dir)
         out = self.spark.read.parquet(out_dir)
         entry = {
             "key": key,
@@ -361,15 +379,55 @@ class PipelineManifest:
             "path": out_dir,
             "written_at": time.time(),
         }
-        self._append(entry)
+        if won or key not in self._entries:
+            self._append(entry)
         return StageRef(
-            name=name, key=key, df=out, path=out_dir, from_cache=False
+            name=name, key=key, df=out, path=out_dir, from_cache=not won
         )
+
+    def _publish(self, df: DataFrame, out_dir: str) -> bool:
+        """Materialize ``df`` at ``out_dir`` atomically: write to a
+        process-unique sibling temp dir, then ``os.rename`` into place
+        — so a CONCURRENT run materializing the same content key never
+        interleaves files with this one (the loser's rename fails, it
+        discards its temp copy and reads the winner's — same content
+        key, same bytes semantically). A leftover dir WITHOUT a
+        ``_SUCCESS`` marker (a run killed mid-write, before this
+        rename discipline's temp dir even — or a torn temp) is swept
+        first. Returns False when another run won the rename. Local
+        filesystem semantics (POSIX atomic rename); an object-store
+        root would need a conditional-put equivalent."""
+        import shutil
+        import uuid
+
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if os.path.isdir(out_dir) and not os.path.exists(marker):
+            shutil.rmtree(out_dir, ignore_errors=True)
+        tmp = f"{out_dir}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, out_dir)
+            return True
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
 
     def _append(self, entry: dict) -> None:
         self._entries[entry["key"]] = entry
-        with open(os.path.join(self.root, self._LEDGER), "a") as fh:
-            fh.write(json.dumps(entry) + "\n")
+        # one O_APPEND write syscall per line: concurrent appenders
+        # (two increments curating against the same root) interleave
+        # at line granularity, never inside a line; duplicate rows for
+        # a key are harmless (reload is last-wins on identical content)
+        line = (json.dumps(entry) + "\n").encode()
+        fd = os.open(
+            os.path.join(self.root, self._LEDGER),
+            os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+            0o644,
+        )
+        try:
+            os.write(fd, line)
+        finally:
+            os.close(fd)
 
     def entry(self, key: str) -> dict | None:
         """The ledger row for ``key`` (name, inputs, params, path), or

@@ -263,3 +263,91 @@ def test_frame_source_default_tracks_inplace_rewrite(spark, tmp_path):
     r2 = m.frame_source("s", spark.read.parquet(src))
     assert r1.key != r2.key
     assert [tuple(r) for r in r2.df.collect()] == [(2, "y")]
+
+
+# ---------------------------------------------------------------------------
+# r12: concurrency hardening — atomic publish + line-atomic ledger appends
+# ---------------------------------------------------------------------------
+
+
+def test_torn_ledger_tail_line_is_skipped(spark, tmp_path):
+    """A writer killed mid-append leaves a torn (non-JSON) tail line;
+    reload must skip it instead of failing the whole store, and the
+    affected stage simply recomputes / re-appends on next use."""
+    import os
+
+    from pylluminator_spark.plans.manifest import PipelineManifest
+
+    root = str(tmp_path / "m")
+    docs = spark.createDataFrame(
+        [("aa", 10), ("bb", 3)], "lang string, n_chars int"
+    )
+    m = PipelineManifest(spark, root)
+    src = m.frame_source("docs", docs, "v1")
+    m.stage("stats", _stats_fn, [src], {"min_chars": 0})
+    with open(os.path.join(root, "ledger.jsonl"), "a") as fh:
+        fh.write('{"key": "half-writ')  # torn tail, no newline
+    m2 = PipelineManifest(spark, root)
+    ref = m2.stage("stats", _stats_fn, [src], {"min_chars": 0})
+    assert ref.from_cache  # intact rows all loaded
+    assert {tuple(r) for r in ref.df.collect()} == {("aa", 1), ("bb", 1)}
+
+
+def test_partial_stage_dir_without_success_is_replaced(spark, tmp_path):
+    """A stage dir left by a run killed mid-write (no _SUCCESS marker)
+    must be swept and rewritten, not trusted or collided with."""
+    import os
+
+    from pylluminator_spark.plans.manifest import PipelineManifest
+
+    root = str(tmp_path / "m")
+    docs = spark.createDataFrame(
+        [("aa", 10)], "lang string, n_chars int"
+    )
+    m = PipelineManifest(spark, root)
+    src = m.frame_source("docs", docs, "v1")
+    key = m.stage_key(
+        "stats", [src], {"min_chars": 0},
+        __import__(
+            "pylluminator_spark.plans.manifest", fromlist=["x"]
+        )._fn_fingerprint(_stats_fn),
+    )
+    partial = os.path.join(root, key)
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    ref = m.stage("stats", _stats_fn, [src], {"min_chars": 0})
+    assert not ref.from_cache
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+    assert {tuple(r) for r in ref.df.collect()} == {("aa", 1)}
+
+
+def test_concurrent_same_key_publish_loser_reads_winner(spark, tmp_path):
+    """Two runs materializing the same content key: the rename loser
+    discards its temp copy and reads the winner's parquet (simulated
+    by wiping the ledger so a fresh manifest recomputes a key whose
+    parquet a 'winner' already published)."""
+    import os
+
+    from pylluminator_spark.plans.manifest import PipelineManifest
+
+    root = str(tmp_path / "m")
+    docs = spark.createDataFrame(
+        [("aa", 10), ("bb", 3)], "lang string, n_chars int"
+    )
+    m1 = PipelineManifest(spark, root)
+    src = m1.frame_source("docs", docs, "v1")
+    winner = m1.stage("stats", _stats_fn, [src], {"min_chars": 0})
+    os.remove(os.path.join(root, "ledger.jsonl"))
+    m2 = PipelineManifest(spark, root)
+    src2 = m2.frame_source("docs", docs, "v1")
+    loser = m2.stage("stats", _stats_fn, [src2], {"min_chars": 0})
+    assert loser.key == winner.key
+    assert {tuple(r) for r in loser.df.collect()} == {
+        ("aa", 1), ("bb", 1)
+    }
+    # no temp leftovers, and the ledger row is restored
+    leftovers = [d for d in os.listdir(root) if ".tmp-" in d]
+    assert leftovers == []
+    m3 = PipelineManifest(spark, root)
+    assert m3.entry(winner.key) is not None
