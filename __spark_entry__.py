@@ -8786,19 +8786,38 @@ def q_curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch duplicate pairs (lowest id survives). Suppression is
     gate-filtered: content the base REJECTED never suppresses. Same
     per-(SF, pid) temp-root discipline as q_curate_corpus."""
+    return _curate_increment_impl(spark, sf_dir, gc=False)
+
+
+def q_curate_gc_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_increment after curate_gc (new r12): the base generation's
+    INTERMEDIATE stage parquet is deleted between the base run and the
+    increment (operators.curate.curate_gc — gates keep their fingerprint
+    passenger columns, so the chain walk probes gate-only), and the
+    increment must produce EXACTLY the same curated batch as the intact
+    path — same DuckDB oracle as curate_increment_corpus, which is the
+    point: storage reclamation is invisible to dedup results."""
+    return _curate_increment_impl(spark, sf_dir, gc=True)
+
+
+def _curate_increment_impl(
+    spark: SparkSession, sf_dir: str, *, gc: bool
+) -> DataFrame:
     import glob
     import os
     import shutil
     import tempfile
 
     from pylluminator_spark.operators.curate import (
+        curate_gc,
         curate_increment,
         curate_pipeline,
     )
 
+    tag = "curate_gc_gate_" if gc else "curate_inc_gate_"
     prefix = os.path.join(
         tempfile.gettempdir(),
-        "curate_inc_gate_" + sf_dir.strip("/").replace("/", "_") + "_pid",
+        tag + sf_dir.strip("/").replace("/", "_") + "_pid",
     )
     for stale in glob.glob(prefix + "*"):
         try:
@@ -8831,6 +8850,12 @@ def q_curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens=100_000,
         pack_budget=None,
     )
+    if gc:
+        # reclaim the base's intermediate stage parquet — the increment
+        # below must suppress through the gate's fingerprint passengers
+        # alone and still hash-match the intact path's oracle
+        stats = curate_gc(spark, root, keep_latest_base=False)
+        assert stats["removed"] and not stats["skipped"]
     batch = (
         # exact copies of base docs -> suppressed against the corpus
         docs.filter(d % 6 == 0)
@@ -9275,8 +9300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "skyline_frontier": q_skyline_frontier,
         # ---- end of the 50 gated slots ------------------------------
-        # -- 5. r13 queue head: the remaining 38 r9-green entries (r9
-        # gate order — the oldest rows after this round) ---------------
+        # -- 4b. r12 addition (never gated -- r13 queue head): gc'd
+        # generations keep suppressing through gate-only probes -------
+        "curate_gc_inc": q_curate_gc_inc,
+        # -- 5. then the remaining 38 r9-green entries (r9 gate order
+        # — the oldest rows after this round) --------------------------
         "snapshot_diff": q_snapshot_diff,
         "inverted_postings": q_inverted_postings,
         "json_extract_agg": q_json_extract_agg,
@@ -9429,6 +9457,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_best": ORACLE_DEDUP_EXACT_BEST,
         "dedup_fuzzy_inc": ORACLE_DEDUP_FUZZY_INC,
         "curate_increment_corpus": ORACLE_CURATE_INCREMENT,
+        # same oracle on purpose: curate_gc must be invisible to results
+        "curate_gc_inc": ORACLE_CURATE_INCREMENT,
         "stream_fuzzy_inc": ORACLE_STREAM_FUZZY_INC,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,

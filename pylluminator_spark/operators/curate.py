@@ -1574,8 +1574,28 @@ def curate_increment(
         # gate_bands stage (or the fuzzy knob entirely) gets both
         # stages built exactly once through the manifest cache, then
         # every later increment reuses them
-        gen_gate_bands = [
-            m.stage(
+
+        def _gen_gate_bands(c):
+            # by-gate lookup FIRST: a gc'd (gate-only) generation's
+            # chain ref is its gate, so rebuilding the band stage keyed
+            # off it would re-band the gate text even though the
+            # generation's original gate_bands parquet survives — find
+            # any live gate_bands row for this GATE whose band input
+            # was built under the same knobs and reuse it directly
+            for e in m.entries_named("gate_bands"):
+                if (e.get("inputs") or [None, None])[1] != c[2].key:
+                    continue
+                bp = (
+                    m.entry((e.get("inputs") or [None])[0]) or {}
+                ).get("params") or {}
+                if all(
+                    bp.get(k) == bands_params[k]
+                    for k in ("num_hashes", "bands", "shingle_size")
+                ):
+                    ref = m.by_key(e["key"])
+                    if ref is not None:
+                        return ref
+            return m.stage(
                 "gate_bands",
                 _stage_gate_bands,
                 [
@@ -1587,8 +1607,8 @@ def curate_increment(
                 ],
                 {"doc_col": doc_col},
             )
-            for c in chains
-        ]
+
+        gen_gate_bands = [_gen_gate_bands(c) for c in chains]
         cur = m.stage(
             "inc_fuzzy_dedup",
             _stage_inc_fuzzy_dedup,
@@ -1692,3 +1712,126 @@ def curate_increment(
         res.stages["inc_pack"] = packed
         res.sequences = packed.df
     return res
+
+
+# --------------------------------------------------------------------------
+# storage reclamation: keep gates (and their band indexes), drop the rest
+# --------------------------------------------------------------------------
+
+#: stage names whose parquet curate_gc may reclaim — every intermediate
+#: of both pipeline shapes. Gates, packs, and gate_bands are never here.
+_GC_DROPPABLE = frozenset(
+    {
+        "domain_filter",
+        "langid_filter",
+        "dedup_exact",
+        "fuzzy_dedup",
+        "dedup_paragraphs",
+        "ccnet_filter",
+        "inc_domain_filter",
+        "inc_langid_filter",
+        "inc_dedup_exact",
+        "inc_fuzzy_dedup",
+        "inc_dedup_paragraphs",
+        "inc_ccnet_filter",
+    }
+)
+
+
+def curate_gc(
+    spark: SparkSession,
+    manifest_root: str,
+    *,
+    keep_latest_base: bool = True,
+    dry_run: bool = False,
+) -> dict[str, list[str]]:
+    """Reclaim the storage of curated generations' INTERMEDIATE stage
+    parquet, keeping only what future increments probe: each
+    generation's quality-gate parquet (which carries the ``content_fp``
+    / ``para_fps`` fingerprint passengers — the one-scan suppression
+    reference), its ``gate_bands`` LSH index (the fuzzy probe), and any
+    ``pack`` outputs. At 100 TB the intermediates are several times the
+    curated corpus (every stage materializes doc+text); the probes the
+    increments actually run never read them once the gate exists.
+
+    This is the operation the gate-only fallback in
+    ``curate_increment``'s chain walk exists for: ledger rows are KEPT
+    (chain topology, params, batch identity all stay resolvable — only
+    the data directories go), so a gc'd generation keeps suppressing
+    duplicates through its gate, with no warning and no behavior
+    change. ``manifest.gc`` is the complementary operation (drop whole
+    unreferenced chains, ledger rows included).
+
+    A generation is reclaimed ONLY when its gate parquet is live and
+    carries BOTH fingerprint columns (a pre-fingerprint generation's
+    intermediates are its only probe surface — those chains are
+    reported in ``skipped`` and left intact). A ``fuzzy_bands`` corpus
+    index is reclaimed only when a live ``gate_bands`` built from it
+    exists. ``keep_latest_base`` protects the newest complete base
+    run's full chain (cheap insurance for param-tweak reruns, which
+    cache-hit its stages). ``dry_run`` reports without deleting.
+
+    Returns ``{"removed": [keys], "kept": [keys], "skipped": [gate
+    keys of unprobeable chains]}``.
+    """
+    import os
+    import shutil
+
+    m = PipelineManifest(spark, manifest_root)
+    removed: list[str] = []
+    kept: list[str] = []
+    skipped: list[str] = []
+
+    def _live(key: str) -> bool:
+        e = m.entry(key)
+        return bool(
+            e
+            and e.get("path")
+            and os.path.exists(os.path.join(e["path"], "_SUCCESS"))
+        )
+
+    # the newest complete base chain's keys, protected by default
+    protected: set[str] = set()
+    if keep_latest_base:
+        for e in reversed(m.entries_named("quality_gate")):
+            ref = m.by_key(e["key"])
+            if ref is None:
+                continue
+            protected.add(e["key"])
+            protected.update(m.ancestors(e["key"]))
+            break
+
+    gates = m.entries_named("quality_gate") + m.entries_named(
+        "inc_quality_gate"
+    )
+    candidates: set[str] = set()
+    for g in gates:
+        ref = m.by_key(g["key"])
+        if ref is None:
+            continue
+        if not {"content_fp", "para_fps"} <= set(ref.df.columns):
+            skipped.append(g["key"])
+            continue
+        # walk the generation's chain collecting droppable stages
+        key = (g.get("inputs") or [None])[0]
+        while key is not None:
+            e = m.entry(key)
+            if not e or e.get("name") not in _GC_DROPPABLE:
+                break
+            candidates.add(key)
+            key = (e.get("inputs") or [None])[0]
+    # corpus band indexes whose gate-filtered stage is live
+    for e in m.entries_named("gate_bands"):
+        bands_key = (e.get("inputs") or [None])[0]
+        if bands_key and _live(e["key"]) and _live(bands_key):
+            candidates.add(bands_key)
+    for key in sorted(candidates):
+        if key in protected:
+            kept.append(key)
+            continue
+        if not _live(key):
+            continue
+        if not dry_run:
+            shutil.rmtree(m.entry(key)["path"], ignore_errors=True)
+        removed.append(key)
+    return {"removed": removed, "kept": kept, "skipped": skipped}

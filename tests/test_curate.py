@@ -1816,3 +1816,122 @@ def test_all_optional_stages_compose(spark, tmp_path):
     assert all(
         v for k, v in inc2.from_cache.items() if k.startswith("inc_")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: storage reclamation — curate_gc keeps gates + band indexes only
+# ---------------------------------------------------------------------------
+
+
+class TestCurateGC:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_gc_reclaims_intermediates_and_increments_still_work(
+        self, spark, tmp_path
+    ):
+        import os
+        import warnings as _warnings
+
+        from pylluminator_spark.operators.curate import (
+            curate_gc,
+            curate_increment,
+        )
+        from pylluminator_spark.plans.manifest import PipelineManifest
+
+        root = str(tmp_path / "m")
+        docs = self._mk(spark, [(1, NEAR_A), (2, UNIQUE_C)])
+        base = curate_pipeline(
+            spark, root, docs, source_fingerprint="gc-base",
+            keep_lang=None, fuzzy={"threshold": None},
+            min_tokens=2, pack_budget=None,
+        )
+        b1 = self._mk(
+            spark,
+            [(10, "first increment content about aqueduct maintenance "
+                  "schedules and roman concrete formulas")],
+        )
+        r1 = curate_increment(
+            spark, root, b1, source_fingerprint="gc-day1",
+            fuzzy={"threshold": None}, min_tokens=2, max_tokens=10_000,
+        )
+        # dry run: reports, deletes nothing
+        plan = curate_gc(
+            spark, root, keep_latest_base=False, dry_run=True
+        )
+        assert plan["removed"] and not plan["skipped"]
+        assert os.path.exists(base.stages["dedup_exact"].path)
+        stats = curate_gc(spark, root, keep_latest_base=False)
+        assert sorted(stats["removed"]) == sorted(plan["removed"])
+        for name in ("dedup_exact", "fuzzy_dedup", "dedup_paragraphs"):
+            assert not os.path.exists(base.stages[name].path), name
+        assert not os.path.exists(base.stages["fuzzy_bands"].path)
+        assert not os.path.exists(r1.stages["inc_dedup_exact"].path)
+        # the probe surfaces survive
+        assert os.path.exists(base.stages["quality_gate"].path)
+        assert os.path.exists(base.stages["gate_bands"].path)
+        assert os.path.exists(r1.stages["inc_quality_gate"].path)
+        assert os.path.exists(r1.stages["gate_bands"].path)
+        # post-gc increment: exact dups of BOTH generations and a
+        # near-dup of the base all suppressed, no gc warnings, and the
+        # stored gate_bands are reused (the only live fuzzy_bands
+        # afterwards is the new batch's own — nothing re-banded)
+        b2 = self._mk(
+            spark,
+            [
+                (20, NEAR_A),       # exact dup of base doc 1
+                (21, NEAR_B),       # near-dup of base doc 1 (bands)
+                (22, "first increment content about aqueduct "
+                     "maintenance schedules and roman concrete "
+                     "formulas"),   # exact dup of increment doc 10
+                (23, "genuinely fresh post-gc content about tide "
+                     "mills and medieval grain milling output"),
+            ],
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            r2 = curate_increment(
+                spark, root, b2, source_fingerprint="gc-day2",
+                fuzzy={"threshold": None}, min_tokens=2,
+                max_tokens=10_000,
+            )
+        assert not any(
+            "gc'd stage parquet" in str(w.message) for w in caught
+        )
+        assert sorted(
+            r.doc_id for r in r2.documents.collect()
+        ) == [23]
+        m = PipelineManifest(spark, root)
+        live_bands = m.entries_named("fuzzy_bands")
+        assert len(live_bands) == 1  # the new batch's own, nothing else
+
+    def test_gc_protects_latest_base_and_skips_legacy(
+        self, spark, tmp_path
+    ):
+        import os
+        import shutil
+
+        from pylluminator_spark.operators.curate import curate_gc
+
+        root = str(tmp_path / "m")
+        docs = self._mk(spark, [(1, NEAR_A), (2, UNIQUE_C)])
+        base = curate_pipeline(
+            spark, root, docs, source_fingerprint="gc2-base",
+            keep_lang=None, min_tokens=2, pack_budget=None,
+        )
+        stats = curate_gc(spark, root)  # keep_latest_base=True
+        assert stats["removed"] == []
+        assert os.path.exists(base.stages["dedup_exact"].path)
+        # a legacy gate (no fingerprint passengers) is never reclaimed
+        gate_path = base.stages["quality_gate"].path
+        legacy = (
+            spark.read.parquet(gate_path)
+            .drop("content_fp", "para_fps")
+            .toPandas()
+        )
+        shutil.rmtree(gate_path)
+        spark.createDataFrame(legacy).write.parquet(gate_path)
+        stats = curate_gc(spark, root, keep_latest_base=False)
+        assert stats["removed"] == []
+        assert stats["skipped"] == [base.stages["quality_gate"].key]
+        assert os.path.exists(base.stages["dedup_exact"].path)
