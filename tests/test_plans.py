@@ -218,8 +218,10 @@ SCALAR_AGG_OK = [
     # composed incremental curation: base + increment materialize
     # eagerly through the manifest (fingerprint-probe anti joins,
     # broadcast batch fps); the RETURNED plan is a pruned scan of the
-    # increment's gate-stage parquet
-    "curate_increment_corpus",
+    # increment's gate-stage parquet. curate_gc_inc is the same chain
+    # with curate_gc between base and increment (gate-only probing —
+    # r12), identical returned-plan shape
+    "curate_increment_corpus", "curate_gc_inc",
     # incremental dedup vs an existing corpus: within-batch hash dedup
     # + broadcast fingerprint probes of the corpus scan — equi joins
     # only, the corpus never shuffles
