@@ -9020,6 +9020,231 @@ FROM qgated WHERE n_tokens BETWEEN 2 AND 100000
 """
 
 
+def q_stream_curate_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FULL-curation ingestion
+    (streaming.events.streaming_curate_to_store, new r12 — composes
+    curate_increment inside foreachBatch): a manifest root is seeded
+    with the q_curate_increment base, then TWO micro-batches drain
+    availableNow (maxFilesPerTrigger=1 over two mtime-ordered files).
+    Batch 1 is exactly q_curate_increment's batch (base dups
+    suppressed via persisted content_fp, footer paragraphs via
+    para_fps, within-batch dups); batch 2 plants exact copies of
+    batch 1's SURVIVORS — suppressed because each drained batch became
+    a curated GENERATION — plus fresh DAY2 bodies (footer suppressed
+    against the base) and a within-batch-2 dup pair. Exactly-once
+    comes from the manifest (batch_id-keyed source fingerprints), not
+    streaming state. Per-(SF, pid) temp roots with dead-pid sweep."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pylluminator_spark.operators.curate import curate_pipeline
+    from pylluminator_spark.streaming.events import (
+        streaming_curate_to_store,
+    )
+
+    prefix = os.path.join(
+        tempfile.gettempdir(),
+        "stream_curate_gate_" + sf_dir.strip("/").replace("/", "_")
+        + "_pid",
+    )
+    for stale in glob.glob(prefix + "*"):
+        try:
+            pid = int(stale.rsplit("pid", 1)[-1])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
+    root = prefix + str(os.getpid())
+    shutil.rmtree(root, ignore_errors=True)
+    mroot = os.path.join(root, "m")
+    store = os.path.join(root, "store")
+    src = os.path.join(root, "src")
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    footer = F.lit("SHARED FOOTER &amp; notices")
+    ptext = F.concat_ws("\n\n", F.substring("text", 1, 80), footer)
+    fresh_text = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("FRESH "), F.substring("text", 1, 80)),
+        footer,
+    )
+    day2_text = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("DAY2 "), F.substring("text", 1, 80)),
+        footer,
+    )
+    curate_pipeline(
+        spark,
+        mroot,
+        docs.select("doc_id", ptext.alias("text")),
+        source_fingerprint="stream-curate-base",
+        keep_lang=None,
+        min_tokens=2,
+        max_tokens=100_000,
+        pack_budget=None,
+    )
+    batch1 = (
+        docs.filter(d % 6 == 0)
+        .select((d + 50000).alias("doc_id"), ptext.alias("text"))
+        .unionByName(
+            docs.filter(d % 6 == 3).select(
+                (d + 70000).alias("doc_id"), fresh_text.alias("text")
+            )
+        )
+        .unionByName(
+            docs.filter((d % 6 == 3) & (d % 12 == 3)).select(
+                (d + 90000).alias("doc_id"), fresh_text.alias("text")
+            )
+        )
+    )
+    batch2 = (
+        # exact copies of batch 1's surviving fresh docs -> suppressed
+        # by the GENERATION batch 1 became in the store
+        docs.filter(d % 6 == 3)
+        .select((d + 150000).alias("doc_id"), fresh_text.alias("text"))
+        .unionByName(
+            docs.filter(d % 6 == 1).select(
+                (d + 170000).alias("doc_id"), day2_text.alias("text")
+            )
+        )
+        .unionByName(
+            docs.filter((d % 6 == 1) & (d % 12 == 1)).select(
+                (d + 190000).alias("doc_id"), day2_text.alias("text")
+            )
+        )
+    )
+    batch1.coalesce(1).write.parquet(os.path.join(src, "f=1"))
+    batch2.coalesce(1).write.parquet(os.path.join(src, "f=2"))
+    # the file stream orders batches by file mtime — pin it explicitly
+    # so batch 1 is ALWAYS the first micro-batch (suppression is
+    # asymmetric: batch 2 dedups against batch 1's generation)
+    now = time.time()
+    for sub, ts in (("f=1", now - 120), ("f=2", now - 60)):
+        for fn in os.listdir(os.path.join(src, sub)):
+            os.utime(os.path.join(src, sub, fn), (ts, ts))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, f int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).drop("f")
+    q = streaming_curate_to_store(
+        stream,
+        mroot,
+        store,
+        checkpoint_location=os.path.join(root, "ckpt"),
+        min_tokens=2,
+        max_tokens=100_000,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(store, "docs"))
+    return out.select(
+        "doc_id", "text", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+# the streaming oracle EXTENDS the increment oracle: batch 1 is that
+# oracle verbatim (CTE'd as b1res), batch 2 re-runs the same chain with
+# suppression sets base ∪ batch-1-survivors
+_CURATE_INC_TAIL = (
+    "SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens\n"
+    "FROM qgated WHERE n_tokens BETWEEN 2 AND 100000\n"
+)
+assert ORACLE_CURATE_INCREMENT.endswith(_CURATE_INC_TAIL)
+ORACLE_STREAM_CURATE_INC = (
+    ORACLE_CURATE_INCREMENT[: -len(_CURATE_INC_TAIL)]
+    + rf""", b1res AS (
+  SELECT doc_id, text, n_tokens FROM qgated
+  WHERE n_tokens BETWEEN 2 AND 100000
+), b1_nrm AS (
+  -- batch 1's persisted content_fp probe: normalized raw text of its
+  -- gate survivors
+  SELECT DISTINCT n.nrm FROM qnorm n JOIN b1res r ON n.doc_id = r.doc_id
+), b1_paras AS (
+  -- batch 1's persisted para_fps probe: its survivors' kept paragraphs
+  SELECT DISTINCT f.para FROM qflag f JOIN b1res r ON f.doc_id = r.doc_id
+  WHERE f.rn = 1 AND f.in_corpus = 0
+), batch2 AS (
+  SELECT doc_id + 150000 AS doc_id,
+         'FRESH ' || substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices' AS t
+  FROM documents WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT doc_id + 170000,
+         'DAY2 ' || substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices'
+  FROM documents WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id + 190000,
+         'DAY2 ' || substr(text, 1, 80) || chr(10) || chr(10)
+           || 'SHARED FOOTER &amp; notices'
+  FROM documents WHERE doc_id % 6 = 1 AND doc_id % 12 = 1
+), rnorm AS (
+  SELECT doc_id, t,
+         array_to_string(list_filter(regexp_split_to_array(lower(t), '\s+'),
+                                     x -> x != ''), ' ') AS nrm
+  FROM batch2
+), rkeep AS (
+  SELECT nrm, MIN(doc_id) AS doc_id FROM rnorm GROUP BY nrm
+), rded AS (
+  SELECT n.doc_id, n.t
+  FROM rnorm n
+  JOIN rkeep k ON n.doc_id = k.doc_id AND n.nrm = k.nrm
+  ANTI JOIN (SELECT nrm FROM base_nrm UNION SELECT nrm FROM b1_nrm) b
+    ON n.nrm = b.nrm
+), rsplit AS (
+  SELECT doc_id, string_split_regex(t, '\n{{2,}}') AS lst FROM rded
+), rparas AS (
+  SELECT doc_id, i AS para_idx, trim(lst[i + 1]) AS para
+  FROM rsplit, LATERAL (SELECT UNNEST(generate_series(0, len(lst) - 1)) AS i) g
+  WHERE trim(lst[i + 1]) <> ''
+), rflag AS (
+  SELECT p.*,
+         ROW_NUMBER() OVER (PARTITION BY p.para
+                            ORDER BY p.doc_id, p.para_idx) AS rn,
+         CASE WHEN bp.para IS NOT NULL THEN 1 ELSE 0 END AS in_corpus
+  FROM rparas p LEFT JOIN (
+    SELECT para FROM base_paras UNION SELECT para FROM b1_paras
+  ) bp ON p.para = bp.para
+), rrebuilt AS (
+  SELECT d.doc_id, COALESCE(r.ct, '') AS ct
+  FROM rded d LEFT JOIN (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+             FILTER (WHERE rn = 1 AND in_corpus = 0) AS ct
+    FROM rflag GROUP BY doc_id
+  ) r ON d.doc_id = r.doc_id
+), rstripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(ct,
+               '{_HTML_BLOCK}', ' ', 'g'),
+               '{_HTML_COMMENT}', ' ', 'g'),
+               '{_HTML_TAG}', ' ', 'g'),
+             '&nbsp;', ' '), '&quot;', '"'), '&apos;', ''''),
+             '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+  FROM rrebuilt
+), rgated AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))
+           AS n_tokens
+  FROM rstripped
+)
+SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM b1res
+UNION ALL
+SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM rgated WHERE n_tokens BETWEEN 2 AND 100000
+"""
+)
+
+
 def _arith_token_band_fn(df):
     """Deterministic banding for the stream-fuzzy gate: documents carry
     SYNTHETIC tokens 'w<v>' with v = (seed*31 + j*7) mod p (see
@@ -9300,9 +9525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "skyline_frontier": q_skyline_frontier,
         # ---- end of the 50 gated slots ------------------------------
-        # -- 4b. r12 addition (never gated -- r13 queue head): gc'd
-        # generations keep suppressing through gate-only probes -------
+        # -- 4b. r12 additions (never gated -- r13 queue head): gc'd
+        # generations keep suppressing through gate-only probes, and
+        # streaming full-curation ingestion ---------------------------
         "curate_gc_inc": q_curate_gc_inc,
+        "stream_curate_inc": q_stream_curate_inc,
         # -- 5. then the remaining 38 r9-green entries (r9 gate order
         # — the oldest rows after this round) --------------------------
         "snapshot_diff": q_snapshot_diff,
@@ -9459,6 +9686,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_increment_corpus": ORACLE_CURATE_INCREMENT,
         # same oracle on purpose: curate_gc must be invisible to results
         "curate_gc_inc": ORACLE_CURATE_INCREMENT,
+        "stream_curate_inc": ORACLE_STREAM_CURATE_INC,
         "stream_fuzzy_inc": ORACLE_STREAM_FUZZY_INC,
         "video_near_dup": ORACLE_VIDEO_NEAR_DUP,
         "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,

@@ -534,6 +534,147 @@ def streaming_fuzzy_dedup_to_store(
     return writer.start()
 
 
+def streaming_curate_to_store(
+    stream: DataFrame,
+    manifest_root: str,
+    store_dir: str,
+    *,
+    checkpoint_location: str | None = None,
+    fingerprint_prefix: str = "stream-batch",
+    **curate_kwargs,
+):
+    """Streaming FULL-curation ingestion: each micro-batch runs the
+    complete incremental-curation chain (``operators.curate.
+    curate_increment`` — policy filters, language ID, exact / fuzzy /
+    paragraph dedup against every curated generation, CCNet cut,
+    quality gate) against the shared ``manifest_root``, then appends
+    the curated survivors to ``<store_dir>/docs/batch_id=N``.
+
+    This composes the two persistence layers the batch pipeline
+    already has, and that composition is the whole design:
+
+    - EXACTLY-ONCE curation falls out of the manifest: the batch's
+      ``source_fingerprint`` is keyed by the streaming ``batch_id``
+      (``<fingerprint_prefix>-<id>``), so a replayed micro-batch
+      (failure/restart under a real ``checkpoint_location``) resolves
+      to the same frame-source key, CACHE-HITS every stage, and
+      overwrites its own store partition instead of duplicating —
+      idempotence from content addressing, not from streaming state.
+    - each drained batch becomes a curated GENERATION: its gate
+      parquet persists the ``content_fp``/``para_fps`` passengers (and
+      its ``gate_bands`` index when ``fuzzy`` is on), so every LATER
+      batch — streaming or batch-mode ``curate_increment`` against the
+      same root — suppresses its duplicates through pruned fingerprint
+      scans. Cross-batch dedup state lives entirely in parquet; the
+      stream side holds ZERO executor state (the
+      ``streaming_fuzzy_dedup_to_store`` scale argument).
+
+    A root with no prior ``curate_pipeline`` run is BOOTSTRAPPED: the
+    first batch runs the base pipeline under the same knobs (its
+    ``domain_cap`` is that batch-local corpus's cap — identical
+    semantics for a single batch) and later batches increment against
+    it. ``curate_kwargs`` forwards knobs to ``curate_increment``
+    (``min_tokens``, ``fuzzy=``, ``gopher=``, ...); ``pack_budget`` is
+    rejected (sequence continuation needs a total order over batches —
+    pack downstream with ``pack_sequences``), and ``langid_model``
+    requires a pre-seeded base (bootstrap cannot honor it).
+
+    Returns the started StreamingQuery (availableNow trigger — pair
+    with ``awaitTermination()`` for drain-style use).
+    """
+    import os as _os
+
+    from pylluminator_spark.operators.curate import (
+        curate_increment,
+        curate_pipeline,
+    )
+
+    if "pack_budget" in curate_kwargs:
+        raise ValueError(
+            "streaming_curate_to_store does not support pack_budget — "
+            "packing needs a total order over batches; run "
+            "pack_sequences over the drained store downstream"
+        )
+    docs_dir = _os.path.join(store_dir, "docs")
+
+    # base-pipeline stage names, walked inputs[0]-wise to the source key
+    _base_walk = frozenset(
+        {
+            "quality_gate",
+            "ccnet_filter",
+            "dedup_paragraphs",
+            "fuzzy_dedup",
+            "dedup_exact",
+            "langid_filter",
+            "domain_filter",
+        }
+    )
+
+    def _usable_base(spark, fp: str) -> bool:
+        """True iff the root holds a base generation NOT rooted at this
+        batch's own fingerprint. A REPLAYED bootstrap batch would
+        otherwise see the base it built, take the increment path, and
+        self-suppress to empty — it must re-run the (cache-hitting)
+        base pipeline instead."""
+        from pylluminator_spark.plans.manifest import PipelineManifest
+
+        if not _os.path.exists(
+            _os.path.join(manifest_root, "ledger.jsonl")
+        ):
+            return False
+        m = PipelineManifest(spark, manifest_root)
+        for e in m.entries_named("quality_gate"):
+            k = e["key"]
+            while True:
+                ent = m.entry(k)
+                if ent and ent.get("name") in _base_walk:
+                    k = (ent.get("inputs") or [k])[0]
+                else:
+                    break
+            if k != f"frm-{fp}":
+                return True
+        return False
+
+    def _process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        fp = f"{fingerprint_prefix}-{batch_id}"
+        if _usable_base(spark, fp):
+            res = curate_increment(
+                spark,
+                manifest_root,
+                batch_df,
+                source_fingerprint=fp,
+                **curate_kwargs,
+            )
+        else:
+            if "langid_model" in curate_kwargs:
+                raise ValueError(
+                    "streaming_curate_to_store: langid_model needs a "
+                    "pre-seeded base — run curate_pipeline on the "
+                    "corpus first, then start the stream"
+                )
+            res = curate_pipeline(
+                spark,
+                manifest_root,
+                batch_df,
+                source_fingerprint=fp,
+                pack_budget=None,
+                **curate_kwargs,
+            )
+        res.documents.write.mode("overwrite").parquet(
+            _os.path.join(docs_dir, f"batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

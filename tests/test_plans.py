@@ -60,6 +60,10 @@ CLEAN = [
     # of a parquet store (foreachBatch); the RETURNED plan is a pruned
     # scan of the store's docs partitions
     "stream_fuzzy_inc",
+    # r12 streaming full-curation ingestion: foreachBatch runs
+    # curate_increment per micro-batch (manifest-addressed exactly-once);
+    # the RETURNED plan is a pruned scan of the store's docs partitions
+    "stream_curate_inc",
     # round 4 cleanup ops: codegen regexp chains (clean_html/url_normalize:
     # no shuffle at all), fingerprint-keyed dedup + doc-keyed reassembly
     # (dedup_paragraphs), broadcast blocklist anti-join + hash-partitioned

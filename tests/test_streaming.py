@@ -428,3 +428,143 @@ def test_streaming_fuzzy_dedup_to_store(spark, tmp_path):
     # must produce TWO batches, or the cross-batch suppression above
     # degenerates into the within-batch rule
     assert "batch_id=seed" in parts and len(parts) == 3, parts
+
+
+def test_streaming_curate_to_store(spark, tmp_path):
+    """Streaming FULL-curation ingestion (r12): micro-batches run the
+    complete incremental-curation chain against a shared manifest root.
+    Batch 1's dups of the seeded base drop and its footer paragraph is
+    suppressed; batch 2's dups of batch 1's SURVIVORS drop (each batch
+    becomes a curated generation); a full re-drain with a fresh
+    checkpoint is idempotent (content-addressed cache hits + batch_id
+    overwrite), never self-suppressing."""
+    import os
+
+    from pylluminator_spark.operators.curate import curate_pipeline
+    from pylluminator_spark.streaming.events import (
+        streaming_curate_to_store,
+    )
+
+    root = str(tmp_path / "m")
+    store = str(tmp_path / "store")
+    footer = "SHARED FOOTER boilerplate notices"
+    base = spark.createDataFrame(
+        [
+            (1, f"base document body about harbor dredging\n\n{footer}"),
+            (2, f"base document body about rail ballast\n\n{footer}"),
+        ],
+        "doc_id long, text string",
+    )
+    curate_pipeline(
+        spark, root, base, source_fingerprint="seed-base",
+        keep_lang=None, min_tokens=2, pack_budget=None,
+    )
+    src = str(tmp_path / "src")
+    # batch 1: exact dup of base doc 1 (drop), fresh doc with the base
+    # footer (footer suppressed, body kept)
+    spark.createDataFrame(
+        [
+            (10, f"base document body about harbor dredging\n\n{footer}"),
+            (11, f"fresh stream content about tidal barrages\n\n{footer}"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f=1"))
+    # batch 2: exact dup of batch-1 survivor 11 (drop), fresh doc
+    spark.createDataFrame(
+        [
+            (20, "fresh stream content about tidal barrages"),
+            (21, "second batch content about canal aqueducts"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f=2"))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string, f int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ).drop("f")
+
+    q = streaming_curate_to_store(
+        _stream(), root, store,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        min_tokens=2, max_tokens=10_000,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(store, "docs"))
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert sorted(got) == [11, 21]
+    assert footer not in got[11]  # base footer paragraph suppressed
+    parts = sorted(os.listdir(os.path.join(store, "docs")))
+    assert len(parts) == 2, parts  # one partition per micro-batch
+    # re-drain with a FRESH checkpoint: same batch ids, same
+    # fingerprints -> pure cache hits + overwrite; store unchanged,
+    # batches never suppressed by their own prior generations
+    q2 = streaming_curate_to_store(
+        _stream(), root, store,
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        min_tokens=2, max_tokens=10_000,
+    )
+    q2.awaitTermination()
+    out2 = spark.read.parquet(os.path.join(store, "docs"))
+    assert {r.doc_id for r in out2.collect()} == {11, 21}
+
+
+def test_streaming_curate_bootstraps_empty_root(spark, tmp_path):
+    """On a root with no base run, the first micro-batch bootstraps the
+    base pipeline; later batches increment against it. A re-drain with
+    a fresh checkpoint replays the bootstrap batch through the base
+    path again (never as an increment against its own generation)."""
+    import os
+
+    from pylluminator_spark.streaming.events import (
+        streaming_curate_to_store,
+    )
+
+    root = str(tmp_path / "m")
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, "bootstrap corpus doc about millwheels"),
+            (2, "bootstrap corpus doc about millwheels"),  # within-batch dup
+            (3, "bootstrap corpus doc about weirs"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f=1"))
+    spark.createDataFrame(
+        [
+            (10, "bootstrap corpus doc about weirs"),  # dup of batch-1
+            (11, "second batch doc about sluice gates"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f=2"))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string, f int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ).drop("f")
+
+    q = streaming_curate_to_store(
+        _stream(), root, store,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        min_tokens=2, max_tokens=10_000,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(store, "docs"))
+    assert {r.doc_id for r in out.collect()} == {1, 3, 11}
+    # replay from scratch: the bootstrap batch must re-take the base
+    # path (cache hit), not increment against its own generation
+    q2 = streaming_curate_to_store(
+        _stream(), root, store,
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        min_tokens=2, max_tokens=10_000,
+    )
+    q2.awaitTermination()
+    out2 = spark.read.parquet(os.path.join(store, "docs"))
+    assert {r.doc_id for r in out2.collect()} == {1, 3, 11}
+    # knob guards
+    with pytest.raises(ValueError, match="pack_budget"):
+        streaming_curate_to_store(_stream(), root, store, pack_budget=5)
