@@ -89,20 +89,29 @@ def dedup_paragraphs(
     paras = split_paragraphs(df, text_col, id_col, pattern)
     paras = paras.withColumn("fp", F.xxhash64("para"))
 
-    eligible = paras.filter(F.length("para") >= min_chars) if min_chars else paras
-    winners = eligible.groupBy("fp").agg(
-        F.min(F.struct(id_col, "para_idx")).alias("first_at")
-    )
-
-    joined = paras.join(winners, "fp", "left")
+    # one fp-partitioned window aggregate instead of a groupBy(fp)
+    # winners table joined back: the join form computed the
+    # split + explode TWICE (aggregate input and join probe side are
+    # different subtrees, so no exchange reuse) and paid a third,
+    # winner-table exchange — the window flags every row in the single
+    # fp shuffle the join needed anyway. Short paragraphs stay exempt
+    # without a separate branch: equal fp => equal text => equal
+    # length, so an fp group is uniformly exempt or eligible and the
+    # length check composes per row. A pathological boilerplate
+    # fingerprint buffers its group in one (disk-backed) window task —
+    # the trade for one fewer full split pass over the corpus;
+    # ``min_chars`` keeps the classic short-boilerplate families out
+    # of dedup (and out of that buffer) entirely.
+    first = F.min(F.struct(id_col, "para_idx")).over(Window.partitionBy("fp"))
     kept_flag = (
-        F.col("first_at").isNull()  # exempt short paragraphs
-        | (
-            (F.col(f"first_at.{id_col}") == F.col(id_col))
-            & (F.col("first_at.para_idx") == F.col("para_idx"))
-        )
-    ).alias("kept")
-    flagged = joined.select(id_col, "para_idx", "para", "fp", kept_flag)
+        (F.length("para") < min_chars) if min_chars else F.lit(False)
+    ) | (
+        (first[id_col] == F.col(id_col))
+        & (first["para_idx"] == F.col("para_idx"))
+    )
+    flagged = paras.select(
+        id_col, "para_idx", "para", "fp", kept_flag.alias("kept")
+    )
     return _reassemble_flagged(df, flagged, id_col, keep_fps_col, carry_cols)
 
 
@@ -213,9 +222,6 @@ def dedup_paragraphs_against(
     eligible = (
         paras.filter(F.length("para") >= min_chars) if min_chars else paras
     )
-    winners = eligible.groupBy("fp").agg(
-        F.min(F.struct(id_col, "para_idx")).alias("first_at")
-    )
     batch_fps = eligible.select("fp").distinct()
     if existing_fps_col is not None:
         from pyspark.sql.types import ArrayType
@@ -250,16 +256,21 @@ def dedup_paragraphs_against(
         .distinct()
         .withColumn("_in_corpus", F.lit(True))
     )
-    joined = paras.join(winners, "fp", "left").join(old_hits, "fp", "left")
+    # within-batch first-occurrence via the same fp-window-min shape as
+    # dedup_paragraphs (one batch shuffle, no winners join); corpus hits
+    # still join by fp (old_hits is at most batch-fp-sized)
+    joined = paras.join(old_hits, "fp", "left")
+    first = F.min(F.struct(id_col, "para_idx")).over(Window.partitionBy("fp"))
     kept_flag = (
-        F.col("first_at").isNull()  # exempt short paragraphs
-        | (
-            (F.col(f"first_at.{id_col}") == F.col(id_col))
-            & (F.col("first_at.para_idx") == F.col("para_idx"))
-            & F.col("_in_corpus").isNull()
-        )
-    ).alias("kept")
-    flagged = joined.select(id_col, "para_idx", "para", "fp", kept_flag)
+        (F.length("para") < min_chars) if min_chars else F.lit(False)
+    ) | (
+        (first[id_col] == F.col(id_col))
+        & (first["para_idx"] == F.col("para_idx"))
+        & F.col("_in_corpus").isNull()
+    )
+    flagged = joined.select(
+        id_col, "para_idx", "para", "fp", kept_flag.alias("kept")
+    )
     return _reassemble_flagged(
         new_docs, flagged, id_col, keep_fps_col, carry_cols
     )

@@ -105,8 +105,22 @@ def dedup_exact(
         df = df.drop(keep_fp_col)
     with_fp = df.withColumn("_fp", content_fp_expr(text_col, normalize))
     if prefer_col is None:
-        keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-        out = with_fp.join(keep, ["_fp", id_col], "left_semi")
+        # fp-partitioned row_number, NOT min-agg + semi join: the
+        # rn == 1 filter plans as WindowGroupLimit with a map-side
+        # partial top-1 per fingerprint BELOW the exchange (so a
+        # million-copy duplicate family ships at most one row per map
+        # task — as skew-robust as the combinable min), and the corpus
+        # is scanned and shuffled ONCE where the join form scanned it
+        # twice and shuffled the full rows by (fp, id) on top of the
+        # winner exchange. Same winner (lowest id) bit-for-bit.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+        out = (
+            with_fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     else:
         out = _prefer_winners(with_fp, id_col, prefer_col)
     if keep_fp_col is not None:
@@ -154,14 +168,13 @@ def dedup_exact_against(
     by the next one), as in ``dedup_exact`` — a same-named input
     column is replaced, never duplicated.
 
-    EAGER: calling this runs one Spark job immediately — the
-    within-batch winners are materialized via ``stable_checkpoint``
-    (they feed both the broadcast fingerprint set and the final anti
-    join; unmaterialized, the batch dedup would execute twice). Plan
-    inspection therefore triggers batch-sized work at call time, and
-    with a reliable checkpoint dir configured the checkpoint files
-    accumulate unless ``spark.cleaner.referenceTracking
-    .cleanCheckpoints`` is set.
+    LAZY: this builds a plan and runs no job at call time. The
+    within-batch winner subtree feeds both the broadcast fingerprint
+    set and the final anti join, but it is ONE WindowGroupLimit
+    shuffle whose stage AQE reuses within the execution — an eager
+    checkpoint here measured strictly slower (an extra materialization
+    job) than letting the exchange be shared, and a lazy API also
+    keeps plan inspection free.
     """
 
     def _fp() -> Column:
@@ -171,16 +184,22 @@ def dedup_exact_against(
         new_docs = new_docs.drop(keep_fp_col)
     batch = new_docs.withColumn("_fp", _fp())
     if prefer_col is None:
-        keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-        batch_kept = batch.join(keep, ["_fp", id_col], "left_semi")
+        # same WindowGroupLimit shape as dedup_exact: one scan + one
+        # shuffle of the batch, map-side partial top-1 per fingerprint
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+        batch_kept = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     else:
         batch_kept = _prefer_winners(batch, id_col, prefer_col)
     # batch_kept feeds BOTH the broadcast fingerprint set and the final
-    # anti join — unmaterialized, its within-batch dedup (a fingerprint
-    # shuffle, and under prefer_col a fp-partitioned window sort) runs
-    # twice. The batch is dimension-sized next to the corpus, so one
-    # lineage-cutting materialization is cheap and halves the batch work.
-    batch_kept = stable_checkpoint(batch_kept)
+    # anti join; its single window shuffle stage is AQE-reused across
+    # the two consumers, so no lineage-cutting materialization is
+    # needed (an eager checkpoint measured slower — see docstring)
     batch_fps = batch_kept.select("_fp").distinct()
     old_fp = (
         F.col(existing_fp_col)
