@@ -85,6 +85,47 @@ def paragraph_lm_buckets(
             "inside [0, 1]"
         )
     paras = split_paragraphs(docs, text_col, doc_col, pattern)
+    bucketed = _scored_buckets(
+        paras,
+        doc_col,
+        reference=reference,
+        text_col=text_col,
+        pattern=pattern,
+        head_frac=head_frac,
+        middle_frac=middle_frac,
+        alpha=alpha,
+        backoff=backoff,
+        min_bigram_count=min_bigram_count,
+    )
+    # left join back: bigram-less paragraphs surface as bucket 'short'
+    return (
+        paras.join(bucketed, [doc_col, "para_idx"], "left")
+        .withColumn("bucket", F.coalesce("bucket", F.lit("short")))
+        .select(
+            doc_col, "para_idx", "para", "n_bigrams", "avg_nll", "bucket"
+        )
+    )
+
+
+def _scored_buckets(
+    paras: DataFrame,
+    doc_col: str,
+    *,
+    reference: DataFrame | None,
+    text_col: str,
+    pattern: str,
+    head_frac: float,
+    middle_frac: float,
+    alpha: float,
+    backoff: float,
+    min_bigram_count: int,
+) -> DataFrame:
+    """(doc_col, para_idx, n_bigrams, avg_nll, bucket) for the SCOREABLE
+    paragraphs of ``paras`` — the shared core of the bucketing and the
+    filter (which joins it back to its own total paragraph table instead
+    of re-deriving this one)."""
+    import math
+
     target = paras.select(
         F.struct(F.col(doc_col), F.col("para_idx")).alias("_pid"),
         F.col("para"),
@@ -112,35 +153,34 @@ def paragraph_lm_buckets(
         "n_bigrams",
         "avg_nll",
     )
-    # scored is read THREE times (the rank's boundary-sample pass, the
-    # ranked data branch, and the n_scored count) and its upstream is the
-    # whole two-corpus LM fit + score — exactly the expensive-upstream
-    # case operators.ordered's contract says the caller must materialize.
-    # One row per scored paragraph: far smaller than the text it scores.
+    # scored is read by the rank AND counted for the tercile cuts, and
+    # its upstream is the whole two-corpus LM fit + score — exactly the
+    # expensive-upstream case operators.ordered's contract says the
+    # caller must materialize. One row per scored paragraph: far smaller
+    # than the text it scores.
     scored = stable_checkpoint(scored)
+    # the paragraph count was already a job (the old broadcast n_scored
+    # aggregate) — collecting it as a driver scalar instead makes the
+    # tercile cuts LITERALS (no crossJoin) and lets the rank dispatch
+    # on size: below the small-input threshold it is one plain window
+    # (no boundary-sample pass, no stats/offsets machinery), above it
+    # the two-phase path runs exactly as before. floor(n * frac) is the
+    # same IEEE double multiply + floor the Column expression computed.
+    n = scored.count()
     ranked = with_global_rank(
-        scored, ["avg_nll", doc_col, "para_idx"], "_rank"
+        scored, ["avg_nll", doc_col, "para_idx"], "_rank", n_rows=n
     )
-    n_scored = scored.agg(F.count(F.lit(1)).alias("_n"))
-    head_cut = F.floor(F.col("_n") * F.lit(head_frac))
-    mid_cut = F.floor(F.col("_n") * F.lit(head_frac + middle_frac))
-    bucketed = ranked.crossJoin(F.broadcast(n_scored)).select(
+    head_cut = int(math.floor(n * head_frac))
+    mid_cut = int(math.floor(n * (head_frac + middle_frac)))
+    return ranked.select(
         doc_col,
         "para_idx",
         "n_bigrams",
         "avg_nll",
-        F.when(F.col("_rank") <= head_cut, F.lit("head"))
-        .when(F.col("_rank") <= mid_cut, F.lit("middle"))
+        F.when(F.col("_rank") <= F.lit(head_cut), F.lit("head"))
+        .when(F.col("_rank") <= F.lit(mid_cut), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
-    )
-    # left join back: bigram-less paragraphs surface as bucket 'short'
-    return (
-        paras.join(bucketed, [doc_col, "para_idx"], "left")
-        .withColumn("bucket", F.coalesce("bucket", F.lit("short")))
-        .select(
-            doc_col, "para_idx", "para", "n_bigrams", "avg_nll", "bucket"
-        )
     )
 
 
@@ -172,11 +212,25 @@ def ccnet_paragraph_filter(
     dropped). Reassembly is one doc-keyed aggregation: sort the kept
     (para_idx, para) structs, concat with the paragraph separator.
     """
-    buckets = paragraph_lm_buckets(
-        docs,
-        text_col,
+    from pylluminator_spark.operators.cleanup import (
+        _reassemble_total,
+        _split_paragraphs_total,
+    )
+
+    # TOTAL split (blank paragraphs kept as flagged rows, carry columns
+    # riding the explode): every document owns at least one row, so the
+    # reassembly is one doc-keyed aggregate with no join back to
+    # ``docs`` — the join-back form scanned the source a second time
+    paras_total = _split_paragraphs_total(
+        docs, text_col, doc_col, pattern, carry_cols
+    )
+    bucketed = _scored_buckets(
+        paras_total.filter(~F.col("blank")).select(
+            doc_col, "para_idx", "para"
+        ),
         doc_col,
         reference=reference,
+        text_col=text_col,
         pattern=pattern,
         head_frac=head_frac,
         middle_frac=middle_frac,
@@ -185,17 +239,24 @@ def ccnet_paragraph_filter(
         min_bigram_count=min_bigram_count,
     )
     wanted = [b for b in keep] + (["short"] if keep_short else [])
-    kept_flag = F.col("bucket").isin(wanted).alias("kept")
-    flagged = buckets.select(
-        doc_col, "para_idx", "para", F.xxhash64("para").alias("fp"), kept_flag
+    joined = paras_total.join(bucketed, [doc_col, "para_idx"], "left")
+    kept_flag = F.when(F.col("blank"), F.lit(False)).otherwise(
+        F.coalesce(F.col("bucket"), F.lit("short")).isin(wanted)
     )
     # shared reassembly with the paragraph dedups (one doc-keyed
     # aggregate); ``keep_fps_col`` emits the kept paragraphs' distinct
     # fingerprints so a curation pipeline placing this stage after
     # paragraph dedup hands increments a probe-able fingerprint column
     # reflecting the POST-ccnet surviving paragraphs
-    from pylluminator_spark.operators.cleanup import _reassemble_flagged
-
-    return _reassemble_flagged(
-        docs, flagged, doc_col, keep_fps_col, carry_cols
+    flagged = joined.select(
+        doc_col,
+        *carry_cols,
+        "para_idx",
+        "para",
+        F.when(F.col("blank"), F.xxhash64(doc_col))
+        .otherwise(F.xxhash64("para"))
+        .alias("fp"),
+        "blank",
+        kept_flag.alias("kept"),
     )
+    return _reassemble_total(flagged, doc_col, keep_fps_col, carry_cols)

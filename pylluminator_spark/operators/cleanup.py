@@ -54,6 +54,34 @@ def split_paragraphs(
     )
 
 
+def _split_paragraphs_total(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pattern: str,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """``split_paragraphs`` that KEEPS whitespace-only paragraphs as
+    rows flagged ``blank`` (and maps a NULL text to one blank row), so
+    every input document owns at least one exploded row. The fused
+    dedup paths reassemble documents straight off the doc-keyed
+    aggregate — no join back to the source frame, which cost a second
+    source scan plus a doc-keyed join per call. ``carry_cols`` ride the
+    explode (duplicated per paragraph row — they are fingerprint-sized)
+    and are restored with ``first()`` in the reassembly aggregate."""
+    return (
+        df.select(
+            id_col,
+            *carry_cols,
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), pattern)
+            ).alias("para_idx", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .withColumn("blank", F.col("para") == "")
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",
@@ -86,8 +114,17 @@ def dedup_paragraphs(
     the fingerprint column instead of re-splitting + re-hashing the
     corpus text (``dedup_paragraphs_against(existing_fps_col=...)``).
     """
-    paras = split_paragraphs(df, text_col, id_col, pattern)
-    paras = paras.withColumn("fp", F.xxhash64("para"))
+    paras = _split_paragraphs_total(df, text_col, id_col, pattern, carry_cols)
+    # blank rows get a per-document surrogate fp: it keeps them out of
+    # the real fingerprint groups (no corpus-wide blank hot partition —
+    # group size is one document's blank count) and their fp is never
+    # emitted (blanks are never kept)
+    paras = paras.withColumn(
+        "fp",
+        F.when(F.col("blank"), F.xxhash64(id_col)).otherwise(
+            F.xxhash64("para")
+        ),
+    )
 
     # one fp-partitioned window aggregate instead of a groupBy(fp)
     # winners table joined back: the join form computed the
@@ -101,18 +138,31 @@ def dedup_paragraphs(
     # fingerprint buffers its group in one (disk-backed) window task —
     # the trade for one fewer full split pass over the corpus;
     # ``min_chars`` keeps the classic short-boilerplate families out
-    # of dedup (and out of that buffer) entirely.
-    first = F.min(F.struct(id_col, "para_idx")).over(Window.partitionBy("fp"))
-    kept_flag = (
-        (F.length("para") < min_chars) if min_chars else F.lit(False)
-    ) | (
-        (first[id_col] == F.col(id_col))
-        & (first["para_idx"] == F.col("para_idx"))
+    # of dedup (and out of that buffer) entirely. min() skips the NULL
+    # a blank row contributes, so a surrogate-fp hash collision can
+    # never crown a blank row winner.
+    first = F.min(
+        F.when(~F.col("blank"), F.struct(id_col, "para_idx"))
+    ).over(Window.partitionBy("fp"))
+    kept_flag = F.when(F.col("blank"), F.lit(False)).otherwise(
+        (
+            (F.length("para") < min_chars) if min_chars else F.lit(False)
+        )
+        | (
+            (first[id_col] == F.col(id_col))
+            & (first["para_idx"] == F.col("para_idx"))
+        )
     )
     flagged = paras.select(
-        id_col, "para_idx", "para", "fp", kept_flag.alias("kept")
+        id_col,
+        *carry_cols,
+        "para_idx",
+        "para",
+        "fp",
+        "blank",
+        kept_flag.alias("kept"),
     )
-    return _reassemble_flagged(df, flagged, id_col, keep_fps_col, carry_cols)
+    return _reassemble_total(flagged, id_col, keep_fps_col, carry_cols)
 
 
 def _reassemble_flagged(
@@ -176,6 +226,57 @@ def _reassemble_flagged(
     return res
 
 
+def _reassemble_total(
+    flagged: DataFrame,
+    id_col: str,
+    keep_fps_col: str | None = None,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Rebuild documents from a TOTAL (id, carry..., para_idx, para, fp,
+    blank, kept) table — one that still owns at least one row per input
+    document (``_split_paragraphs_total``), so reassembly is ONE
+    doc-keyed aggregate with no join back to the source frame (the
+    join-back form scanned the source a second time and paid a doc-keyed
+    join per call). Blank rows are neither kept nor counted as dropped —
+    exactly the rows the filtering split dropped before the explode."""
+    rebuilt = flagged.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry_cols],
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kept"),
+                    F.struct(
+                        F.col("para_idx").alias("i"),
+                        F.col("para").alias("p"),
+                        F.col("fp").alias("f"),
+                    ),
+                )
+            )
+        ).alias("kept_paras"),
+        F.sum(
+            F.when(F.col("kept") | F.col("blank"), 0).otherwise(1)
+        ).alias("n_paras_dropped"),
+    )
+    cols = [
+        id_col,
+        *carry_cols,
+        F.concat_ws(
+            "\n\n", F.transform("kept_paras", lambda s: s["p"])
+        ).alias("clean_text"),
+        F.size("kept_paras").cast("long").alias("n_paras_kept"),
+        F.col("n_paras_dropped").cast("long").alias("n_paras_dropped"),
+    ]
+    if keep_fps_col is not None:
+        cols.append(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("kept_paras", lambda s: s["f"])
+                )
+            ).alias(keep_fps_col)
+        )
+    return rebuilt.select(*cols)
+
+
 def dedup_paragraphs_against(
     new_docs: DataFrame,
     existing: DataFrame,
@@ -217,11 +318,18 @@ def dedup_paragraphs_against(
     kept-paragraph fingerprints (array<long>) so THIS increment's
     store can be probed the same way by the next one.
     """
-    paras = split_paragraphs(new_docs, text_col, id_col, pattern)
-    paras = paras.withColumn("fp", F.xxhash64("para"))
-    eligible = (
-        paras.filter(F.length("para") >= min_chars) if min_chars else paras
+    paras = _split_paragraphs_total(
+        new_docs, text_col, id_col, pattern, carry_cols
     )
+    paras = paras.withColumn(
+        "fp",
+        F.when(F.col("blank"), F.xxhash64(id_col)).otherwise(
+            F.xxhash64("para")
+        ),
+    )
+    eligible = paras.filter(~F.col("blank"))
+    if min_chars:
+        eligible = eligible.filter(F.length("para") >= min_chars)
     batch_fps = eligible.select("fp").distinct()
     if existing_fps_col is not None:
         from pyspark.sql.types import ArrayType
@@ -260,20 +368,29 @@ def dedup_paragraphs_against(
     # dedup_paragraphs (one batch shuffle, no winners join); corpus hits
     # still join by fp (old_hits is at most batch-fp-sized)
     joined = paras.join(old_hits, "fp", "left")
-    first = F.min(F.struct(id_col, "para_idx")).over(Window.partitionBy("fp"))
-    kept_flag = (
-        (F.length("para") < min_chars) if min_chars else F.lit(False)
-    ) | (
-        (first[id_col] == F.col(id_col))
-        & (first["para_idx"] == F.col("para_idx"))
-        & F.col("_in_corpus").isNull()
+    first = F.min(
+        F.when(~F.col("blank"), F.struct(id_col, "para_idx"))
+    ).over(Window.partitionBy("fp"))
+    kept_flag = F.when(F.col("blank"), F.lit(False)).otherwise(
+        (
+            (F.length("para") < min_chars) if min_chars else F.lit(False)
+        )
+        | (
+            (first[id_col] == F.col(id_col))
+            & (first["para_idx"] == F.col("para_idx"))
+            & F.col("_in_corpus").isNull()
+        )
     )
     flagged = joined.select(
-        id_col, "para_idx", "para", "fp", kept_flag.alias("kept")
+        id_col,
+        *carry_cols,
+        "para_idx",
+        "para",
+        "fp",
+        "blank",
+        kept_flag.alias("kept"),
     )
-    return _reassemble_flagged(
-        new_docs, flagged, id_col, keep_fps_col, carry_cols
-    )
+    return _reassemble_total(flagged, id_col, keep_fps_col, carry_cols)
 
 
 def cap_per_domain(
