@@ -215,13 +215,113 @@ def mixedlm_fit_block(
     t_mat = y @ ind  # (p, G) per-group sums of y
     yy = (y * y).sum(axis=1)  # (p,)
     dof = n - k
+    return _mixedlm_profile(
+        np.broadcast_to(xtx, (p, k, k)),
+        np.broadcast_to(s_mat, (p, g_count, k)),
+        np.broadcast_to(n_g, (p, g_count)),
+        a_mat,
+        t_mat,
+        yy,
+        np.full(p, float(dof)),
+        n_grid,
+        n_refine,
+    )
+
+
+def mixedlm_fit_patterns(
+    y_mat: np.ndarray,
+    x: np.ndarray,
+    group_codes: np.ndarray,
+    n_grid: int = 21,
+    n_refine: int = 28,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``mixedlm_fit_block`` over rows with ARBITRARY per-row
+    missingness, in ONE profiled search. Returns (coef, se, tval, pval),
+    each (p, k), NaN rows where the fit is undefined (all values
+    missing, or fewer present rows than design columns).
+
+    The REML criterion depends on the data only through per-probe group
+    sums, so each distinct missingness pattern contributes its
+    pattern-level design statistics (the same BLAS products the
+    per-pattern kernel computed) and every probe then rides a single
+    batched grid + golden-section pass. The per-pattern form re-ran the
+    full 80-odd-evaluation search once per pattern — at 7 samples that
+    is up to 127 patterns, and numpy dispatch overhead on the tiny
+    per-pattern batches dominated the whole fit (~100x the useful
+    arithmetic). Group indicator columns absent from a pattern carry
+    exact zeros through every reduction, so results are bitwise
+    identical to the per-pattern kernel."""
+    y_mat = np.asarray(y_mat, dtype="float64")
+    x = np.asarray(x, dtype="float64")
+    p_rows, n = y_mat.shape
+    k = x.shape[1]
+    nan = np.full((p_rows, k), np.nan)
+    codes, inv = np.unique(group_codes, return_inverse=True)
+    g_count = len(codes)
+    ind = np.zeros((n, g_count))
+    ind[np.arange(n), inv] = 1.0
+    nanmask = np.isnan(y_mat)
+    by_pattern: dict[bytes, list[int]] = {}
+    for i in range(p_rows):
+        by_pattern.setdefault(nanmask[i].tobytes(), []).append(i)
+    idx_parts: list[np.ndarray] = []
+    parts: list[tuple] = []
+    for key, rows in by_pattern.items():
+        mask = ~np.frombuffer(key, dtype=bool)
+        nb = int(mask.sum())
+        if nb == 0 or nb <= k:
+            continue  # stays NaN, same as the per-pattern skip
+        x_b = x[mask]
+        ind_b = ind[mask]
+        y_b = y_mat[np.ix_(rows, mask)]
+        pb = len(rows)
+        parts.append(
+            (
+                np.broadcast_to(x_b.T @ x_b, (pb, k, k)),
+                np.broadcast_to(ind_b.T @ x_b, (pb, g_count, k)),
+                np.broadcast_to(ind_b.sum(axis=0), (pb, g_count)),
+                y_b @ x_b,
+                y_b @ ind_b,
+                (y_b * y_b).sum(axis=1),
+                np.full(pb, float(nb - k)),
+            )
+        )
+        idx_parts.append(np.asarray(rows))
+    if not parts:
+        return nan, nan.copy(), nan.copy(), nan.copy()
+    stacked = [np.concatenate([pt[i] for pt in parts]) for i in range(7)]
+    beta, se, tval, pval = _mixedlm_profile(*stacked, n_grid, n_refine)
+    idx = np.concatenate(idx_parts)
+    outs = (nan, nan.copy(), nan.copy(), nan.copy())
+    for dst, src in zip(outs, (beta, se, tval, pval)):
+        dst[idx] = src
+    return outs
+
+
+def _mixedlm_profile(
+    xtx: np.ndarray,
+    s_mat: np.ndarray,
+    n_g: np.ndarray,
+    a_mat: np.ndarray,
+    t_mat: np.ndarray,
+    yy: np.ndarray,
+    dof: np.ndarray,
+    n_grid: int,
+    n_refine: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Grid + golden-section profiled-REML search over PER-PROBE
+    sufficient statistics: ``xtx`` (p,k,k), ``s_mat`` (p,G,k), ``n_g``
+    (p,G), ``a_mat`` (p,k), ``t_mat`` (p,G), ``yy`` (p,), ``dof`` (p,).
+    The shared tail of ``mixedlm_fit_block`` (one design for all rows)
+    and ``mixedlm_fit_patterns`` (per-pattern designs stacked)."""
+    p, k = a_mat.shape
 
     def crit_and_fit(lam: np.ndarray, want_fit: bool = False):
         # lam: (p,) per-probe variance ratio; returns criterion (p,) and,
         # when want_fit, (beta, xtwx_inv, s2) for the final extraction.
-        c = lam[:, None] / (1.0 + lam[:, None] * n_g[None, :])  # (p, G)
-        xtwx = xtx[None, :, :] - np.einsum("pg,gi,gj->pij", c, s_mat, s_mat)
-        xtwy = a_mat - np.einsum("pg,pg,gk->pk", c, t_mat, s_mat)
+        c = lam[:, None] / (1.0 + lam[:, None] * n_g)  # (p, G)
+        xtwx = xtx - np.einsum("pg,pgi,pgj->pij", c, s_mat, s_mat)
+        xtwy = a_mat - np.einsum("pg,pg,pgk->pk", c, t_mat, s_mat)
         ywy = yy - (c * t_mat * t_mat).sum(axis=1)
         sign, logdet = np.linalg.slogdet(xtwx)
         ok = sign > 0
@@ -241,7 +341,7 @@ def mixedlm_fit_block(
             s2 = rss / dof
             crit = (
                 dof * np.log(s2)
-                + np.log1p(lam[:, None] * n_g[None, :]).sum(axis=1)
+                + np.log1p(lam[:, None] * n_g).sum(axis=1)
                 + logdet
             )
         crit = np.where(ok & (s2 > 0) & np.isfinite(crit), crit, np.inf)
@@ -388,25 +488,6 @@ def compute_dmp(
         has_nan = np.isnan(y_mat).any(axis=1)
         all_nan = np.isnan(y_mat).all(axis=1)
 
-        def _fit_block_mixed(
-            y_block: np.ndarray, x_b, codes_b: np.ndarray, idx: np.ndarray
-        ):
-            # reference dm.py:61-67: MixedLM per probe; f_pvalue is None
-            # (NaN here), inference is Wald z.
-            nb, kb = x_b.shape
-            if nb <= kb or len(idx) == 0:
-                return
-            coef, se, t_vals, p_vals = mixedlm_fit_block(y_block, x_b, codes_b)
-            est_no_int = np.concatenate(
-                [coef[:, 1:], np.zeros((coef.shape[0], 1))], axis=1
-            )
-            out["effect_size"][idx] = est_no_int.max(axis=1) - est_no_int.min(axis=1)
-            for j, fname in enumerate(factor_names):
-                out[f"{fname}_estimate"][idx] = coef[:, j]
-                out[f"{fname}_std_err"][idx] = se[:, j]
-                out[f"{fname}_t_value"][idx] = t_vals[:, j]
-                out[f"{fname}_p_value"][idx] = p_vals[:, j]
-
         def _fit_block(y_block: np.ndarray, x_b, pinv_b, diag_b, idx: np.ndarray):
             nb, kb = x_b.shape
             if nb <= kb or len(idx) == 0:
@@ -437,19 +518,42 @@ def compute_dmp(
                 out[f"{fname}_t_value"][idx] = t_vals[:, j]
                 out[f"{fname}_p_value"][idx] = t_sf_two_sided(t_vals[:, j], dof)
 
-        # fast path: probes with complete data share X
-        complete_idx = np.where(~has_nan)[0]
-        if len(complete_idx) > 0:
-            if group_codes is not None:
-                _fit_block_mixed(
-                    y_mat[complete_idx], x_mat, group_codes, complete_idx
+        if group_codes is not None:
+            # mixed path: ALL probes (complete + every missingness
+            # pattern) ride ONE batched profiled-REML search — the
+            # per-pattern mixedlm_fit_block loop re-ran the full grid +
+            # golden-section pass per pattern (up to 127 patterns at 7
+            # samples) and its numpy dispatch overhead dominated the
+            # whole fit; results are bitwise identical (absent-group
+            # indicator columns carry exact zeros through every
+            # reduction)
+            fit_idx = np.where(~all_nan)[0]
+            if len(fit_idx) > 0:
+                coef, se, t_vals, p_vals = mixedlm_fit_patterns(
+                    y_mat[fit_idx], x_mat, group_codes
                 )
-            else:
-                _fit_block(y_mat[complete_idx], x_mat, pinv, diag_c, complete_idx)
-        # NA path: per distinct missingness pattern (reference OLS missing='drop'
-        # / MixedLM's manual NA drop at reference dm.py:65-67)
-        partial_idx = np.where(has_nan & ~all_nan)[0]
-        if len(partial_idx) > 0:
+                est_no_int = np.concatenate(
+                    [coef[:, 1:], np.zeros((coef.shape[0], 1))], axis=1
+                )
+                with np.errstate(invalid="ignore"):
+                    out["effect_size"][fit_idx] = est_no_int.max(
+                        axis=1
+                    ) - est_no_int.min(axis=1)
+                for j, fname in enumerate(factor_names):
+                    out[f"{fname}_estimate"][fit_idx] = coef[:, j]
+                    out[f"{fname}_std_err"][fit_idx] = se[:, j]
+                    out[f"{fname}_t_value"][fit_idx] = t_vals[:, j]
+                    out[f"{fname}_p_value"][fit_idx] = p_vals[:, j]
+        else:
+            # fast path: probes with complete data share X
+            complete_idx = np.where(~has_nan)[0]
+            if len(complete_idx) > 0:
+                _fit_block(
+                    y_mat[complete_idx], x_mat, pinv, diag_c, complete_idx
+                )
+            # NA path: per distinct missingness pattern (reference OLS
+            # missing='drop' at reference dm.py:65-67)
+            partial_idx = np.where(has_nan & ~all_nan)[0]
             patterns: dict[bytes, list[int]] = {}
             for i in partial_idx:
                 key = np.isnan(y_mat[i]).tobytes()
@@ -458,14 +562,6 @@ def compute_dmp(
                 mask = ~np.frombuffer(key, dtype=bool)
                 x_b = x_mat[mask]
                 if x_b.shape[0] <= x_b.shape[1]:
-                    continue
-                if group_codes is not None:
-                    _fit_block_mixed(
-                        y_mat[np.ix_(idx_list, mask)],
-                        x_b,
-                        group_codes[mask],
-                        np.asarray(idx_list),
-                    )
                     continue
                 xtx_b = np.linalg.pinv(x_b.T @ x_b)
                 pinv_b = xtx_b @ x_b.T
