@@ -8039,6 +8039,10 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's list_reduce(... ORDER BY doc_id). Production default
         # is the bounded plain-SUM path (see doremi.py _dom_fold).
         deterministic=True,
+        # the reference is the corpus's own English slice: carve its
+        # counts out of the checkpointed corpus table (integer-exact)
+        # instead of re-tokenizing the English half
+        reference_within=True,
     )
     return out.select(
         "source",

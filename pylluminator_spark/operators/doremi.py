@@ -60,6 +60,7 @@ def doremi_domain_weights(
     backoff: float = 0.4,
     min_bigram_count: int = 1,
     deterministic: bool = False,
+    reference_within: bool = False,
 ) -> DataFrame:
     """One DoReMi reweighting step over ``domain_col``.
 
@@ -79,6 +80,15 @@ def doremi_domain_weights(
     corpus, so it is strictly a small-input verification mode. The
     ≤ n_domains normalizer fold is always sorted (bounded by the
     domain count, not the corpus).
+
+    ``reference_within``: pass True when ``reference`` is a row subset
+    of ``docs`` (same ``doc_col`` ids, same text — the usual DoReMi
+    shape, where the reference domain lives inside the corpus). The
+    reference's bigram counts are then carved out of the already-
+    checkpointed corpus count table by a broadcast semi join on its
+    ids instead of re-tokenizing the reference rows — one corpus
+    tokenize instead of ~1.5. Bit-exact: the model tables aggregate
+    INTEGER per-doc counts, identical whichever side computed them.
     """
     if not 0.0 <= smoothing <= 1.0:
         raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
@@ -94,7 +104,14 @@ def doremi_domain_weights(
     doc_big = stable_checkpoint(
         _bigram_doc_counts(docs, text_col, doc_col)
     )
-    ref_big = _bigram_doc_counts(reference, text_col, doc_col)
+    if reference_within:
+        ref_big = doc_big.join(
+            F.broadcast(reference.select(doc_col).distinct()),
+            doc_col,
+            "left_semi",
+        )
+    else:
+        ref_big = _bigram_doc_counts(reference, text_col, doc_col)
     scores = _score_doc_bigrams_dual(
         doc_big, ref_big, doc_big, doc_col, **kw
     ).select(
