@@ -6806,6 +6806,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=256,
         alpha=1.0,
         arith=True,
+        # the target is the corpus's own English slice: carve its
+        # feature counts out of the materialized raw feature table
+        # (integer-exact) instead of re-hashing the English half
+        target_within=True,
     )
     return out.select(
         "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")

@@ -115,6 +115,7 @@ def main() -> None:
             buckets=256,
             alpha=1.0,
             arith=False,
+            target_within=True,
         )
 
     def _langid_engine(spark, sf_dir):
@@ -148,6 +149,7 @@ def main() -> None:
             docs.select("doc_id", "source", "text"),
             ref,
             min_bigram_count=2,
+            reference_within=True,
         )
 
     twin_timings: dict[str, float] = {}

@@ -200,6 +200,7 @@ def dsir_log_weights(
     alpha: float = 1.0,
     use_bigrams: bool = True,
     arith: bool = False,
+    target_within: bool = False,
 ) -> DataFrame:
     """Per-raw-document DSIR importance log-weight:
     (doc_col, n_grams, log_weight) where
@@ -210,15 +211,35 @@ def dsir_log_weights(
 
     Plan shape: raw features (one shuffle) ⨝ broadcast(log-ratio table,
     ≤ ``buckets`` rows) → doc-keyed sorted fold (second shuffle, on the
-    already-aggregated (doc, bucket) table)."""
+    already-aggregated (doc, bucket) table).
+
+    ``target_within``: pass True when ``target_docs`` is a row subset of
+    ``raw_docs`` (the common DSIR shape — target = the curated slice of
+    the corpus being weighted). The raw feature table is then
+    materialized ONCE (eager checkpoint — it feeds both the ratio and
+    the scoring branch, whose alias-divergent plans otherwise re-run
+    the gram explode) and the target features are carved out of it by a
+    broadcast semi join on the target ids instead of re-tokenizing and
+    re-hashing the target rows. Bit-exact: the ratio table aggregates
+    INTEGER per-doc counts, identical whichever side computed them."""
     raw_feat = hashed_gram_counts(
         raw_docs, text_col, doc_col,
         buckets=buckets, use_bigrams=use_bigrams, arith=arith,
     )
-    tgt_feat = hashed_gram_counts(
-        target_docs, text_col, doc_col,
-        buckets=buckets, use_bigrams=use_bigrams, arith=arith,
-    )
+    if target_within:
+        from pylluminator_spark.plans.checkpoint import stable_checkpoint
+
+        raw_feat = stable_checkpoint(raw_feat)
+        tgt_feat = raw_feat.join(
+            F.broadcast(target_docs.select(doc_col).distinct()),
+            doc_col,
+            "left_semi",
+        )
+    else:
+        tgt_feat = hashed_gram_counts(
+            target_docs, text_col, doc_col,
+            buckets=buckets, use_bigrams=use_bigrams, arith=arith,
+        )
     ratio = bucket_log_ratio(
         tgt_feat, raw_feat, buckets=buckets, alpha=alpha
     )
