@@ -262,7 +262,12 @@ def fit_classify_langid(
     weights, langs = _model_tables(lb, ndocs, alpha, buckets, materialize)
     doc_counts = dlb.select(doc_col, "bucket", "cnt")
     return langid_scores(
-        doc_counts, weights, langs, doc_col, deterministic=deterministic
+        doc_counts,
+        weights,
+        langs,
+        doc_col,
+        deterministic=deterministic,
+        buckets=buckets,
     )
 
 
@@ -273,15 +278,97 @@ def langid_scores(
     doc_col: str = "doc_id",
     *,
     deterministic: bool = False,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Per-(doc, language) score: log prior + mean gram log-likelihood.
 
-    Broadcast-joins the model onto the per-doc bucket counts (no
-    shuffle), then reduces per (doc, lang). ``deterministic=True`` folds
-    contributions in sorted bucket order (bit-reproducible across
-    engines and partitionings — the hash-gate discipline) at the cost of
-    map-side partial aggregation; the default plain SUM is the
-    production path."""
+    Default (production) path: broadcast-join the model onto the per-doc
+    bucket counts (no shuffle) and reduce per (doc, lang) with a plain
+    SUM — map-side partial combine, constant state per group.
+
+    ``deterministic=True`` (the hash-gate discipline) folds each
+    document's contributions in sorted bucket order, bit-reproducible
+    across engines and partitionings. This path aggregates the per-doc
+    (bucket, cnt) pairs ONCE (one corpus shuffle, one sort per document)
+    and scores EVERY language in a single projection against a 1-row
+    broadcast model — per language a dense ``buckets``-slot weight array
+    indexed O(1) by bucket — instead of fanning the count table out
+    n_langs ways and re-sorting each (doc, lang) group. The fold runs in
+    the same sorted bucket order with the same ``cnt * coalesce(w,
+    w_default)`` per-element terms, so the scores are bit-identical to
+    the fanned form. ``buckets`` sizes the dense arrays; when None it is
+    derived from the max bucket id in ``weights`` (one tiny job)."""
+    if deterministic:
+        if buckets is None:
+            mx = weights.agg(F.max("bucket")).collect()[0][0]
+            buckets = int(mx) + 1 if mx is not None else 1
+        warr = weights.groupBy("lang").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket").cast("int").alias("bucket"),
+                        F.col("w"),
+                    )
+                )
+            ).alias("_wm")
+        )
+        per_lang = (
+            langs.join(warr, "lang", "left")
+            .select(
+                F.struct(
+                    "lang",
+                    "log_prior",
+                    "w_default",
+                    # dense O(1)-indexed weight array (map lookups are
+                    # linear scans in codegen — ruinous per element)
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(int(buckets) - 1)),
+                        lambda b: F.element_at(
+                            F.col("_wm"), b.cast("int")
+                        ),
+                    ).alias("wa"),
+                ).alias("_l")
+            )
+            .agg(F.sort_array(F.collect_list("_l")).alias("_langs"))
+        )
+        doc_arr = doc_counts.groupBy(doc_col).agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "cnt"))
+            ).alias("_bc"),
+            F.sum("cnt").alias("_n"),
+        )
+        scored = doc_arr.crossJoin(F.broadcast(per_lang)).select(
+            doc_col,
+            F.explode(
+                F.transform(
+                    F.col("_langs"),
+                    lambda l: F.struct(
+                        l["lang"].alias("lang"),
+                        (
+                            l["log_prior"]
+                            + F.aggregate(
+                                F.col("_bc"),
+                                F.lit(0.0),
+                                lambda acc, x: acc
+                                + x["cnt"].cast("double")
+                                * F.coalesce(
+                                    F.element_at(
+                                        l["wa"], x["bucket"].cast("int") + 1
+                                    ),
+                                    l["w_default"],
+                                ),
+                            )
+                            / F.col("_n").cast("double")
+                        ).alias("score"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        return scored.select(
+            doc_col,
+            F.col("_s.lang").alias("lang"),
+            F.col("_s.score").alias("score"),
+        )
     fanned = (
         doc_counts.crossJoin(
             F.broadcast(langs.select("lang", "log_prior", "w_default"))
@@ -299,18 +386,10 @@ def langid_scores(
             ).alias("contrib"),
         )
     )
-    if deterministic:
-        ll = F.aggregate(
-            F.sort_array(F.collect_list(F.struct("bucket", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        )
-    else:
-        ll = F.sum("contrib")
     return fanned.groupBy(doc_col, "lang").agg(
         F.first("log_prior").alias("_lp"),
         F.sum("cnt").alias("_n"),
-        ll.alias("_ll"),
+        F.sum("contrib").alias("_ll"),
     ).select(
         doc_col,
         "lang",
@@ -352,7 +431,12 @@ def language_id(
     )
     return langid_predict(
         langid_scores(
-            counts, weights, langs, doc_col, deterministic=deterministic
+            counts,
+            weights,
+            langs,
+            doc_col,
+            deterministic=deterministic,
+            buckets=buckets,
         ),
         doc_col,
     )
