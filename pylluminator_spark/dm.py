@@ -980,12 +980,28 @@ def get_top_dm(
         if ann_dt and ann_dt.startswith("array")
         else F.split(F.col(f"`{annotation_col}`"), ";")
     )
-    gene_info = F.broadcast(
-        annotation.select(
-            "probe_id", ann_val.alias("_ann_arr")
-        )
+    # the top frame holds at most n_dms keys (times probes-per-segment
+    # for DMRs) — broadcast ITS keys into the annotation probe and
+    # pre-merge per probe, rather than deduping and broadcasting the
+    # annotation side, which is only dimension-sized in the reference
+    # but fact-sized for callers annotating from a raw feature table
+    # (the old shape shuffled + broadcast the whole annotation for a
+    # 25-row top list). The outer flatten/distinct/sort merge below is
+    # unchanged, so the emitted annotation strings are identical.
+    ann_rows = (
+        annotation.select("probe_id", ann_val.alias("_ann_arr"))
         .na.drop()
+        .join(
+            F.broadcast(top.select("probe_id").distinct()),
+            "probe_id",
+            "left_semi",
+        )
         .dropDuplicates()
+    )
+    gene_info = F.broadcast(
+        ann_rows.groupBy("probe_id").agg(
+            F.flatten(F.collect_list("_ann_arr")).alias("_ann_arr")
+        )
     )
     top = top.join(gene_info, "probe_id", "left")
     if is_dmr:
