@@ -1333,19 +1333,49 @@ def curate_increment(
             "langid_model was given but keep_lang is None — the model "
             "would be silently ignored; pass keep_lang to filter"
         )
-    # content fingerprint of the batch (one cheap aggregation — batches
-    # are dimension-sized next to the corpus): recorded in the ledger so
-    # a re-run of the SAME content under a DIFFERENT source key is
+    # content fingerprint of the batch: recorded in the ledger so a
+    # re-run of the SAME content under a DIFFERENT source key is
     # detected below instead of silently self-suppressing to empty.
+    # With an explicit source_fingerprint the aggregate RIDES the
+    # frame-source publish write as an observed metric (zero extra
+    # jobs); a cache-hitting re-run reads the value recorded at first
+    # materialization — the content the downstream chain actually
+    # consumes — falling back to one explicit aggregation only for
+    # ledger rows that predate meta. With fingerprint=None the explicit
+    # aggregation stays: wrapping the frame in an Observation node
+    # would perturb (and per-run randomize) the plan-derived key.
     from pylluminator_spark.plans.manifest import content_fingerprint
 
-    batch_content_fp = content_fingerprint(new_docs)
-    cur = m.frame_source(
-        "increment",
-        new_docs,
-        source_fingerprint,
-        meta={"content_fp": batch_content_fp},
-    )
+    if source_fingerprint is not None:
+        from pyspark.sql import Observation
+
+        from pylluminator_spark.plans.manifest import (
+            content_fp_exprs,
+            content_fp_from,
+        )
+
+        obs = Observation()
+        cur = m.frame_source(
+            "increment",
+            new_docs.observe(obs, *content_fp_exprs(new_docs)),
+            source_fingerprint,
+            meta_fn=lambda: {
+                "content_fp": content_fp_from(
+                    obs.get["_n"], obs.get["_h"]
+                )
+            },
+        )
+        batch_content_fp = (
+            (m.entry(cur.key) or {}).get("meta") or {}
+        ).get("content_fp") or content_fingerprint(new_docs)
+    else:
+        batch_content_fp = content_fingerprint(new_docs)
+        cur = m.frame_source(
+            "increment",
+            new_docs,
+            source_fingerprint,
+            meta={"content_fp": batch_content_fp},
+        )
     batch_root_key = cur.key
     res = CurateResult()
     res.stages["increment"] = cur

@@ -143,6 +143,28 @@ def _local_file(uri: str) -> str | None:
     return path if os.path.exists(path) else None
 
 
+def content_fp_exprs(df: DataFrame) -> list:
+    """The two aggregate columns behind ``content_fingerprint`` —
+    exposed so a caller can piggyback them on an action it already
+    runs (``df.observe`` during a publish write) instead of paying a
+    separate aggregation job; feed the observed values to
+    ``content_fp_from``."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.xxhash64(F.struct(*df.columns)).cast("decimal(38,0)")
+        ).alias("_h"),
+    ]
+
+
+def content_fp_from(n, h) -> str:
+    """Fingerprint string from the ``content_fp_exprs`` aggregate
+    values — identical formatting to ``content_fingerprint``."""
+    return hashlib.sha256(f"{n}:{h}".encode()).hexdigest()[:16]
+
+
 def content_fingerprint(df: DataFrame) -> str:
     """ACTUAL-content fingerprint of a DataFrame: row count + the sum of
     per-row ``xxhash64`` over all columns (order-independent — sum
@@ -151,17 +173,8 @@ def content_fingerprint(df: DataFrame) -> str:
     in-memory table whose lineage can't identify it (see
     ``frame_source``). Sized for dimension tables — for a fact table
     prefer a listing fingerprint of its backing files."""
-    from pyspark.sql import functions as F
-
-    row = df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            F.xxhash64(F.struct(*df.columns)).cast("decimal(38,0)")
-        ).alias("_h"),
-    ).collect()[0]
-    return hashlib.sha256(f"{row['_n']}:{row['_h']}".encode()).hexdigest()[
-        :16
-    ]
+    row = df.agg(*content_fp_exprs(df)).collect()[0]
+    return content_fp_from(row["_n"], row["_h"])
 
 
 @dataclass(frozen=True)
@@ -235,6 +248,7 @@ class PipelineManifest:
         df: DataFrame,
         fingerprint: str | None = None,
         meta: dict | None = None,
+        meta_fn=None,
     ) -> StageRef:
         """Root a pipeline at a LIVE DataFrame (no backing path): the
         frame is materialized into the store once under ``fingerprint``
@@ -265,7 +279,11 @@ class PipelineManifest:
         ledger entry on FIRST materialization — e.g. a content
         fingerprint recorded for later same-content-different-key
         detection (``curate_increment``). Ignored on cache hits (the
-        entry already exists)."""
+        entry already exists). ``meta_fn`` is the deferred form: a
+        zero-arg callable evaluated AFTER the publish write completes —
+        the hook for metadata observed DURING the write (``df.observe``
+        aggregates), which costs no extra job. Like ``meta`` it is
+        skipped entirely on cache hits."""
         if fingerprint is None:
             plan = df._jdf.queryExecution().analyzed().toString()
             files = sorted(df.inputFiles())
@@ -304,6 +322,11 @@ class PipelineManifest:
             "path": out_dir,
             "written_at": time.time(),
         }
+        if meta_fn is not None:
+            # evaluated post-publish: observed write-time metrics exist
+            merged = dict(meta or {})
+            merged.update(meta_fn() or {})
+            meta = merged
         if meta:
             entry["meta"] = meta
         if won or key not in self._entries:
