@@ -46,9 +46,9 @@ def main() -> None:
         rows.append(("  publish", time.perf_counter() - t0, None))
         return r
 
-    def frame_source(self, name, df, fingerprint=None, meta=None):
+    def frame_source(self, name, df, fingerprint=None, meta=None, meta_fn=None):
         t0 = time.perf_counter()
-        ref = orig_frame(self, name, df, fingerprint, meta)
+        ref = orig_frame(self, name, df, fingerprint, meta, meta_fn)
         rows.append((f"frame_source:{name}", time.perf_counter() - t0, ref.from_cache))
         return ref
 
