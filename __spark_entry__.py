@@ -9451,17 +9451,17 @@ ORACLE_STREAM_FUZZY_INC = _oracle_stream_fuzzy_inc()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gates only the FIRST 50 entries
-    # against the DuckDB oracle each round. Round-12 rotation (VERDICT
-    # r11 #1 plus the standing never-gated-first policy): slots 1-3 are
-    # the three round-11 additions that have never carried a driver row
-    # (dedup_fuzzy_inc, curate_increment_corpus, stream_fuzzy_inc --
-    # judge emu-verified at sf0.01 AND sf0.1 in VERDICT r11); slots 4-5
-    # give audio_spectral / image_phash_pairs their FIRST rows-only
-    # driver records (no oracle possible -- FFT/DCT); slots 6-38 are
-    # the 33 r8-green entries (the oldest driver rows, r8 gate order);
-    # slots 39-50 are the 12 oldest r9-green entries (r9 gate order).
-    # After this round no entry's latest driver row is older than r9;
-    # the r13 queue head (section 5) is the remaining 38 r9 entries.
+    # against the DuckDB oracle each round. Round-13 rotation (VERDICT
+    # r12 #1/#3 plus the standing never-gated-first policy): slots 1-4
+    # are the four oracle-naked paths — dsir_weights / doremi_weights
+    # (whose entries now pass the r12 target_within / reference_within
+    # carve-out flags, so their r10 driver rows predate the current
+    # code) and curate_gc_inc / stream_curate_inc (added in r12, never
+    # gated); slots 5-42 are the 38 r9-green entries (the oldest driver
+    # rows after the r12 rotation, r9 gate order); slots 43-50 are the
+    # 8 oldest r10-green entries (r10 gate order). After this round no
+    # entry's latest driver row is older than r10; the r14 queue head
+    # (section 4) is the remaining 40 r10 entries.
     #
     # ROTATION POLICY (VERDICT r6 #5, standing): with ~184 oracle-bearing
     # entries and 50 driver slots/round, worst-case driver-row staleness
@@ -9474,72 +9474,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays <= 13 (one gate section). A driver row is the gold signal;
     # the emu sweep is the bridge that keeps the interval covered.
     return {
-        # -- 1. slots 1-3: the three round-11 additions (never gated;
-        # judge emu-verified at sf0.01 AND sf0.1 in VERDICT r11) -------
-        "dedup_fuzzy_inc": q_dedup_fuzzy_inc,
-        "curate_increment_corpus": q_curate_increment,
-        "stream_fuzzy_inc": q_stream_fuzzy_inc,
-        # -- 2. slots 4-5: first-ever rows-only driver records for the
-        # two no-oracle-by-necessity media entries (VERDICT r11 #1) ----
-        "audio_spectral": q_audio_spectral,
-        "image_phash_pairs": q_image_phash_pairs,
-        # -- 3. slots 6-38: the 33 r8-green entries (oldest driver
-        # rows after the r11 rotation, r8 gate order) ------------------
-        "stratified_sample": q_stratified_sample,
-        "pii_redact": q_pii_redact,
-        "pack_sequences": q_pack_sequences,
-        "semantic_near_dup": q_semantic_near_dup,
-        "stream_dedup": q_stream_dedup,
-        "table_profile": q_table_profile,
-        "top_ngrams": q_top_ngrams,
-        "source_mixing": q_source_mixing,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "clean_html": q_clean_html,
-        "url_normalize": q_url_normalize,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "domain_cap": q_domain_cap,
-        "weighted_sample": q_weighted_sample,
-        "logreg_predict": q_logreg_predict,
-        "logreg_step": q_logreg_step,
-        "pq_encode": q_pq_encode,
-        "bpe_pairs": q_bpe_pairs,
-        "prototype_prune": q_prototype_prune,
-        "pq_adc": q_pq_adc,
-        "event_transitions": q_event_transitions,
-        "value_histogram": q_value_histogram,
-        "validate_rules": q_validate_rules,
-        "ts_resample": q_ts_resample,
-        "ts_ewma": q_ts_ewma,
-        "ts_anomalies": q_ts_anomalies,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "zorder_key": q_zorder_key,
-        "hll_registers": q_hll_registers,
-        "cms_counters": q_cms_counters,
-        # -- 4. slots 39-50: the 12 oldest r9-green entries (r9 gate
-        # order) -------------------------------------------------------
-        "video_near_dup": q_video_near_dup,
-        "decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "langid_predict": q_langid_predict,
-        "langid_scores": q_langid_scores,
-        "paragraph_lm_buckets": q_paragraph_lm_buckets,
-        "ccnet_filter": q_ccnet_filter,
-        "chi_square_assoc": q_chi_square_assoc,
-        "mutual_info": q_mutual_info,
-        "psi_drift": q_psi_drift,
-        "fk_check": q_fk_check,
-        "scd2_history": q_scd2_history,
-        "skyline_frontier": q_skyline_frontier,
-        # ---- end of the 50 gated slots ------------------------------
-        # -- 4b. r12 additions (never gated -- r13 queue head): gc'd
-        # generations keep suppressing through gate-only probes, and
-        # streaming full-curation ingestion ---------------------------
+        # -- 1. slots 1-4: the four oracle-naked paths (VERDICT r12 #1
+        # and #3): dsir_weights / doremi_weights now pass the r12
+        # target_within / reference_within carve-out flags and their
+        # latest driver rows predate that rewrite; curate_gc_inc /
+        # stream_curate_inc are the r12 additions that have never been
+        # gated (builder emu-green at sf0.01 and sf0.1 only) ----------
+        "dsir_weights": q_dsir_weights,
+        "doremi_weights": q_doremi_weights,
         "curate_gc_inc": q_curate_gc_inc,
         "stream_curate_inc": q_stream_curate_inc,
-        # -- 5. then the remaining 38 r9-green entries (r9 gate order
-        # — the oldest rows after this round) --------------------------
+        # -- 2. slots 5-42: the 38 r9-green entries (the oldest driver
+        # rows after the r12 rotation, r9 gate order) ------------------
         "snapshot_diff": q_snapshot_diff,
         "inverted_postings": q_inverted_postings,
         "json_extract_agg": q_json_extract_agg,
@@ -9578,9 +9524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_time": q_moving_avg_time,
         "window_ranks": q_window_ranks,
         "grouping_sets": q_grouping_sets,
-        # -- 6. r10-gated rows (second-freshest driver rows) -----------
+        # -- 3. slots 43-50: the 8 oldest r10-green entries (r10 gate
+        # order) -------------------------------------------------------
         "hard_negatives": q_hard_negatives,
-        "doremi_weights": q_doremi_weights,
         "decontaminate_spans": q_decontaminate_spans,
         "exists_shapes": q_exists_shapes,
         "min_cost_match": q_min_cost_match,
@@ -9588,6 +9534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "bpe_token_stats": q_bpe_token_stats,
         "unpivot_melt": q_unpivot_melt,
+        # ---- end of the 50 gated slots ------------------------------
+        # -- 4. the remaining r10-green entries (r10 gate order — the
+        # oldest rows after this round; r14 queue head) ----------------
         "shipping_priority": _tpch.QUERIES["shipping_priority"],
         "late_orders": _tpch.QUERIES["late_orders"],
         "filter_scan_revenue": _tpch.QUERIES["filter_scan_revenue"],
@@ -9610,7 +9559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "bloom_prune": q_bloom_prune,
         "bigram_lm": q_bigram_lm,
-        "dsir_weights": q_dsir_weights,
         "hist_quantiles": q_hist_quantiles,
         "minimizer_sigs": q_minimizer_sigs,
         "minimizer_pairs": q_minimizer_pairs,
@@ -9629,7 +9577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "mixedlm_dmp": q_mixedlm_dmp,
         "dr_scores": q_dr_scores,
-        # -- 7. r11-gated rows (the freshest driver rows) --------------
+        # -- 5. r11-gated rows (second-freshest driver rows) -----------
         "curate_corpus": q_curate_corpus,
         "dedup_exact_inc": q_dedup_exact_inc,
         "dedup_paragraphs_inc": q_dedup_paragraphs_inc,
@@ -9680,6 +9628,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_intensity_median": q_top_intensity_median,
         "top_dm_genes": q_top_dm_genes,
         "asof_join": q_asof_join,
+        # -- 6. r12-gated rows (the freshest driver rows) --------------
+        "dedup_fuzzy_inc": q_dedup_fuzzy_inc,
+        "curate_increment_corpus": q_curate_increment,
+        "stream_fuzzy_inc": q_stream_fuzzy_inc,
+        "audio_spectral": q_audio_spectral,
+        "image_phash_pairs": q_image_phash_pairs,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "semantic_near_dup": q_semantic_near_dup,
+        "stream_dedup": q_stream_dedup,
+        "table_profile": q_table_profile,
+        "top_ngrams": q_top_ngrams,
+        "source_mixing": q_source_mixing,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "clean_html": q_clean_html,
+        "url_normalize": q_url_normalize,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "domain_cap": q_domain_cap,
+        "weighted_sample": q_weighted_sample,
+        "logreg_predict": q_logreg_predict,
+        "logreg_step": q_logreg_step,
+        "pq_encode": q_pq_encode,
+        "bpe_pairs": q_bpe_pairs,
+        "prototype_prune": q_prototype_prune,
+        "pq_adc": q_pq_adc,
+        "event_transitions": q_event_transitions,
+        "value_histogram": q_value_histogram,
+        "validate_rules": q_validate_rules,
+        "ts_resample": q_ts_resample,
+        "ts_ewma": q_ts_ewma,
+        "ts_anomalies": q_ts_anomalies,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "zorder_key": q_zorder_key,
+        "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
+        "video_near_dup": q_video_near_dup,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "langid_predict": q_langid_predict,
+        "langid_scores": q_langid_scores,
+        "paragraph_lm_buckets": q_paragraph_lm_buckets,
+        "ccnet_filter": q_ccnet_filter,
+        "chi_square_assoc": q_chi_square_assoc,
+        "mutual_info": q_mutual_info,
+        "psi_drift": q_psi_drift,
+        "fk_check": q_fk_check,
+        "scd2_history": q_scd2_history,
+        "skyline_frontier": q_skyline_frontier,
     }
 
 

@@ -186,11 +186,27 @@ def main() -> None:
         **({"errors": errors} if errors else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(payload)
-    print(line)
+    # Print the SLIM contract line only (metric/value/unit/queries/sf,
+    # plus errors when present). The driver captures a bounded stdout
+    # tail; the r12 line carried 190 query names + 193 fingerprints +
+    # per-query run counts and BENCH_r11's capture truncated the FRONT
+    # of it, voiding the whole r12 round-over-round comparison
+    # (PERF_r12 n_common=0 — VERDICT r12 #2). Fingerprints, run counts
+    # and engine twins move to the side files below, which the repo
+    # tracks whole.
+    slim = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        **({"errors": errors} if errors else {}),
+        "sf": payload["sf"],
+    }
+    print(json.dumps(slim))
     # The driver artifact truncates long stdout tails, which made r3/r4
     # cross-round comparisons lossy — persist the COMPLETE per-query dict
-    # to a file too (same JSON line, parseable whole).
+    # (fingerprints, run counts, twins) to a file too.
+    line = json.dumps(payload)
     here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH_LAST.json")
